@@ -1,0 +1,198 @@
+"""ESM2 protein language model encoder, TPU-first.
+
+Functional equivalent of the reference's ESM_PLM wrapper over fair-esm
+(reference: procyon/model/esm.py:318-557): residue tokens in, per-token
+embeddings and MLM logits out.  Sizes mirror fair-esm's released family
+(esm.py:378-403): 8M / 35M / 150M / 650M / 3B.
+
+TPU-native design (vs the reference's eager torch):
+  * stacked-layer `lax.scan` blocks like llama.py; shared Pallas flash
+    attention in bidirectional mode.
+  * ESM2 specifics preserved: interleaved RoPE, pre-LN transformer with
+    LayerNorm (not RMSNorm), GELU MLP with biases, token-dropout embedding
+    rescale for <mask> tokens, tied-embedding roberta LM head.
+
+Alphabet: the standard 33-symbol ESM alphabet with prepend <cls> / append
+<eos> (data/protein_tokenizer.py).
+"""
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from procyon_tpu.ops.flash_attention import flash_attention
+from procyon_tpu.ops.norms import layer_norm
+from procyon_tpu.ops.rotary import apply_rotary, rope_frequencies
+
+# alphabet constants (data/protein_tokenizer.py mirrors these)
+PAD_IDX = 1
+MASK_IDX = 32
+CLS_IDX = 0
+EOS_IDX = 2
+VOCAB = 33
+
+
+@dataclasses.dataclass(frozen=True)
+class ESM2Config:
+    vocab_size: int = VOCAB
+    dim: int = 1280
+    n_layers: int = 33
+    n_heads: int = 20
+    norm_eps: float = 1e-5
+    max_seq_len: int = 1026  # 1024 residues + cls + eos
+    token_dropout: bool = True
+    dtype: Any = jnp.bfloat16
+    attn_backend: Optional[str] = None
+    remat: bool = True
+
+    @property
+    def head_dim(self):
+        return self.dim // self.n_heads
+
+    @property
+    def ffn_dim(self):
+        return 4 * self.dim
+
+
+_SIZES = {
+    "8m": dict(dim=320, n_layers=6, n_heads=20),
+    "35m": dict(dim=480, n_layers=12, n_heads=20),
+    "150m": dict(dim=640, n_layers=30, n_heads=20),
+    "650m": dict(dim=1280, n_layers=33, n_heads=20),
+    "3b": dict(dim=2560, n_layers=36, n_heads=40),
+}
+
+
+def esm2_config(size: str, **kw) -> ESM2Config:
+    base = dict(_SIZES[size])
+    base.update(kw)
+    return ESM2Config(**base)
+
+
+def tiny_config(**kw) -> ESM2Config:
+    base = dict(dim=64, n_layers=2, n_heads=4, dtype=jnp.float32,
+                max_seq_len=64)
+    base.update(kw)
+    return ESM2Config(**base)
+
+
+def init_params(key, cfg: ESM2Config):
+    L = cfg.n_layers
+    hd = cfg.head_dim
+    keys = jax.random.split(key, 12)
+
+    def dense(key, shape, scale=None):
+        if scale is None:
+            scale = 1.0 / (shape[-2] ** 0.5)
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(
+            cfg.dtype)
+
+    def zeros(shape):
+        return jnp.zeros(shape, cfg.dtype)
+
+    def ones(shape):
+        return jnp.ones(shape, cfg.dtype)
+
+    layers = {
+        "attn": {
+            "wq": dense(keys[0], (L, cfg.dim, cfg.n_heads * hd)),
+            "bq": zeros((L, cfg.n_heads * hd)),
+            "wk": dense(keys[1], (L, cfg.dim, cfg.n_heads * hd)),
+            "bk": zeros((L, cfg.n_heads * hd)),
+            "wv": dense(keys[2], (L, cfg.dim, cfg.n_heads * hd)),
+            "bv": zeros((L, cfg.n_heads * hd)),
+            "wo": dense(keys[3], (L, cfg.n_heads * hd, cfg.dim)),
+            "bo": zeros((L, cfg.dim)),
+        },
+        "mlp": {
+            "w1": dense(keys[4], (L, cfg.dim, cfg.ffn_dim)),
+            "b1": zeros((L, cfg.ffn_dim)),
+            "w2": dense(keys[5], (L, cfg.ffn_dim, cfg.dim)),
+            "b2": zeros((L, cfg.dim)),
+        },
+        "attn_norm": {"w": ones((L, cfg.dim)), "b": zeros((L, cfg.dim))},
+        "mlp_norm": {"w": ones((L, cfg.dim)), "b": zeros((L, cfg.dim))},
+    }
+    return {
+        "embed": dense(keys[6], (cfg.vocab_size, cfg.dim), scale=0.02),
+        "layers": layers,
+        "final_norm": {"w": ones((cfg.dim,)), "b": zeros((cfg.dim,))},
+        # roberta LM head: dense -> gelu -> layer_norm -> tied decoder + bias
+        "lm_head": {
+            "dense_w": dense(keys[7], (cfg.dim, cfg.dim)),
+            "dense_b": zeros((cfg.dim,)),
+            "norm": {"w": ones((cfg.dim,)), "b": zeros((cfg.dim,))},
+            "bias": jnp.zeros((cfg.vocab_size,), jnp.float32),
+        },
+    }
+
+
+def _block(x, lp, seg_ids, positions, cos, sin, cfg: ESM2Config):
+    B, S, _ = x.shape
+    hd = cfg.head_dim
+
+    h = layer_norm(x, lp["attn_norm"]["w"], lp["attn_norm"]["b"],
+                   eps=cfg.norm_eps)
+    q = (h @ lp["attn"]["wq"] + lp["attn"]["bq"]).reshape(B, S, cfg.n_heads, hd)
+    k = (h @ lp["attn"]["wk"] + lp["attn"]["bk"]).reshape(B, S, cfg.n_heads, hd)
+    v = (h @ lp["attn"]["wv"] + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
+    q = apply_rotary(q, cos, sin, positions, interleaved=True)
+    k = apply_rotary(k, cos, sin, positions, interleaved=True)
+    attn = flash_attention(q, k, v, seg_ids, seg_ids, causal=False,
+                           backend=cfg.attn_backend)
+    attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
+    x = x + attn @ lp["attn"]["wo"] + lp["attn"]["bo"]
+
+    h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
+                   eps=cfg.norm_eps)
+    h = jax.nn.gelu(h @ lp["mlp"]["w1"] + lp["mlp"]["b1"], approximate=False)
+    x = x + h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
+    return x
+
+
+def forward(params, cfg: ESM2Config, tokens, *, seg_ids=None,
+            return_logits=False):
+    """tokens [B,S] int32 (ESM alphabet, cls/eos included).
+
+    Returns {"hidden": [B,S,dim] (post final LN), "logits": [B,S,vocab]?}.
+    Padding (PAD_IDX) is masked out of attention via segment ids.
+    """
+    B, S = tokens.shape
+    if seg_ids is None:
+        seg_ids = (tokens != PAD_IDX).astype(jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+
+    x = params["embed"][tokens].astype(jnp.float32)
+    if cfg.token_dropout:
+        # fair-esm token-dropout rescale: mask embeddings are zeroed and the
+        # rest scaled by (1 - 0.15*0.8) / (1 - observed_mask_ratio)
+        is_mask = (tokens == MASK_IDX)
+        x = jnp.where(is_mask[..., None], 0.0, x)
+        valid = (seg_ids > 0)
+        n_valid = jnp.maximum(valid.sum(-1), 1)
+        mask_ratio_obs = (is_mask & valid).sum(-1) / n_valid
+        scale = (1.0 - 0.15 * 0.8) / jnp.maximum(1.0 - mask_ratio_obs, 1e-3)
+        x = x * scale[:, None, None]
+    x = x.astype(cfg.dtype)
+
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len)
+
+    def scan_body(x, lp):
+        return _block(x, lp, seg_ids, positions, cos, sin, cfg), None
+
+    body = jax.checkpoint(scan_body) if cfg.remat else scan_body
+    x, _ = jax.lax.scan(body, x, params["layers"])
+
+    x = layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"],
+                   eps=cfg.norm_eps)
+    out = {"hidden": x}
+    if return_logits:
+        h = jax.nn.gelu(x @ params["lm_head"]["dense_w"]
+                        + params["lm_head"]["dense_b"], approximate=False)
+        h = layer_norm(h, params["lm_head"]["norm"]["w"],
+                       params["lm_head"]["norm"]["b"], eps=cfg.norm_eps)
+        logits = h @ params["embed"].T.astype(h.dtype)
+        out["logits"] = logits.astype(jnp.float32) + params["lm_head"]["bias"]
+    return out

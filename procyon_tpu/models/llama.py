@@ -1,0 +1,220 @@
+"""Llama-2 / Llama-3 decoder, TPU-first.
+
+Functional equivalent of the reference's LlamaPostTokenization wrapper over HF
+Llama (reference: procyon/model/pmc_llama.py:415-596): takes either token ids
+or pre-built input embeddings (the soft-token fusion path), returns hidden
+states and LM logits, and supports an incremental KV cache for decode.
+
+TPU-native design choices (not present in the reference):
+  * layer parameters are stacked along a leading [L, ...] axis and the block
+    is applied with `lax.scan` — one compiled block regardless of depth,
+    FSDP-shardable along any named axis, rematerialization-friendly.
+  * attention runs through the shared Pallas flash kernel (ops/flash_attention)
+    with segment-id masking instead of additive attention masks.
+  * weights live in bf16; all normalization statistics in f32.
+
+Weight layout matches HF `LlamaForCausalLM` module names closely enough for a
+mechanical converter (models/checkpoint_convert.py).
+"""
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from procyon_tpu.ops.flash_attention import flash_attention
+from procyon_tpu.ops.norms import rms_norm
+from procyon_tpu.ops.rotary import apply_rotary, rope_frequencies
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    intermediate: int = 11008
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_seq_len: int = 2048
+    dtype: Any = jnp.bfloat16
+    # attention backend override for tests ("ref" forces the jnp path)
+    attn_backend: Optional[str] = None
+    remat: bool = True
+
+    @property
+    def head_dim(self):
+        return self.dim // self.n_heads
+
+
+def llama2_7b(**kw) -> LlamaConfig:
+    return LlamaConfig(**kw)
+
+
+def llama3_8b(**kw) -> LlamaConfig:
+    base = dict(vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
+                n_kv_heads=8, intermediate=14336, rope_theta=500000.0,
+                max_seq_len=8192)
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+def tiny_config(**kw) -> LlamaConfig:
+    """2-layer shrink, the analogue of the reference's text_encoder_debug
+    switch (model_unified.py:160-164)."""
+    base = dict(vocab_size=256, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                intermediate=128, max_seq_len=128, dtype=jnp.float32)
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+def init_params(key, cfg: LlamaConfig):
+    """Random-init params. Layer params are stacked [L, ...]."""
+    k_embed, k_layers, k_out = jax.random.split(key, 3)
+    hd = cfg.head_dim
+    L = cfg.n_layers
+
+    def dense(key, shape, scale=None):
+        if scale is None:
+            scale = 1.0 / (shape[0] ** 0.5)
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(
+            cfg.dtype)
+
+    ks = jax.random.split(k_layers, 7)
+    layers = {
+        "attn": {
+            "wq": dense(ks[0], (L, cfg.dim, cfg.n_heads * hd)),
+            "wk": dense(ks[1], (L, cfg.dim, cfg.n_kv_heads * hd)),
+            "wv": dense(ks[2], (L, cfg.dim, cfg.n_kv_heads * hd)),
+            "wo": dense(ks[3], (L, cfg.n_heads * hd, cfg.dim)),
+        },
+        "mlp": {
+            "w_gate": dense(ks[4], (L, cfg.dim, cfg.intermediate)),
+            "w_up": dense(ks[5], (L, cfg.dim, cfg.intermediate)),
+            "w_down": dense(ks[6], (L, cfg.intermediate, cfg.dim)),
+        },
+        "attn_norm": jnp.ones((L, cfg.dim), cfg.dtype),
+        "mlp_norm": jnp.ones((L, cfg.dim), cfg.dtype),
+    }
+    return {
+        "embed": dense(k_embed, (cfg.vocab_size, cfg.dim), scale=0.02),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.dim,), cfg.dtype),
+        "lm_head": dense(k_out, (cfg.dim, cfg.vocab_size)),
+    }
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
+    """Contiguous ring-style KV cache [L, B, Smax, Hkv, D] + filled length."""
+    S = max_len or cfg.max_seq_len
+    shape = (cfg.n_layers, batch, S, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, cfg.dtype),
+        "v": jnp.zeros(shape, cfg.dtype),
+        # per-example segment ids of cached positions (0 = empty)
+        "seg": jnp.zeros((batch, S), jnp.int32),
+        # RoPE positions of cached entries (for positional causal masking)
+        "pos": jnp.zeros((batch, S), jnp.int32),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+def _block(x, lp, seg_ids, positions, cos, sin, cfg: LlamaConfig,
+           cache_k=None, cache_v=None, cache_seg=None, cache_pos=None,
+           cache_len=None):
+    """One decoder block. x [B,S,dim]. Returns (y, new_k, new_v)."""
+    B, S, _ = x.shape
+    hd = cfg.head_dim
+
+    h = rms_norm(x, lp["attn_norm"], eps=cfg.norm_eps)
+    q = (h @ lp["attn"]["wq"]).reshape(B, S, cfg.n_heads, hd)
+    k = (h @ lp["attn"]["wk"]).reshape(B, S, cfg.n_kv_heads, hd)
+    v = (h @ lp["attn"]["wv"]).reshape(B, S, cfg.n_kv_heads, hd)
+    q = apply_rotary(q, cos, sin, positions)
+    k = apply_rotary(k, cos, sin, positions)
+
+    if cache_k is not None:
+        # decode: write new k/v at [cache_len, cache_len+S), attend over cache
+        upd = jax.lax.dynamic_update_slice
+        cache_k = upd(cache_k, k.astype(cache_k.dtype), (0, cache_len, 0, 0))
+        cache_v = upd(cache_v, v.astype(cache_v.dtype), (0, cache_len, 0, 0))
+        attn = flash_attention(
+            q, cache_k, cache_v, seg_ids, cache_seg,
+            causal=True, q_positions=positions, kv_positions=cache_pos,
+            backend=cfg.attn_backend,
+        )
+        new_kv = (cache_k, cache_v)
+    else:
+        attn = flash_attention(q, k, v, seg_ids, seg_ids, causal=True,
+                               backend=cfg.attn_backend)
+        new_kv = (k, v)
+    attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
+    x = x + attn @ lp["attn"]["wo"]
+
+    h = rms_norm(x, lp["mlp_norm"], eps=cfg.norm_eps)
+    gated = jax.nn.silu(h @ lp["mlp"]["w_gate"]) * (h @ lp["mlp"]["w_up"])
+    x = x + gated @ lp["mlp"]["w_down"]
+    return x, new_kv
+
+
+def forward(params, cfg: LlamaConfig, *, input_embeds=None, tokens=None,
+            seg_ids=None, positions=None, kv_cache=None):
+    """Run the decoder stack.
+
+    input_embeds [B,S,dim] (fusion path) or tokens [B,S]. seg_ids [B,S]
+    (0 = pad). positions [B,S] absolute positions for RoPE.
+
+    Returns dict with "hidden" [B,S,dim], "logits" [B,S,vocab], and
+    "kv_cache" (updated) when a cache was passed.
+    """
+    if input_embeds is None:
+        input_embeds = params["embed"][tokens].astype(cfg.dtype)
+    x = input_embeds.astype(cfg.dtype)
+    B, S, _ = x.shape
+    if seg_ids is None:
+        seg_ids = jnp.ones((B, S), jnp.int32)
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+
+    if kv_cache is None:
+        def scan_body(x, lp):
+            y, _ = _block(x, lp, seg_ids, positions, cos, sin, cfg)
+            return y, None
+
+        body = scan_body
+        if cfg.remat:
+            body = jax.checkpoint(scan_body)
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+    else:
+        cache_len = kv_cache["length"]
+        # cached-position segment ids: mark the S new positions with their
+        # (query) segment ids so tokens attend to themselves and the prefix.
+        cache_seg = jax.lax.dynamic_update_slice(
+            kv_cache["seg"], seg_ids, (0, cache_len))
+        cache_pos = jax.lax.dynamic_update_slice(
+            kv_cache["pos"], positions, (0, cache_len))
+
+        def scan_body(x, inp):
+            lp, ck, cv = inp
+            y, (nk, nv) = _block(x, lp, seg_ids, positions, cos, sin, cfg,
+                                 cache_k=ck, cache_v=cv, cache_seg=cache_seg,
+                                 cache_pos=cache_pos, cache_len=cache_len)
+            return y, (nk, nv)
+
+        x, (nk, nv) = jax.lax.scan(
+            scan_body, x, (params["layers"], kv_cache["k"], kv_cache["v"]))
+        new_cache = {"k": nk, "v": nv, "seg": cache_seg, "pos": cache_pos,
+                     "length": cache_len + S}
+
+    x = rms_norm(x, params["final_norm"], eps=cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    out = {"hidden": x, "logits": logits}
+    if new_cache is not None:
+        out["kv_cache"] = new_cache
+    return out

@@ -1,0 +1,265 @@
+"""UnifiedProCyon: the multimodal protein-phenotype fusion model.
+
+TPU-native equivalent of the reference's UnifiedProCyon
+(procyon/model/model_unified.py:111-1542): a protein encoder (live ESM2 or
+frozen precomputed embeddings), MLP token projectors into the LLM embedding
+space, a Llama decoder, retrieval projectors and an in-batch InfoNCE head.
+
+Key contract difference (SURVEY.md §7 "Ragged -> static shapes"): the
+reference's `_prepare_input_embeddings` scatters soft tokens with python
+loops over ragged index lists (model_unified.py:1135-1175). Here the collator
+pre-computes a fixed-shape `soft_map [B, L]` (-1 = ordinary vocab token,
+k >= 0 = "replace with projected protein/drug embedding number k") and
+injection is a single gather+select that XLA fuses into the embedding lookup.
+
+Forward modes (reference forward :483):
+  * lm:        causal-LM logits + masked loss (QA / caption)
+  * retrieval: [PROT] hidden state -> lm projector vs target protein
+               embeddings -> shared projector, InfoNCE in-batch (:556-693)
+  * mlm:       ESM2 masked-LM logits on protein tokens
+  * forward_sequences (:1029): protein-only embedding path (target side)
+"""
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from procyon_tpu.models import contrastive, esm2, llama, pooling, projectors
+
+# aliases: dataclass field names below shadow the module names in class scope
+_LlamaConfig = llama.LlamaConfig
+_ESM2Config = esm2.ESM2Config
+_InfoNCEConfig = contrastive.InfoNCEConfig
+_llama_tiny = llama.tiny_config
+
+
+@dataclasses.dataclass(frozen=True)
+class UnifiedConfig:
+    llama: _LlamaConfig = dataclasses.field(default_factory=_llama_tiny)
+    esm: Optional[_ESM2Config] = None  # None => frozen-embedding mode
+    protein_embed_dim: int = 2560  # ESM2-3B table width when esm is None
+    # projector shapes (configs/llama3-full.yml: 3-layer, hidden 2560)
+    token_projector_layers: int = 3
+    token_projector_hidden: int = 2560
+    retrieval_dim: int = 1024
+    retrieval_projector_layers: int = 1
+    use_drug_embeddings: bool = False
+    drug_embed_dim: int = 512
+    protein_pooling: str = "mean"
+    # which decoder layer's hidden state feeds retrieval; -1 = last
+    # (ModelArgs.ret_token_access, training_args_IT.py:173)
+    contrastive: _InfoNCEConfig = dataclasses.field(
+        default_factory=_InfoNCEConfig)
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def encoder_out_dim(self):
+        return self.esm.dim if self.esm is not None else self.protein_embed_dim
+
+
+def tiny_config(**kw) -> UnifiedConfig:
+    base = dict(
+        llama=llama.tiny_config(attn_backend="ref", remat=False),
+        esm=esm2.tiny_config(attn_backend="ref", remat=False),
+        protein_embed_dim=64, token_projector_layers=2,
+        token_projector_hidden=32, retrieval_dim=16, dtype=jnp.float32,
+    )
+    base.update(kw)
+    return UnifiedConfig(**base)
+
+
+def _proj_cfg(cfg, in_dim, out_dim, n_layers, hidden):
+    return projectors.ProjectorConfig(
+        in_dim=in_dim, out_dim=out_dim, n_layers=n_layers,
+        hidden_dim=hidden, dtype=cfg.dtype)
+
+
+def projector_configs(cfg: UnifiedConfig):
+    d_llm = cfg.llama.dim
+    d_enc = cfg.encoder_out_dim
+    out = {
+        "token_projector": _proj_cfg(cfg, d_enc, d_llm,
+                                     cfg.token_projector_layers,
+                                     cfg.token_projector_hidden),
+        # retrieval: LLM-side and protein-side into the shared space
+        # (model_unified.py:576-588 aaseq_lm_projector / aaseq_shared_projector)
+        "lm_projector": _proj_cfg(cfg, d_llm, cfg.retrieval_dim,
+                                  cfg.retrieval_projector_layers, 0),
+        "shared_projector": _proj_cfg(cfg, d_enc, cfg.retrieval_dim,
+                                      cfg.retrieval_projector_layers, 0),
+    }
+    if cfg.use_drug_embeddings:
+        out["drug_projector"] = _proj_cfg(cfg, cfg.drug_embed_dim, d_llm,
+                                          cfg.token_projector_layers,
+                                          cfg.token_projector_hidden)
+    return out
+
+
+def init_params(key, cfg: UnifiedConfig):
+    keys = jax.random.split(key, 8)
+    pcfgs = projector_configs(cfg)
+    params = {
+        "llama": llama.init_params(keys[0], cfg.llama),
+        "projectors": {
+            name: projectors.init_params(k, pc)
+            for (name, pc), k in zip(pcfgs.items(),
+                                     jax.random.split(keys[1], len(pcfgs)))
+        },
+        "contrastive": contrastive.init_params(cfg.contrastive),
+    }
+    if cfg.esm is not None:
+        params["esm"] = esm2.init_params(keys[2], cfg.esm)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Protein encoding (reference forward_sequences, model_unified.py:1029-1088)
+# ---------------------------------------------------------------------------
+
+
+def encode_proteins(params, cfg: UnifiedConfig, protein_tokens, *,
+                    group_ids=None, num_groups=None, row_valid=None):
+    """ESM-encode residue tokens [R, Lp] -> pooled embeddings.
+
+    group_ids/num_groups activate chunk-regrouping for long proteins split
+    across rows (train_utils.py:1497-1649 semantics as segment pooling).
+    """
+    assert cfg.esm is not None, "encode_proteins requires a live ESM encoder"
+    out = esm2.forward(params["esm"], cfg.esm, protein_tokens)
+    token_mask = (protein_tokens != esm2.PAD_IDX).astype(jnp.int32)
+    pooled = pooling.pool_tokens(out["hidden"], token_mask,
+                                 cfg.protein_pooling)  # [R, De]
+    if group_ids is not None:
+        pooled = pooling.regroup_chunks(pooled, group_ids, num_groups,
+                                        row_valid=row_valid,
+                                        method=cfg.protein_pooling
+                                        if cfg.protein_pooling != "cls"
+                                        else "mean")
+    return pooled
+
+
+def protein_mlm_logits(params, cfg: UnifiedConfig, protein_tokens):
+    return esm2.forward(params["esm"], cfg.esm, protein_tokens,
+                        return_logits=True)["logits"]
+
+
+def target_protein_embeddings(params, cfg: UnifiedConfig, protein_embeds):
+    """Protein embeddings -> shared retrieval space (target side)."""
+    pcfgs = projector_configs(cfg)
+    return projectors.apply(params["projectors"]["shared_projector"],
+                            pcfgs["shared_projector"],
+                            protein_embeds.astype(cfg.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Fusion forward
+# ---------------------------------------------------------------------------
+
+
+def _inject_soft_tokens(params, cfg, input_ids, soft_map, soft_bank):
+    """input embeds with soft tokens scattered over placeholder positions.
+
+    soft_bank [P, dim]: projected modality embeddings (row k answers
+    soft_map == k).  Replaces model_unified.py:1135-1175.
+    """
+    tok_embeds = params["llama"]["embed"][input_ids].astype(cfg.dtype)
+    if soft_bank is None:
+        return tok_embeds
+    gathered = soft_bank[jnp.clip(soft_map, 0, soft_bank.shape[0] - 1)]
+    return jnp.where((soft_map >= 0)[..., None], gathered.astype(cfg.dtype),
+                     tok_embeds)
+
+
+def build_soft_bank(params, cfg: UnifiedConfig, protein_embeds,
+                    drug_embeds=None):
+    """Project modality embeddings into LLM token space -> one bank.
+
+    protein rows occupy [0, U); drug rows (if any) [U, U+Ud). Collators index
+    soft_map against this layout.
+    """
+    pcfgs = projector_configs(cfg)
+    bank = projectors.apply(params["projectors"]["token_projector"],
+                            pcfgs["token_projector"],
+                            protein_embeds.astype(cfg.dtype))
+    if drug_embeds is not None:
+        dbank = projectors.apply(params["projectors"]["drug_projector"],
+                                 pcfgs["drug_projector"],
+                                 drug_embeds.astype(cfg.dtype))
+        bank = jnp.concatenate([bank, dbank], axis=0)
+    return bank
+
+
+def forward(params, cfg: UnifiedConfig, batch, *, retrieval=False,
+            axis_name=None, kv_cache=None):
+    """Run the fusion model.
+
+    batch keys (all fixed-shape; produced by data/collators.py):
+      input_ids [B, L], seg_ids [B, L], positions [B, L]
+      soft_map [B, L]  (-1 or index into the soft bank)
+      protein_embeds [U, De] — unique proteins (precomputed or from
+        encode_proteins); drug_embeds [Ud, Dd] optional
+      labels [B, L] (-100 ignore) — lm mode
+      ret_pos [B] — index of the [PROT] token per row — retrieval mode
+      ret_target_pos [B] — row into protein_embeds for the positive target
+      ret_valid [B] bool — padding rows
+      conflict_mask [B, B*] optional
+    """
+    soft_bank = build_soft_bank(params, cfg, batch["protein_embeds"],
+                                batch.get("drug_embeds"))
+    input_embeds = _inject_soft_tokens(params, cfg, batch["input_ids"],
+                                       batch.get("soft_map"), soft_bank)
+    out = llama.forward(params["llama"], cfg.llama,
+                        input_embeds=input_embeds,
+                        seg_ids=batch.get("seg_ids"),
+                        positions=batch.get("positions"),
+                        kv_cache=kv_cache)
+    result = {"logits": out["logits"], "hidden": out["hidden"]}
+    if "kv_cache" in out:
+        result["kv_cache"] = out["kv_cache"]
+
+    if retrieval:
+        pcfgs = projector_configs(cfg)
+        B = batch["input_ids"].shape[0]
+        # [PROT] hidden state per row (ret_token_access=="last": final layer,
+        # model_unified.py:564-565)
+        prot_hidden = out["hidden"][jnp.arange(B), batch["ret_pos"]]
+        query = projectors.apply(params["projectors"]["lm_projector"],
+                                 pcfgs["lm_projector"], prot_hidden)
+        targets = target_protein_embeddings(
+            params, cfg, batch["protein_embeds"][batch["ret_target_pos"]])
+        loss, metrics = contrastive.info_nce_in_batch(
+            params["contrastive"], cfg.contrastive, targets, query,
+            valid=batch.get("ret_valid"),
+            conflict_mask=batch.get("conflict_mask"),
+            axis_name=axis_name)
+        result.update({"retrieval_loss": loss, "retrieval_metrics": metrics,
+                       "query_embeds": query, "target_embeds": targets})
+
+    if "labels" in batch and batch["labels"] is not None:
+        logits = out["logits"][:, :-1]
+        labels = batch["labels"][:, 1:]
+        mask = (labels != -100)
+        safe = jnp.where(mask, labels, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(mask, nll, 0.0)
+        denom = jnp.maximum(mask.sum(), 1)
+        result["lm_loss"] = nll.sum() / denom
+        result["lm_token_count"] = mask.sum()
+        # per-row loss for caption-weighting (constants.CAPTION_TRAIN_WEIGHTS)
+        row_denom = jnp.maximum(mask.sum(-1), 1)
+        result["lm_loss_per_row"] = nll.sum(-1) / row_denom
+    return result
+
+
+def retrieval_query_embedding(params, cfg: UnifiedConfig, batch):
+    """Inference-time retrieval: query embedding only (do_retrieval path,
+    inference/retrieval_utils.py:109-160)."""
+    out = forward(params, cfg, batch, retrieval=False)
+    pcfgs = projector_configs(cfg)
+    B = batch["input_ids"].shape[0]
+    prot_hidden = out["hidden"][jnp.arange(B), batch["ret_pos"]]
+    return projectors.apply(params["projectors"]["lm_projector"],
+                            pcfgs["lm_projector"], prot_hidden)

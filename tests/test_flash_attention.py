@@ -1,0 +1,99 @@
+"""Kernel-correctness tests: pallas (interpret mode on CPU) vs jnp reference.
+
+The reference repo has no kernel tests (it uses prebuilt flash-attn CUDA,
+SURVEY.md §4); here every masking/GQA/grad configuration is covered.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from procyon_tpu.ops.flash_attention import flash_attention, mha_reference
+
+
+def make_inputs(rng, B=2, Sq=64, Skv=64, Hq=4, Hkv=4, D=32, pad_frac=0.25):
+    q = jnp.asarray(rng.standard_normal((B, Sq, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Skv, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Skv, Hkv, D)), jnp.float32)
+    # right-padded segments: 1s then 0s, per-batch random valid length
+    seg_q = np.ones((B, Sq), np.int32)
+    seg_kv = np.ones((B, Skv), np.int32)
+    for b in range(B):
+        seg_q[b, int(Sq * (1 - pad_frac * rng.random())):] = 0
+        seg_kv[b, int(Skv * (1 - pad_frac * rng.random())):] = 0
+    return q, k, v, jnp.asarray(seg_q), jnp.asarray(seg_kv)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("gqa", [False, True])
+def test_forward_matches_reference(rng, causal, gqa):
+    Hq, Hkv = (8, 2) if gqa else (4, 4)
+    q, k, v, seg_q, seg_kv = make_inputs(rng, Hq=Hq, Hkv=Hkv)
+    ref = mha_reference(q, k, v, seg_q, seg_kv, causal=causal)
+    out = flash_attention(q, k, v, seg_q, seg_kv, causal=causal,
+                          backend="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_forward_no_segments(rng):
+    q, k, v, _, _ = make_inputs(rng, pad_frac=0.0)
+    ref = mha_reference(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, backend="pallas",
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_non_divisible_lengths(rng):
+    # Sq=50, Skv=70 force the padding path in the public wrapper.
+    q, k, v, seg_q, seg_kv = make_inputs(rng, Sq=50, Skv=70, pad_frac=0.2)
+    ref = mha_reference(q, k, v, seg_q, seg_kv, causal=False)
+    out = flash_attention(q, k, v, seg_q, seg_kv, backend="pallas",
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("gqa", [False, True])
+def test_gradients_match_reference(rng, causal, gqa):
+    Hq, Hkv = (4, 2) if gqa else (2, 2)
+    q, k, v, seg_q, seg_kv = make_inputs(rng, B=1, Sq=32, Skv=32,
+                                         Hq=Hq, Hkv=Hkv, D=16)
+
+    def loss_ref(q, k, v):
+        o = mha_reference(q, k, v, seg_q, seg_kv, causal=causal)
+        return jnp.sum(o * o)
+
+    def loss_pl(q, k, v):
+        o = flash_attention(q, k, v, seg_q, seg_kv, causal=causal,
+                            backend="pallas", interpret=True)
+        return jnp.sum(o * o)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_pl, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4,
+                                   err_msg=f"grad mismatch for {name}")
+
+
+def test_fully_masked_rows_are_zero(rng):
+    q, k, v, _, _ = make_inputs(rng, B=1, Sq=32, Skv=32, pad_frac=0.0)
+    seg_q = jnp.zeros((1, 32), jnp.int32)  # everything padding
+    seg_kv = jnp.ones((1, 32), jnp.int32)
+    out = flash_attention(q, k, v, seg_q, seg_kv, backend="pallas",
+                          interpret=True)
+    assert np.all(np.asarray(out) == 0.0)
+
+
+def test_cross_segment_isolation(rng):
+    """Tokens in segment 1 must not see segment 2 (packed-batch semantics)."""
+    q, k, v, _, _ = make_inputs(rng, B=1, Sq=32, Skv=32, pad_frac=0.0)
+    seg = jnp.asarray(np.repeat([1, 2], 16)[None, :], jnp.int32)
+    out_packed = flash_attention(q, k, v, seg, seg, backend="ref")
+    # segment 1 alone
+    out_solo = flash_attention(q[:, :16], k[:, :16], v[:, :16], backend="ref")
+    np.testing.assert_allclose(np.asarray(out_packed[:, :16]),
+                               np.asarray(out_solo), atol=1e-5, rtol=1e-5)
