@@ -1,0 +1,347 @@
+"""QA / Retrieval / Caption collators -> fixed-shape model batches.
+
+Equivalent of the reference's it_collator.py (BaseITCollator/QACollator/
+RetrievalCollator/CaptionCollator, procyon/data/it_collator.py:38-2305) with
+the structural change promised in SURVEY.md §7: instead of the ragged
+list-of-lists batch contract (§2.2), collators emit static-shape numpy
+arrays that jit directly:
+
+  input_ids [B, L]   seg_ids [B, L]   positions [B, L]   soft_map [B, L]
+  labels [B, L]      (qa / caption; -100 = unsupervised)
+  protein_tokens [R, Lp] + group_ids/row_valid  (live-encoder mode)
+  protein_embeds [U, De]                         (frozen-embedding mode)
+  ret_pos/ret_target_pos/ret_valid [B] + conflict_mask [B, B]  (retrieval)
+
+Prompt assembly: instruction templates from instruct.get_prompt are split on
+the marker tokens; [EXT] splices description text (with the reference's
+per-slot token budgeting, model_unified.py:1230-1256), <|protein|> becomes a
+single soft-token position recorded in soft_map, [ANSWER] stays a real
+token, `{answer}` becomes " yes"/" no" (+ eos). Labels are masked before the
+last [ANSWER] (mask_before, model_unified.py:39-82).
+"""
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from procyon_tpu.data import protein_tokenizer
+from procyon_tpu.data.instruct import Prompt
+
+_MARKER_RE = re.compile(
+    r"(\[EXT\]|<\|protein\|>|<\|struct\|>|<\|drug\|>|\[PROT\]|\[ANSWER\]|"
+    r"\[CONTEXT\]|\{answer\}|\{definition\})")
+
+
+@dataclasses.dataclass
+class CollatorConfig:
+    max_text_len: int = 512
+    max_protein_len: int = 1024
+    num_examples: int = 1          # ICL examples included from the task JSON
+    use_protein_tokens: bool = False  # live ESM mode vs frozen embeddings
+    protein_embed_dim: int = 2560
+    aaseq_type: str = "protein"
+    long_protein_strategy: str = "split"
+    # pad the unique-protein dim to a fixed size for stable jit shapes
+    max_unique_proteins: int = 0   # 0 = batch-exact (recompiles per shape)
+    max_protein_rows: int = 0
+    left_pad: bool = False         # generation prompts are left-padded
+    crop_texts: bool = True        # crop descriptions into the length budget
+
+
+class TextStore:
+    """Minimal store interface the collators need. Implementations:
+    datasets.SyntheticStore (tests), datasets.ProCyonDataStore (real data)."""
+
+    def protein_sequence(self, idx: int) -> str:
+        raise NotImplementedError
+
+    def protein_embedding(self, idx: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def text(self, idx: int) -> str:
+        raise NotImplementedError
+
+
+def _assemble(prompt_text: str, tokenizer, ext_texts: Sequence[str],
+              answer: Optional[str], max_len: int, crop: bool,
+              rng: Optional[np.random.Generator]) -> Tuple[
+                  List[int], List[int], Optional[int], Optional[int],
+                  List[int]]:
+    """Tokenize a template, splicing [EXT] texts and markers.
+
+    Returns (ids, protein_slot_positions, prot_query_pos, answer_pos,
+    label_mask_after) where soft-token positions get placeholder ids.
+    """
+    spec = tokenizer.spec
+    parts = _MARKER_RE.split(prompt_text)
+    ext_iter = iter(ext_texts)
+
+    # budget for [EXT] splices: remaining context divided by slot count
+    # (model_unified.py:1230: (max_text_len - prompt_len) / num_texts)
+    n_ext = prompt_text.count("[EXT]")
+    fixed_len = sum(len(tokenizer.encode(p)) for p in parts
+                    if not _MARKER_RE.fullmatch(p))
+    budget = max((max_len - fixed_len - 8) // max(n_ext, 1), 8) if n_ext \
+        else 0
+
+    ids: List[int] = []
+    protein_positions: List[int] = []
+    prot_query_pos: Optional[int] = None
+    answer_positions: List[int] = []
+
+    for part in parts:
+        if part == "[EXT]":
+            text = next(ext_iter, "")
+            t_ids = tokenizer.encode(text)
+            if len(t_ids) > budget > 0:
+                if crop and rng is not None:
+                    start = int(rng.integers(0, len(t_ids) - budget + 1))
+                    t_ids = t_ids[start:start + budget]
+                else:
+                    t_ids = t_ids[:budget]
+            ids.extend(t_ids)
+        elif part == "<|protein|>":
+            protein_positions.append(len(ids))
+            ids.append(spec.protein_id)
+        elif part == "<|struct|>":
+            protein_positions.append(len(ids))
+            ids.append(spec.struct_id)
+        elif part == "<|drug|>":
+            protein_positions.append(len(ids))
+            ids.append(spec.drug_id)
+        elif part == "[PROT]":
+            prot_query_pos = len(ids)
+            ids.append(spec.prot_query_id)
+        elif part == "[ANSWER]":
+            answer_positions.append(len(ids))
+            ids.append(spec.answer_id)
+        elif part == "[CONTEXT]":
+            continue  # context augmentation hook (off by default)
+        elif part == "{answer}":
+            if answer is not None:
+                a_ids = tokenizer.encode(answer)
+                ids.extend(a_ids)
+                ids.append(spec.eos_id)
+        elif part == "{definition}":
+            continue
+        else:
+            ids.extend(tokenizer.encode(part))
+
+    answer_pos = answer_positions[-1] if answer_positions else None
+    return ids, protein_positions, prot_query_pos, answer_pos, []
+
+
+def _pad_batch(rows: List[Dict], max_len: int, left_pad: bool):
+    B = len(rows)
+    L = max_len
+    input_ids = np.zeros((B, L), np.int32)
+    seg_ids = np.zeros((B, L), np.int32)
+    positions = np.zeros((B, L), np.int32)
+    soft_map = np.full((B, L), -1, np.int32)
+    labels = np.full((B, L), -100, np.int32)
+    extra = {"ret_pos": np.zeros((B,), np.int32),
+             "answer_pos": np.zeros((B,), np.int32)}
+    for b, row in enumerate(rows):
+        ids = row["ids"][:L]
+        n = len(ids)
+        off = L - n if left_pad else 0
+        input_ids[b, off:off + n] = ids
+        seg_ids[b, off:off + n] = 1
+        positions[b, off:off + n] = np.arange(n)
+        for pos, soft_idx in row.get("soft", []):
+            if pos < L:
+                soft_map[b, off + pos] = soft_idx
+        if row.get("labels") is not None:
+            lab = row["labels"][:L]
+            labels[b, off:off + len(lab)] = lab
+        if row.get("ret_pos") is not None and row["ret_pos"] < L:
+            extra["ret_pos"][b] = off + row["ret_pos"]
+        if row.get("answer_pos") is not None and row["answer_pos"] < L:
+            extra["answer_pos"][b] = off + row["answer_pos"]
+    return {"input_ids": input_ids, "seg_ids": seg_ids,
+            "positions": positions, "soft_map": soft_map,
+            "labels": labels, **extra}
+
+
+class _UniqueProteins:
+    """Dedup proteins across a batch; rows of the soft bank."""
+
+    def __init__(self):
+        self.order: List[int] = []
+        self.index: Dict[int, int] = {}
+
+    def add(self, aaseq_idx: int) -> int:
+        if aaseq_idx not in self.index:
+            self.index[aaseq_idx] = len(self.order)
+            self.order.append(aaseq_idx)
+        return self.index[aaseq_idx]
+
+
+class BaseCollator:
+    def __init__(self, cfg: CollatorConfig, tokenizer, store: TextStore,
+                 task: Dict, *, seed: int = 0):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.store = store
+        self.task = task
+        self.rng = np.random.default_rng(seed)
+
+    def _protein_arrays(self, unique: _UniqueProteins) -> Dict:
+        cfg = self.cfg
+        idxs = unique.order or [0]
+        if cfg.use_protein_tokens:
+            seqs = [self.store.protein_sequence(i) for i in idxs]
+            pb = protein_tokenizer.batch_encode(
+                seqs, max_len=cfg.max_protein_len,
+                long_strategy=cfg.long_protein_strategy,
+                pad_rows_to=cfg.max_protein_rows)
+            return {"protein_tokens": pb.tokens,
+                    "protein_group_ids": pb.group_ids,
+                    "protein_row_valid": pb.row_valid,
+                    "num_proteins": pb.num_groups}
+        embeds = np.stack([self.store.protein_embedding(i) for i in idxs])
+        if cfg.max_unique_proteins and len(idxs) < cfg.max_unique_proteins:
+            pad = np.zeros((cfg.max_unique_proteins - len(idxs),
+                            embeds.shape[1]), embeds.dtype)
+            embeds = np.concatenate([embeds, pad], 0)
+        return {"protein_embeds": embeds}
+
+    def _prompt_exts(self, prompt: Prompt, query_text: Optional[str]):
+        """ICL example description texts + the query description."""
+        texts = [self.store.text(t) for t in prompt.example_text_ids]
+        if query_text is not None:
+            texts.append(query_text)
+        return texts
+
+
+class QACollator(BaseCollator):
+    """Yes/no instruction batches (QACollator, it_collator.py:942-1500).
+
+    samples: list of (aaseq_idx, text_idx, is_positive).
+    """
+
+    def __call__(self, samples, prompt: Prompt) -> Dict:
+        spec = self.tokenizer.spec
+        unique = _UniqueProteins()
+        rows = []
+        yes_no = []
+        for aaseq_idx, text_idx, positive in samples:
+            answer = " yes" if positive else " no"
+            exts = self._prompt_exts(prompt, self.store.text(text_idx))
+            ids, prot_pos, _, ans_pos, _ = _assemble(
+                prompt.text, self.tokenizer, exts, answer,
+                self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
+            soft = []
+            # ICL example proteins then the query protein, in slot order
+            slot_aaseqs = list(prompt.example_aaseq_ids) + [aaseq_idx]
+            for pos, a_idx in zip(prot_pos, slot_aaseqs):
+                soft.append((pos, unique.add(a_idx)))
+            labels = np.full((len(ids),), -100, np.int32)
+            if ans_pos is not None:
+                labels[ans_pos + 1:] = ids[ans_pos + 1:]
+            rows.append({"ids": ids, "soft": soft, "labels": labels,
+                         "answer_pos": ans_pos})
+            yes_no.append(1 if positive else 0)
+        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
+        batch.update(self._protein_arrays(unique))
+        batch["qa_labels"] = np.asarray(yes_no, np.int32)
+        batch["yes_token"] = spec.yes_id
+        batch["no_token"] = spec.no_id
+        return batch
+
+
+class RetrievalCollator(BaseCollator):
+    """Contrastive retrieval batches (RetrievalCollator,
+    it_collator.py:1504-1924).
+
+    samples: list of (positive_aaseq_idx, text_idx) — in-batch negatives;
+    conflict mask kills colliding negatives (same text id or known positive
+    pair; model_unified.py:615-693 semantics via model_utils.py:135-150).
+    """
+
+    def __init__(self, *args, known_positive_pairs=None, **kw):
+        super().__init__(*args, **kw)
+        self.known_pairs = known_positive_pairs or set()
+
+    def __call__(self, samples, prompt: Prompt) -> Dict:
+        unique = _UniqueProteins()
+        rows = []
+        target_pos = []
+        text_ids = []
+        aaseq_ids = []
+        for aaseq_idx, text_idx in samples:
+            exts = self._prompt_exts(prompt, self.store.text(text_idx))
+            ids, prot_pos, prot_query, _, _ = _assemble(
+                prompt.text, self.tokenizer, exts, None,
+                self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
+            soft = []
+            for pos, a_idx in zip(prot_pos, prompt.example_aaseq_ids):
+                soft.append((pos, unique.add(a_idx)))
+            rows.append({"ids": ids, "soft": soft, "labels": None,
+                         "ret_pos": prot_query})
+            target_pos.append(unique.add(aaseq_idx))
+            text_ids.append(text_idx)
+            aaseq_ids.append(aaseq_idx)
+        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
+        del batch["labels"]
+        batch.update(self._protein_arrays(unique))
+        B = len(samples)
+        batch["ret_target_pos"] = np.asarray(target_pos, np.int32)
+        batch["ret_valid"] = np.ones((B,), bool)
+        # conflict mask [B, B]: 0 where a column is a known positive of the
+        # row's query (other than the diagonal positive itself)
+        mask = np.ones((B, B), np.float32)
+        for i in range(B):
+            for j in range(B):
+                if i == j:
+                    continue
+                if text_ids[i] == text_ids[j] or \
+                        (aaseq_ids[j], text_ids[i]) in self.known_pairs:
+                    mask[i, j] = 0.0
+        batch["conflict_mask"] = mask
+        batch["reference_indices"] = {"text": text_ids, "aaseq": aaseq_ids}
+        return batch
+
+
+class CaptionCollator(BaseCollator):
+    """Free-text phenotype generation batches (CaptionCollator,
+    it_collator.py:1929-2305). samples: list of (aaseq_idx, text_idx)."""
+
+    def __call__(self, samples, prompt: Prompt, *, for_generation=False
+                 ) -> Dict:
+        spec = self.tokenizer.spec
+        unique = _UniqueProteins()
+        rows = []
+        # the final [EXT] in a caption template is the target text; split
+        # the template at "Output: [ANSWER] [EXT]" tail
+        for aaseq_idx, text_idx in samples:
+            caption = self.store.text(text_idx)
+            # ICL exts fill earlier [EXT]s; the last is the caption target
+            icl_exts = [self.store.text(t) for t in prompt.example_text_ids]
+            exts = icl_exts + ([""] if for_generation else [caption])
+            ids, prot_pos, _, ans_pos, _ = _assemble(
+                prompt.text, self.tokenizer, exts, None,
+                self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
+            if not for_generation:
+                ids = ids + [spec.eos_id]
+            soft = []
+            slot_aaseqs = list(prompt.example_aaseq_ids) + [aaseq_idx]
+            for pos, a_idx in zip(prot_pos, slot_aaseqs):
+                soft.append((pos, unique.add(a_idx)))
+            labels = None
+            if not for_generation and ans_pos is not None:
+                labels = np.full((len(ids),), -100, np.int32)
+                labels[ans_pos + 1:] = ids[ans_pos + 1:]
+            rows.append({"ids": ids, "soft": soft, "labels": labels,
+                         "answer_pos": ans_pos})
+        left_pad = self.cfg.left_pad or for_generation
+        batch = _pad_batch(rows, self.cfg.max_text_len, left_pad)
+        batch.update(self._protein_arrays(unique))
+        if for_generation:
+            del batch["labels"]
+        batch["reference_indices"] = {
+            "aaseq": [s[0] for s in samples],
+            "text": [s[1] for s in samples]}
+        return batch

@@ -1,0 +1,313 @@
+"""Relation datasets + data stores + negative samplers.
+
+Equivalent of procyon/data/dataset.py:
+  * AASeqTextRelationDataset  <- AASeqTextUnifiedDataset (:986-1283): loads
+    `{aaseq}_{text}_relations_indexed.unified.csv` under the split-method
+    dir, filters relation + split, yields (aaseq_idx, rel_idx, text_idx)
+    with sampled negatives.
+  * AASeqPairDataset          <- AASeqDataset (:1284-...): undirected PPI
+    pairs with swap_prob.
+  * Negative samplers (:844-956): Null / Repeat / Preset / SimBased.
+
+Stores give the collators sequence/text/embedding lookups:
+  * ProCyonDataStore — reads the reference's DATA_DIR layout
+    (integrated_data/v1/..., FASTA, precomputed embedding .pt/.pkl —
+    data_utils.py:19-399). torch is used only to unpickle .pt files.
+  * SyntheticStore — deterministic fake data for tests/benches.
+"""
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Stores
+# ---------------------------------------------------------------------------
+
+
+class SyntheticStore:
+    """Deterministic synthetic proteins/texts/embeddings (test fixture à la
+    DummyAASeqTextDataset, evaluate/framework/testing.py:223-263)."""
+
+    AA = "LAGVSERTIDPKQNFYMHWC"
+
+    def __init__(self, n_proteins=64, n_texts=64, embed_dim=64, seed=0,
+                 min_len=20, max_len=60):
+        self.n_proteins = n_proteins
+        self.n_texts = n_texts
+        self.embed_dim = embed_dim
+        rng = np.random.default_rng(seed)
+        self._lens = rng.integers(min_len, max_len, n_proteins)
+        self._embeds = rng.standard_normal(
+            (n_proteins, embed_dim)).astype(np.float32)
+        self._seeds = rng.integers(0, 2 ** 31, n_proteins)
+
+    def protein_sequence(self, idx: int) -> str:
+        rng = np.random.default_rng(int(self._seeds[idx % self.n_proteins]))
+        n = int(self._lens[idx % self.n_proteins])
+        return "".join(rng.choice(list(self.AA), n))
+
+    def protein_embedding(self, idx: int) -> np.ndarray:
+        return self._embeds[idx % self.n_proteins]
+
+    def text(self, idx: int) -> str:
+        idx = idx % self.n_texts
+        return (f"synthetic phenotype description number {idx} involving "
+                f"pathway p{idx % 7} and function f{idx % 11}")
+
+
+class ProCyonDataStore:
+    """Reads the ProCyon-Instruct DATA_DIR layout (README.md:39-59).
+
+    Lazy: nothing is touched until first access, so the store can be
+    constructed in environments without the dataset.
+    """
+
+    def __init__(self, data_dir: Optional[str] = None,
+                 aaseq_type: str = "protein",
+                 embedding_file: Optional[str] = None):
+        self.data_dir = data_dir or os.environ.get("DATA_DIR", "")
+        self.aaseq_type = aaseq_type
+        self.embedding_file = embedding_file
+        self._seqs = None
+        self._texts: Dict[str, "object"] = {}
+        self._embeds = None
+        self._embed_map = None
+
+    # -- sequences (integrated_data/v1/{type}/{type}_sequences.fa)
+    def _load_sequences(self):
+        if self._seqs is not None:
+            return
+        fa = os.path.join(self.data_dir, "integrated_data", "v1",
+                          self.aaseq_type,
+                          f"{self.aaseq_type}_sequences.fa")
+        seqs = []
+        with open(fa) as f:
+            cur = []
+            for line in f:
+                line = line.strip()
+                if line.startswith(">"):
+                    if cur:
+                        seqs.append("".join(cur))
+                        cur = []
+                else:
+                    cur.append(line)
+            if cur:
+                seqs.append("".join(cur))
+        self._seqs = seqs
+
+    def protein_sequence(self, idx: int) -> str:
+        self._load_sequences()
+        return self._seqs[idx]
+
+    # -- precomputed embeddings (data_utils.py:365-388)
+    def _load_embeddings(self):
+        if self._embeds is not None:
+            return
+        import pickle
+
+        path = self.embedding_file or os.path.join(
+            self.data_dir, "generated_data", "aaseq_embeddings",
+            f"{self.aaseq_type}_esm2-3b_mean.pt")
+        if path.endswith(".pt"):
+            import torch
+
+            self._embeds = torch.load(path, map_location="cpu").numpy()
+        else:
+            self._embeds = np.load(path)
+        map_path = os.path.splitext(path)[0] + "_idmap.pkl"
+        if os.path.exists(map_path):
+            with open(map_path, "rb") as f:
+                self._embed_map = pickle.load(f)
+
+    def protein_embedding(self, idx: int) -> np.ndarray:
+        self._load_embeddings()
+        row = self._embed_map[idx] if self._embed_map is not None else idx
+        return np.asarray(self._embeds[row], np.float32)
+
+    # -- texts: per-dataset info csv (data_utils.py:143-353)
+    def load_text_table(self, text_type: str, columns: Sequence[str]):
+        import pandas as pd
+
+        if text_type not in self._texts:
+            path = os.path.join(
+                self.data_dir, "integrated_data", "v1", text_type,
+                f"{text_type}_info_filtered_composed.pkl")
+            if not os.path.exists(path):
+                path = os.path.join(
+                    self.data_dir, "integrated_data", "v1", text_type,
+                    f"{text_type}_info_filtered.pkl")
+            self._texts[text_type] = pd.read_pickle(path)
+        df = self._texts[text_type]
+        cols = [c for c in columns if c in df.columns]
+        return df, cols
+
+    def text(self, idx: int) -> str:
+        # single-dataset adapter: bind via TextTableStore below
+        raise NotImplementedError(
+            "wrap ProCyonDataStore in TextTableStore(text_type, columns)")
+
+
+class TextTableStore:
+    """Binds a ProCyonDataStore to one text dataset + composed columns."""
+
+    def __init__(self, base: ProCyonDataStore, text_type: str,
+                 columns: Sequence[str]):
+        self.base = base
+        self.text_type = text_type
+        self.columns = columns
+
+    def protein_sequence(self, idx):
+        return self.base.protein_sequence(idx)
+
+    def protein_embedding(self, idx):
+        return self.base.protein_embedding(idx)
+
+    def text(self, idx: int) -> str:
+        df, cols = self.base.load_text_table(self.text_type, self.columns)
+        row = df.iloc[idx]
+        parts = [str(row[c]) for c in cols if str(row[c]) != "nan"]
+        return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Negative samplers (dataset.py:844-956)
+# ---------------------------------------------------------------------------
+
+
+def negative_sampling_random_tail(pos_idx: int, num_entities: int,
+                                  num_negs: int, true_set: Set[int],
+                                  rng: np.random.Generator) -> np.ndarray:
+    """Masked categorical sampling without replacement avoiding known
+    positives (procyon/data/sampling.py:4-41)."""
+    probs = np.ones(num_entities)
+    probs[list(true_set & set(range(num_entities)))] = 0.0
+    probs[pos_idx] = 0.0
+    total = probs.sum()
+    if total <= 0:
+        return rng.integers(0, num_entities, num_negs)
+    probs /= total
+    return rng.choice(num_entities, size=min(num_negs, int((probs > 0).sum())),
+                      replace=False, p=probs)
+
+
+class NullNegativeSampler:
+    def sample(self, aaseq_idx, text_idx, rng):
+        return [], []
+
+
+class RandomNegativeSampler:
+    """Uniform negatives avoiding true relations (SimBased without the
+    similarity weighting)."""
+
+    def __init__(self, n_proteins, n_texts, true_pairs: Set[Tuple[int, int]],
+                 num_neg_protein=1, num_neg_text=0):
+        self.n_proteins = n_proteins
+        self.n_texts = n_texts
+        self.num_neg_protein = num_neg_protein
+        self.num_neg_text = num_neg_text
+        self._true_by_text: Dict[int, Set[int]] = {}
+        self._true_by_protein: Dict[int, Set[int]] = {}
+        for a, t in true_pairs:
+            self._true_by_text.setdefault(t, set()).add(a)
+            self._true_by_protein.setdefault(a, set()).add(t)
+
+    def sample(self, aaseq_idx, text_idx, rng):
+        negs_a = negative_sampling_random_tail(
+            aaseq_idx, self.n_proteins, self.num_neg_protein,
+            self._true_by_text.get(text_idx, set()), rng) \
+            if self.num_neg_protein else []
+        negs_t = negative_sampling_random_tail(
+            text_idx, self.n_texts, self.num_neg_text,
+            self._true_by_protein.get(aaseq_idx, set()), rng) \
+            if self.num_neg_text else []
+        return list(negs_a), list(negs_t)
+
+
+# ---------------------------------------------------------------------------
+# Relation datasets
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Relation:
+    aaseq_idx: int
+    text_idx: int
+    relation: str = ""
+
+
+class AASeqTextRelationDataset:
+    """Protein<->text relations with split filtering.
+
+    relations: sequence of (aaseq_idx, text_idx) or Relation. In the real
+    layout these come from `{aaseq}_{text}_relations_indexed.unified.csv`
+    under the split-method dir (dataset.py:1087-1117) — use
+    `from_csv(...)`; tests construct directly.
+    """
+
+    def __init__(self, relations: Sequence, store, *, name="dataset",
+                 negative_sampler=None, seed: int = 0):
+        self.relations = [r if isinstance(r, Relation) else Relation(*r)
+                          for r in relations]
+        self.store = store
+        self.name = name
+        self.negative_sampler = negative_sampler or NullNegativeSampler()
+        self.seed = seed
+        self.true_pairs = {(r.aaseq_idx, r.text_idx) for r in self.relations}
+
+    @classmethod
+    def from_csv(cls, data_dir, aaseq_type, text_type, relation_filter,
+                 split, *, split_method="random_split", store=None, **kw):
+        import pandas as pd
+
+        path = os.path.join(
+            data_dir, "integrated_data", "v1",
+            f"{aaseq_type}_{text_type}", split_method,
+            f"{aaseq_type}_{text_type}_relations_indexed.unified.csv")
+        df = pd.read_csv(path)
+        if relation_filter and "relation" in df.columns:
+            df = df[df["relation"].isin(relation_filter)]
+        if split and "split" in df.columns:
+            df = df[df["split"] == split]
+        rel = [Relation(int(r["seq_id"]), int(r["text_id"]),
+                        str(r.get("relation", "")))
+               for _, r in df.iterrows()]
+        return cls(rel, store, **kw)
+
+    def __len__(self):
+        return len(self.relations)
+
+    def __getitem__(self, i):
+        r = self.relations[i]
+        rng = np.random.default_rng((self.seed * 1_000_003 + i) % 2 ** 31)
+        neg_a, neg_t = self.negative_sampler.sample(r.aaseq_idx, r.text_idx,
+                                                    rng)
+        return {"aaseq_idx": r.aaseq_idx, "text_idx": r.text_idx,
+                "rel_idx": i, "neg_aaseqs": neg_a, "neg_texts": neg_t}
+
+
+class AASeqPairDataset:
+    """Undirected protein-protein pairs (AASeqDataset, dataset.py:1284+)
+    with swap_prob for direction augmentation."""
+
+    def __init__(self, pairs: Sequence[Tuple[int, int]], store, *,
+                 name="ppi", swap_prob=0.5, seed=0):
+        self.pairs = list(pairs)
+        self.store = store
+        self.name = name
+        self.swap_prob = swap_prob
+        self.seed = seed
+        self.true_pairs = set(pairs) | {(b, a) for a, b in pairs}
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, i):
+        a, b = self.pairs[i]
+        rng = np.random.default_rng((self.seed * 999_983 + i) % 2 ** 31)
+        if rng.random() < self.swap_prob:
+            a, b = b, a
+        return {"aaseq_idx": a, "aaseq_idx_2": b, "rel_idx": i}

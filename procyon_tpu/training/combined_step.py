@@ -1,0 +1,53 @@
+"""Combined multi-task step: one optimizer update over the summed task
+losses, exercising every trainable subsystem (ESM2 MLM + QA/caption LM +
+retrieval contrastive). Mirrors one full global step of the reference's
+interleaved loop (trainIT.py:449-622) as a single jitted function — used by
+the multichip dry-run and as the fused-step training option.
+"""
+
+import jax
+import optax
+
+from procyon_tpu.models import unified
+from procyon_tpu.training import train_step as ts
+
+
+def make_combined_step(cfg: unified.UnifiedConfig, optimizer,
+                       weights: ts.TaskWeights = ts.TaskWeights(),
+                       donate: bool = True):
+    def step(state, batches):
+        """batches: dict with optional keys qa / caption / retrieval / mlm."""
+
+        def lf(params):
+            total = 0.0
+            metrics = {}
+            if "qa" in batches:
+                l, m = ts.lm_loss_fn(params, cfg, batches["qa"], weights.qa)
+                total += l
+                metrics.update({f"qa/{k}": v for k, v in m.items()})
+            if "caption" in batches:
+                l, m = ts.lm_loss_fn(params, cfg, batches["caption"],
+                                     weights.caption)
+                total += l
+                metrics.update({f"caption/{k}": v for k, v in m.items()})
+            if "retrieval" in batches:
+                l, m = ts.retrieval_loss_fn(params, cfg,
+                                            batches["retrieval"],
+                                            weights.retrieval)
+                total += l
+                metrics.update({f"retrieval/{k}": v for k, v in m.items()})
+            if "mlm" in batches and cfg.esm is not None:
+                l, m = ts.mlm_loss_fn(params, cfg, batches["mlm"],
+                                      weights.mlm)
+                total += l
+                metrics.update({f"mlm/{k}": v for k, v in m.items()})
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+            state["params"])
+        new_state = ts._apply_updates(state, grads, optimizer)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

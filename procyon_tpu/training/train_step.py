@@ -1,0 +1,147 @@
+"""Jitted per-task train steps.
+
+Equivalent of the reference's training_step/compute_loss family
+(procyon/training/trainIT.py:977-1305): one step function per task family
+(qa / retrieval / caption / mlm), each computing its weighted loss and
+updating params. The host trainer interleaves them per global step with skip
+frequencies (trainIT.py:335-380) — see trainer.py.
+
+GSPMD notes: under jit over a mesh, the in-batch contrastive loss is global
+automatically (the score matrix spans the globally sharded batch), so no
+explicit all_gather/rank-offset code is needed; the shard_map+axis_name path
+in models/contrastive.py remains for explicit-collective use.
+"""
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from procyon_tpu.models import esm2, unified
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskWeights:
+    """Per-task loss weights (TrainArgs.*_loss_weight,
+    training_args_IT.py:1204-1250)."""
+    qa: float = 1.0
+    retrieval: float = 1.0
+    caption: float = 1.0
+    mlm: float = 1.0
+
+
+def init_train_state(params, optimizer):
+    return {
+        "params": params,
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _apply_updates(state, grads, optimizer):
+    updates, opt_state = optimizer.update(
+        grads, state["opt_state"], state["params"])
+    params = optax.apply_updates(state["params"], updates)
+    return {"params": params, "opt_state": opt_state,
+            "step": state["step"] + 1}
+
+
+def lm_loss_fn(params, cfg, batch, weight):
+    out = unified.forward(params, cfg, batch, retrieval=False)
+    loss = out["lm_loss"] * weight
+    # QA accuracy-style metric: exact next-token match on supervised tokens
+    logits = out["logits"][:, :-1]
+    labels = batch["labels"][:, 1:]
+    mask = labels != -100
+    correct = (jnp.argmax(logits, -1) == labels) & mask
+    acc = correct.sum() / jnp.maximum(mask.sum(), 1)
+    ppl = jnp.exp(jnp.minimum(out["lm_loss"], 20.0))
+    return loss, {"lm_loss": out["lm_loss"], "token_acc": acc, "ppl": ppl}
+
+
+def retrieval_loss_fn(params, cfg, batch, weight):
+    out = unified.forward(params, cfg, batch, retrieval=True)
+    loss = out["retrieval_loss"] * weight
+    return loss, {"retrieval_loss": out["retrieval_loss"],
+                  **out["retrieval_metrics"]}
+
+
+def mlm_loss_fn(params, cfg, batch, weight):
+    """ESM2 masked-LM loss (compute_mlm_loss, trainIT.py:1138-1193;
+    get_mlm_loss, train_utils.py:884-938)."""
+    logits = unified.protein_mlm_logits(params, cfg, batch["protein_tokens"])
+    labels = batch["mlm_labels"]  # -100 = not masked
+    mask = labels != -100
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(mask, nll, 0.0)
+    loss = nll.sum() / jnp.maximum(mask.sum(), 1)
+    acc = ((jnp.argmax(logits, -1) == labels) & mask).sum() / jnp.maximum(
+        mask.sum(), 1)
+    return loss * weight, {"mlm_loss": loss, "mlm_acc": acc}
+
+
+_LOSS_FNS = {
+    "qa": lm_loss_fn,
+    "caption": lm_loss_fn,
+    "retrieval": retrieval_loss_fn,
+    "mlm": mlm_loss_fn,
+}
+
+
+def make_train_step(cfg: unified.UnifiedConfig, optimizer, task: str,
+                    weight: float = 1.0, donate: bool = True):
+    """Build a jittable train step for one task family."""
+    loss_fn = _LOSS_FNS[task]
+
+    def step(state, batch):
+        def lf(params):
+            return loss_fn(params, cfg, batch, weight)
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+            state["params"])
+        new_state = _apply_updates(state, grads, optimizer)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: unified.UnifiedConfig, task: str):
+    loss_fn = _LOSS_FNS[task]
+
+    def step(params, batch):
+        loss, metrics = loss_fn(params, cfg, batch, 1.0)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    return jax.jit(step)
+
+
+def encode_proteins_with_mlm_mask(key, protein_tokens, *, mask_prob=0.15):
+    """BERT-style residue masking (ProteinMLMCollator._mask_tokens,
+    procyon/data/data_collator.py:113-174): of the selected 15%,
+    80% -> <mask>, 10% -> random residue, 10% unchanged.
+
+    Returns (masked_tokens, labels with -100 on unselected positions).
+    Host-side equivalents live in the collators; this jnp version serves
+    on-device augmentation.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    special = (protein_tokens == esm2.PAD_IDX) | \
+              (protein_tokens == esm2.CLS_IDX) | \
+              (protein_tokens == esm2.EOS_IDX)
+    sel = jax.random.bernoulli(k1, mask_prob, protein_tokens.shape) & ~special
+    labels = jnp.where(sel, protein_tokens, -100)
+    r = jax.random.uniform(k2, protein_tokens.shape)
+    masked = jnp.where(sel & (r < 0.8), esm2.MASK_IDX, protein_tokens)
+    random_tok = jax.random.randint(k3, protein_tokens.shape, 4, 24)
+    masked = jnp.where(sel & (r >= 0.8) & (r < 0.9), random_tok, masked)
+    return masked, labels

@@ -1,0 +1,272 @@
+"""Data-layer tests: tokenizers, prompts, collators, mixing."""
+import numpy as np
+import pytest
+
+from procyon_tpu.data import collators, datasets, instruct, mixing
+from procyon_tpu.data import protein_tokenizer as pt
+from procyon_tpu.data.text_tokenizer import WordTokenizer
+
+
+class TestProteinTokenizer:
+    def test_roundtrip_alphabet(self):
+        ids = pt.encode("MKVLA")
+        assert ids.tolist() == [pt.TOK_TO_IDX[c] for c in "MKVLA"]
+
+    def test_batch_encode_shapes(self):
+        b = pt.batch_encode(["MKVLA", "GG"])
+        assert b.tokens.shape[0] == 2
+        assert b.tokens[0, 0] == pt.CLS_IDX
+        assert b.tokens[0, 6] == pt.EOS_IDX
+        assert b.tokens[1, 3] == pt.EOS_IDX
+        assert (b.group_ids == [0, 1]).all()
+
+    def test_long_protein_split(self):
+        seq = "A" * 25
+        b = pt.batch_encode([seq, "GG"], max_len=10)
+        # 25 residues -> 3 chunks + 1 row for GG
+        assert b.tokens.shape[0] == 4
+        assert b.group_ids.tolist() == [0, 0, 0, 1]
+        assert b.num_groups == 2
+
+    def test_mlm_masking(self):
+        rng = np.random.default_rng(0)
+        b = pt.batch_encode(["MKVLAMKVLAMKVLAMKVLA"] * 4)
+        masked, labels = pt.mask_for_mlm(b.tokens, rng)
+        sel = labels != -100
+        assert sel.sum() > 0
+        # unselected positions unchanged
+        assert (masked[~sel] == b.tokens[~sel]).all()
+        # labels hold original tokens
+        assert (labels[sel] == b.tokens[sel]).all()
+        # cls/eos/pad never masked
+        assert not np.isin(b.tokens[sel],
+                           [pt.PAD_IDX, pt.CLS_IDX, pt.EOS_IDX]).any()
+
+
+class TestInstruct:
+    def setup_method(self):
+        self.lib = instruct.TaskLibrary()
+
+    def test_library_has_all_families(self):
+        avail = self.lib.available()
+        assert len(avail) == 65
+        for stem in ["go_process_qa", "drugbank_drug_target_retrieval",
+                     "omim_all_caption", "protein_experiments_qa",
+                     "peptide_all_retrieval"]:
+            assert stem in avail
+
+    def test_qa_prompt_structure(self):
+        task = self.lib.get("go_process_qa")
+        p = instruct.get_prompt(task, num_examples=1)
+        assert p.text.startswith("Definition: ")
+        assert "Positive example 1" in p.text
+        assert "Negative example 1" in p.text
+        assert "Now, complete the following instance" in p.text
+        assert p.text.endswith("[ANSWER] {answer}")
+        # 1 pos + 1 neg example protein + 1 query protein
+        assert p.n_protein_slots == 3
+        assert p.n_ext_slots == 3
+
+    def test_retrieval_prompt_has_prot_token(self):
+        task = self.lib.get("go_process_retrieval")
+        p = instruct.get_prompt(task, num_examples=1)
+        assert "[PROT]" in p.text
+        assert p.text.count("<|protein|>") == 1  # only the ICL example
+
+    def test_caption_prompt_ends_with_ext(self):
+        task = self.lib.get("omim_all_caption")
+        p = instruct.get_prompt(task, num_examples=1)
+        assert p.text.endswith("Output: [ANSWER] [EXT]")
+
+    def test_ppi_prompt(self):
+        task = self.lib.get("protein_experiments_qa")
+        p = instruct.get_prompt(task, num_examples=1, is_ppi=True)
+        assert p.text.count("<|protein|>") == 2 * 2 + 2  # 2/example + query
+
+    def test_construct_task_id(self):
+        assert instruct.construct_task_id(
+            "protein", "go", "process", "qa") == "go_process_qa"
+        assert instruct.construct_task_id(
+            "domain", "pfam", "all", "qa") == "domain_pfam_all_qa"
+
+
+def make_collator(cls, **kw):
+    store = datasets.SyntheticStore(embed_dim=32)
+    cfg = collators.CollatorConfig(max_text_len=256, protein_embed_dim=32,
+                                   **kw)
+    tok = WordTokenizer()
+    lib = instruct.TaskLibrary()
+    return store, cfg, tok, lib
+
+
+class TestQACollator:
+    def test_batch_contract(self):
+        store, cfg, tok, lib = make_collator(collators.QACollator)
+        task = lib.get("go_process_qa")
+        prompt = instruct.get_prompt(task, num_examples=1)
+        coll = collators.QACollator(cfg, tok, store, task)
+        batch = coll([(5, 7, True), (9, 11, False)], prompt)
+        B, L = batch["input_ids"].shape
+        assert (B, L) == (2, 256)
+        assert batch["seg_ids"].shape == (2, 256)
+        assert batch["soft_map"].max() >= 0
+        # labels only after [ANSWER]
+        sup = batch["labels"] != -100
+        assert sup.sum() > 0
+        for b in range(B):
+            ans = batch["answer_pos"][b]
+            assert not sup[b, :ans + 1].any()
+        # yes/no answer token present in supervised region
+        row0 = batch["labels"][0][sup[0]]
+        assert tok.spec.yes_id in row0.tolist()
+        row1 = batch["labels"][1][sup[1]]
+        assert tok.spec.no_id in row1.tolist()
+
+    def test_unique_protein_dedup(self):
+        store, cfg, tok, lib = make_collator(collators.QACollator)
+        task = lib.get("go_process_qa")
+        prompt = instruct.get_prompt(task, num_examples=1)
+        coll = collators.QACollator(cfg, tok, store, task)
+        # both rows query protein 5 -> ICL example proteins + 1 unique query
+        batch = coll([(5, 7, True), (5, 11, False)], prompt)
+        n_unique = len(set(prompt.example_aaseq_ids) | {5})
+        assert batch["protein_embeds"].shape[0] == n_unique
+
+    def test_live_encoder_mode(self):
+        store, cfg, tok, lib = make_collator(
+            collators.QACollator, use_protein_tokens=True)
+        task = lib.get("go_process_qa")
+        prompt = instruct.get_prompt(task, num_examples=1)
+        coll = collators.QACollator(cfg, tok, store, task)
+        batch = coll([(5, 7, True)], prompt)
+        assert "protein_tokens" in batch
+        assert batch["protein_tokens"][0, 0] == pt.CLS_IDX
+
+
+class TestRetrievalCollator:
+    def test_batch_contract(self):
+        store, cfg, tok, lib = make_collator(collators.RetrievalCollator)
+        task = lib.get("go_process_retrieval")
+        prompt = instruct.get_prompt(task, num_examples=1)
+        coll = collators.RetrievalCollator(cfg, tok, store, task)
+        batch = coll([(3, 4), (5, 6), (7, 8)], prompt)
+        assert batch["ret_pos"].shape == (3,)
+        # [PROT] token sits at ret_pos
+        for b in range(3):
+            assert batch["input_ids"][b, batch["ret_pos"][b]] == \
+                tok.spec.prot_query_id
+        assert batch["ret_target_pos"].shape == (3,)
+        assert batch["conflict_mask"].shape == (3, 3)
+        assert (np.diag(batch["conflict_mask"]) == 1).all()
+
+    def test_conflict_mask_same_text(self):
+        store, cfg, tok, lib = make_collator(collators.RetrievalCollator)
+        task = lib.get("go_process_retrieval")
+        prompt = instruct.get_prompt(task, num_examples=1)
+        coll = collators.RetrievalCollator(cfg, tok, store, task)
+        # rows 0 and 1 share text 4 -> mutual conflict
+        batch = coll([(3, 4), (5, 4), (7, 8)], prompt)
+        m = batch["conflict_mask"]
+        assert m[0, 1] == 0 and m[1, 0] == 0
+        assert m[0, 2] == 1
+
+    def test_known_pair_conflict(self):
+        store, cfg, tok, lib = make_collator(collators.RetrievalCollator)
+        task = lib.get("go_process_retrieval")
+        prompt = instruct.get_prompt(task, num_examples=1)
+        coll = collators.RetrievalCollator(
+            cfg, tok, store, task, known_positive_pairs={(5, 4)})
+        batch = coll([(3, 4), (5, 6)], prompt)
+        # protein 5 (row 1) is a known positive for text 4 (row 0)
+        assert batch["conflict_mask"][0, 1] == 0
+
+
+class TestCaptionCollator:
+    def test_training_batch(self):
+        store, cfg, tok, lib = make_collator(collators.CaptionCollator)
+        task = lib.get("omim_all_caption")
+        prompt = instruct.get_prompt(task, num_examples=1)
+        coll = collators.CaptionCollator(cfg, tok, store, task)
+        batch = coll([(3, 4), (5, 6)], prompt)
+        sup = batch["labels"] != -100
+        assert sup.sum() > 0
+        # supervised region tokens == the caption tokens + eos
+        b0 = batch["labels"][0][sup[0]]
+        cap_ids = tok.encode(store.text(4))
+        assert b0.tolist()[:len(cap_ids)] == cap_ids[:len(b0)]
+        assert b0[-1] == tok.spec.eos_id
+
+    def test_generation_batch_left_padded(self):
+        store, cfg, tok, lib = make_collator(collators.CaptionCollator)
+        task = lib.get("omim_all_caption")
+        prompt = instruct.get_prompt(task, num_examples=1)
+        coll = collators.CaptionCollator(cfg, tok, store, task)
+        batch = coll([(3, 4)], prompt, for_generation=True)
+        assert "labels" not in batch
+        seg = batch["seg_ids"][0]
+        # left-padded: zeros then ones
+        first_one = int(np.argmax(seg))
+        assert (seg[first_one:] == 1).all()
+        assert (seg[:first_one] == 0).all()
+        # prompt ends at the final position
+        assert batch["input_ids"][0, -1] != 0
+
+
+class TestMixer:
+    def make(self, rank=0, world=1):
+        store = datasets.SyntheticStore()
+        rels_a = [(i, i) for i in range(20)]
+        rels_b = [(i, i + 1) for i in range(12)]
+        ds_a = datasets.AASeqTextRelationDataset(rels_a, store, name="a")
+        ds_b = datasets.AASeqTextRelationDataset(rels_b, store, name="b")
+        return mixing.TaskMixer({"a": ds_a, "b": ds_b},
+                                {"a": 4, "b": 3}, seed=1, rank=rank,
+                                world_size=world)
+
+    def test_deterministic(self):
+        m = self.make()
+        s = mixing.MixerState()
+        seq1 = [(k, tuple(v)) for k, v, _ in
+                list(__import__("itertools").islice(m.iterate(s), 10))]
+        seq2 = [(k, tuple(v)) for k, v, _ in
+                list(__import__("itertools").islice(m.iterate(s), 10))]
+        assert seq1 == seq2
+
+    def test_resume_mid_epoch(self):
+        import itertools
+        m = self.make()
+        full = list(itertools.islice(m.iterate(mixing.MixerState()), 8))
+        # resume from state after item 4
+        _, _, state4 = full[3]
+        resumed = list(itertools.islice(m.iterate(state4), 4))
+        want = [(k, tuple(v)) for k, v, _ in full[4:8]]
+        got = [(k, tuple(v)) for k, v, _ in resumed]
+        assert want == got
+
+    def test_rank_sharding_partitions(self):
+        import itertools
+        n = self.make().epoch_length()
+        all_items = []
+        for rank in range(2):
+            m = self.make(rank=rank, world=2)
+            items = list(itertools.islice(
+                m.iterate(mixing.MixerState()), n // 2))
+            all_items.extend((k, tuple(v)) for k, v, _ in items)
+        # no overlap between ranks
+        assert len(set(all_items)) == len(all_items)
+
+    def test_batches_are_complete(self):
+        import itertools
+        m = self.make()
+        for k, idxs, _ in itertools.islice(m.iterate(mixing.MixerState()), 7):
+            assert len(idxs) == m.batch_sizes[k]
+
+
+class TestNegativeSampling:
+    def test_avoids_true_pairs(self):
+        rng = np.random.default_rng(0)
+        true = {1, 2, 3}
+        for _ in range(10):
+            negs = datasets.negative_sampling_random_tail(0, 10, 4, true, rng)
+            assert not (set(negs.tolist()) & true)
+            assert 0 not in negs
