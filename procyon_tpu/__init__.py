@@ -13,3 +13,16 @@ Layers (cf. SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start, overriding JAX_PLATFORMS. PROCYON_PLATFORM restores user control
+# (e.g. PROCYON_PLATFORM=cpu for CLI smoke runs off the TPU tunnel).
+import os as _os
+
+if _os.environ.get("PROCYON_PLATFORM"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["PROCYON_PLATFORM"])
+    except Exception:
+        pass

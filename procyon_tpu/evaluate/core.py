@@ -1,0 +1,112 @@
+"""Evaluation orchestration.
+
+Equivalent of procyon/evaluate/framework/core.py: `run_evaluation` loops
+over (task x model x dataset), dispatches to the per-task runner, and writes
+metrics incrementally (:202-240); the model zoo (:68-110) maps model-type
+names to constructors per task family.
+"""
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+from procyon_tpu.evaluate import caption as cap
+from procyon_tpu.evaluate import qa as qa_mod
+from procyon_tpu.evaluate import retrieval as ret
+from procyon_tpu.evaluate.utils import PredictionCache, write_metrics
+
+
+@dataclasses.dataclass
+class EvalArgs:
+    """Equivalent of procyon/evaluate/framework/args.py EvalArgs."""
+    tasks: Sequence[str] = ("retrieval", "qa", "caption")
+    models: Sequence[str] = ("procyon",)
+    output_dir: str = "eval_out"
+    cache_dir: Optional[str] = None
+    use_cached_results: bool = True
+    retrieval: ret.RetrievalEvalConfig = dataclasses.field(
+        default_factory=ret.RetrievalEvalConfig)
+    use_bertscore: bool = False
+
+
+# model zoo: task -> {model_name: constructor(ctx) -> model}
+MODEL_ZOO: Dict[str, Dict[str, Callable]] = {
+    "retrieval": {},
+    "qa": {},
+    "caption": {},
+}
+
+
+def register_model(task: str, name: str, constructor: Callable):
+    MODEL_ZOO[task][name] = constructor
+
+
+def _default_zoo():
+    from procyon_tpu.evaluate.baselines import (
+        KNNQAModel, KNNRetrievalModel, MLPRetrievalModel, RandomQAModel,
+        RandomRetrievalModel)
+
+    if "random" not in MODEL_ZOO["retrieval"]:
+        register_model("retrieval", "random",
+                       lambda ctx: RandomRetrievalModel())
+        register_model("qa", "random", lambda ctx: RandomQAModel())
+        register_model(
+            "retrieval", "knn",
+            lambda ctx: KNNRetrievalModel(ctx["protein_embeddings"],
+                                          ctx["train_relations"]))
+        register_model(
+            "qa", "knn",
+            lambda ctx: KNNQAModel(ctx["protein_embeddings"],
+                                   ctx["train_relations"]))
+        register_model(
+            "retrieval", "mlp",
+            lambda ctx: MLPRetrievalModel(ctx["protein_embeddings"],
+                                          ctx["train_relations"]))
+
+
+def run_evaluation(args: EvalArgs, datasets: Dict[str, Dict], *,
+                   model_context: Optional[Dict] = None) -> List[Dict]:
+    """datasets: {dataset_name: {"task": ..., "eval_relations": [...],
+    "query_order": [...], "all_protein_ids": [...], "train_leak_pairs": ...,
+    "qa_samples": [...], "caption_targets": [...], "references": {...}}}
+
+    model_context: shared resources for zoo constructors (embeddings, params,
+    tokenizer, ...).
+    """
+    _default_zoo()
+    ctx = model_context or {}
+    cache = PredictionCache(args.cache_dir if args.use_cached_results
+                            else None)
+    results = []
+    for ds_name, ds in datasets.items():
+        task = ds["task"]
+        if task not in args.tasks:
+            continue
+        for model_name in args.models:
+            ctor = MODEL_ZOO[task].get(model_name)
+            if ctor is None:
+                continue
+            model = ctor(ctx)
+            if task == "retrieval":
+                metrics = ret.run_retrieval_eval(
+                    model, ds, all_protein_ids=ds["all_protein_ids"],
+                    eval_relations=ds["eval_relations"],
+                    query_order=ds["query_order"],
+                    cfg=args.retrieval,
+                    train_leak_pairs=ds.get("train_leak_pairs"),
+                    cache=cache, dataset_name=ds_name)
+            elif task == "qa":
+                metrics = qa_mod.run_qa_eval(
+                    model, ds["qa_samples"], cache=cache,
+                    dataset_name=ds_name)
+            elif task == "caption":
+                metrics = cap.run_caption_eval(
+                    model, ds["caption_targets"],
+                    references=ds["references"],
+                    use_bertscore=args.use_bertscore, dataset_name=ds_name)
+            else:
+                continue
+            write_metrics(args.output_dir, task, model_name, ds_name,
+                          metrics)
+            results.append({"task": task, "model": model_name,
+                            "dataset": ds_name, "metrics": metrics})
+    return results

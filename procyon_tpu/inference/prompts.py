@@ -1,0 +1,144 @@
+"""Inference prompt builders.
+
+Equivalent of procyon/data/inference_utils.py: create_input_retrieval
+(:663-845), create_qa_input_simple (:247-421), create_caption_input_simple
+(:67-245), batched merging (:847-919), and the embedding->ranked-protein
+helpers (:921-999). These produce the same fixed-shape batches the collators
+emit, from free-text user input instead of dataset rows.
+"""
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from procyon_tpu.data import collators as C
+from procyon_tpu.data import instruct
+
+
+class _InlineStore:
+    """Store serving user-provided texts + protein data by index."""
+
+    def __init__(self, base_store, extra_texts: Dict[int, str]):
+        self.base = base_store
+        self.extra = extra_texts
+
+    def protein_sequence(self, idx):
+        return self.base.protein_sequence(idx)
+
+    def protein_embedding(self, idx):
+        return self.base.protein_embedding(idx)
+
+    def text(self, idx):
+        if idx in self.extra:
+            return self.extra[idx]
+        return self.base.text(idx)
+
+
+_USER_TEXT_BASE = 10 ** 9  # ids above this are inline user texts
+
+
+def create_input_retrieval(task_desc_or_id, *, tokenizer, store,
+                           task_library: Optional[instruct.TaskLibrary]
+                           = None,
+                           input_description: str = "",
+                           drug_input: Optional[str] = None,
+                           collator_cfg: Optional[C.CollatorConfig] = None,
+                           num_examples: int = 1) -> Dict:
+    """Build a retrieval query batch from a free-text description
+    (create_input_retrieval, inference_utils.py:663-845)."""
+    lib = task_library or instruct.TaskLibrary()
+    task = lib.get(task_desc_or_id) if isinstance(task_desc_or_id, str) \
+        else task_desc_or_id
+    prompt = instruct.get_prompt(task, num_examples=num_examples)
+    text_id = _USER_TEXT_BASE
+    istore = _InlineStore(store, {text_id: input_description})
+    cfg = collator_cfg or C.CollatorConfig()
+    coll = C.RetrievalCollator(cfg, tokenizer, istore, task)
+    batch = coll([(0, text_id)], prompt)
+    return batch
+
+
+def create_qa_input_simple(task_desc_or_id, protein_idx: int, *, tokenizer,
+                           store, input_description: str = "",
+                           task_library=None, collator_cfg=None,
+                           num_examples: int = 1) -> Dict:
+    lib = task_library or instruct.TaskLibrary()
+    task = lib.get(task_desc_or_id) if isinstance(task_desc_or_id, str) \
+        else task_desc_or_id
+    prompt = instruct.get_prompt(task, num_examples=num_examples)
+    text_id = _USER_TEXT_BASE
+    istore = _InlineStore(store, {text_id: input_description})
+    cfg = collator_cfg or C.CollatorConfig()
+    coll = C.QACollator(cfg, tokenizer, istore, task)
+    return coll([(protein_idx, text_id, True)], prompt)
+
+
+def create_caption_input_simple(task_desc_or_id, protein_idx: int, *,
+                                tokenizer, store, task_library=None,
+                                collator_cfg=None,
+                                num_examples: int = 1) -> Dict:
+    lib = task_library or instruct.TaskLibrary()
+    task = lib.get(task_desc_or_id) if isinstance(task_desc_or_id, str) \
+        else task_desc_or_id
+    prompt = instruct.get_prompt(task, num_examples=num_examples)
+    cfg = collator_cfg or C.CollatorConfig()
+    coll = C.CaptionCollator(cfg, tokenizer, store, task)
+    return coll([(protein_idx, 0)], prompt, for_generation=True)
+
+
+def merge_model_input_dicts(batches: Sequence[Dict]) -> Dict:
+    """Stack single-row batches into one batch
+    (inference_utils.py:847-884). Protein banks are concatenated and
+    soft_map/ret_target_pos re-offset."""
+    out = {}
+    offset = 0
+    soft_maps, embeds, tpos = [], [], []
+    for b in batches:
+        sm = b["soft_map"].copy()
+        sm[sm >= 0] += offset
+        soft_maps.append(sm)
+        if "protein_embeds" in b:
+            embeds.append(b["protein_embeds"])
+            n = b["protein_embeds"].shape[0]
+        else:
+            raise NotImplementedError("merge supports embedding mode")
+        if "ret_target_pos" in b:
+            tpos.append(b["ret_target_pos"] + offset)
+        offset += n
+    for k in batches[0]:
+        if k in ("soft_map", "protein_embeds", "ret_target_pos",
+                 "conflict_mask", "reference_indices"):
+            continue
+        out[k] = np.concatenate([b[k] for b in batches], axis=0)
+    out["soft_map"] = np.concatenate(soft_maps, 0)
+    out["protein_embeds"] = np.concatenate(embeds, 0)
+    if tpos:
+        out["ret_target_pos"] = np.concatenate(tpos, 0)
+    return out
+
+
+def get_proteins_from_embedding(all_protein_embeddings: np.ndarray,
+                                query_embedding: np.ndarray, *,
+                                protein_ids: Optional[Sequence] = None,
+                                top_k: Optional[int] = 10):
+    """Cosine top-k protein ranking (inference_utils.py:921-977). Returns a
+    list of dicts (rank, protein id, score) — DataFrame-compatible."""
+    A = np.asarray(all_protein_embeddings, np.float32)
+    q = np.asarray(query_embedding, np.float32).reshape(-1)
+    An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-8)
+    qn = q / max(np.linalg.norm(q), 1e-8)
+    sims = An @ qn
+    order = np.argsort(-sims)
+    if top_k:
+        order = order[:top_k]
+    ids = protein_ids if protein_ids is not None else list(range(len(A)))
+    return [{"rank": r + 1, "protein_id": ids[i], "score": float(sims[i])}
+            for r, i in enumerate(order)]
+
+
+def get_proteins_from_batched_embeddings(all_protein_embeddings,
+                                         query_embeddings, *,
+                                         protein_ids=None, top_k=10):
+    return [get_proteins_from_embedding(all_protein_embeddings, q,
+                                        protein_ids=protein_ids, top_k=top_k)
+            for q in np.asarray(query_embeddings)]

@@ -115,7 +115,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
     block_k = BLOCK
     D = q_ref.shape[3]
 
-    q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [bq, D]
+    q = q_ref[0, 0]  # [bq, D] native dtype: keep MXU on the bf16 path
     seg_q = sq_ref[0]     # [bq, 128]
     qpos = qp_ref[0]      # [bq, 128]
 
@@ -131,16 +131,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
         seg_k = skv_ref[0, :1, pl.ds(j * block_k, block_k)]  # [1, bk]
         kpos = kp_ref[0, :1, pl.ds(j * block_k, block_k)]
         s = jax.lax.dot_general(
-            q, kb.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bq, bk]
+        ) * sm_scale  # [bq, bk] f32 accumulate, scale post-dot
         allowed = _block_mask(seg_q, seg_k, qpos, kpos, causal)
         s = jnp.where(allowed, s, DEFAULT_MASK_VALUE)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
+        # exp(DEFAULT_MASK_VALUE - m_new) underflows to 0 for any row with at
+        # least one valid key so far; fully-masked rows (m_new still at the
+        # mask value) are zeroed at the end via the m-based check.
         p = jnp.exp(s - m_new)
-        p = jnp.where(allowed, p, 0.0)
         l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(vb.dtype), vb,
@@ -154,12 +155,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, hi, body, (acc0, m0, l0))
 
-    l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
+    row_masked = m_i <= DEFAULT_MASK_VALUE * 0.5
+    l_safe = jnp.where(row_masked | (l_i == 0.0), 1.0, l_i)
     out = acc / l_safe
-    out = jnp.where(l_i == 0.0, 0.0, out)
+    out = jnp.where(row_masked | (l_i == 0.0), 0.0, out)
     o_ref[0, 0] = out.astype(o_ref.dtype)
     lse = m_i + jnp.log(l_safe)
-    lse = jnp.where(l_i == 0.0, DEFAULT_MASK_VALUE, lse)  # [bq, 1]
+    lse = jnp.where(row_masked | (l_i == 0.0), DEFAULT_MASK_VALUE,
+                    lse)  # [bq, 1]
     lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, NUM_LANES))
 
 
@@ -239,8 +242,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     block_k = BLOCK
     D = q_ref.shape[3]
 
-    q = q_ref[0, 0].astype(jnp.float32) * sm_scale
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0][:, :1]  # [bq, 1]
     delta = delta_ref[0, 0][:, :1]
     seg_q = sq_ref[0]
@@ -250,21 +253,21 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         else num_kv_blocks
 
     def body(j, dq_acc):
-        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         seg_k = skv_ref[0, :1, pl.ds(j * block_k, block_k)]
         kpos = kp_ref[0, :1, pl.ds(j * block_k, block_k)]
         s = jax.lax.dot_general(
             q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * sm_scale
         allowed = _block_mask(seg_q, seg_k, qpos, kpos, causal)
         p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(kb.dtype)
         return dq_acc + jax.lax.dot_general(
             ds, kb, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -282,8 +285,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     block_q = BLOCK
     D = k_ref.shape[3]
 
-    kb = k_ref[0, 0].astype(jnp.float32)  # [bk, D]
-    vb = v_ref[0, 0].astype(jnp.float32)
+    kb = k_ref[0, 0]  # [bk, D]
+    vb = v_ref[0, 0]
     seg_k = skv_ref[0, :1, pl.ds(jk * block_k, block_k)]  # [1, bk]
     kpos = kp_ref[0, :1, pl.ds(jk * block_k, block_k)]
 
@@ -291,27 +294,28 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        qb = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        dob = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        qb = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        dob = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :1]  # [bq, 1]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :1]
         seg_q = sq_ref[0, pl.ds(i * block_q, block_q), :]  # [bq, 128]
         qpos = qp_ref[0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(
-            qb * sm_scale, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+            qb, kb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bq, bk]
+        ) * sm_scale  # [bq, bk]
         allowed = _block_mask(seg_q, seg_k, qpos, kpos, causal)
         p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, dob, dimension_numbers=(((0,), (0,)), ((), ())),
+            p.astype(dob.dtype), dob,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bk, D]
         dp = jax.lax.dot_general(
             dob, vb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bq, bk]
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(qb.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, qb, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

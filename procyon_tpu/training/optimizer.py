@@ -66,11 +66,14 @@ def _group_of(path) -> str:
 
 
 def build_optimizer(cfg: OptimizerConfig, params):
+    def lr_or_default(x):
+        return cfg.lr if x is None else x
+
     group_lrs = {
-        "protein_encoder": cfg.protein_encoder_lr or cfg.lr,
-        "text_encoder": cfg.text_encoder_lr or cfg.lr,
-        "projector": cfg.projector_lr or cfg.lr,
-        "contrastive": cfg.contrastive_lr or cfg.lr,
+        "protein_encoder": lr_or_default(cfg.protein_encoder_lr),
+        "text_encoder": lr_or_default(cfg.text_encoder_lr),
+        "projector": lr_or_default(cfg.projector_lr),
+        "contrastive": lr_or_default(cfg.contrastive_lr),
         "default": cfg.lr,
     }
 

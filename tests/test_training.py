@@ -1,0 +1,168 @@
+"""Trainer/optimizer/checkpoint tests: loss decreases, resume is exact."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from procyon_tpu.models import unified
+from procyon_tpu.training import checkpointing
+from procyon_tpu.training import train_step as ts
+from procyon_tpu.training.optimizer import (OptimizerConfig, build_optimizer,
+                                            build_frozen_mask_optimizer,
+                                            make_schedule)
+from procyon_tpu.training.trainer import TrainLoopConfig, Trainer
+
+
+def tiny_setup(rng):
+    cfg = unified.tiny_config(esm=None, protein_embed_dim=16)
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    from tests.test_unified import make_batch
+    batch = make_batch(cfg, rng, B=4, L=12, U=4)
+    return cfg, params, batch
+
+
+class TestOptimizer:
+    def test_schedule_warmup_and_decay(self):
+        cfg = OptimizerConfig(lr=1e-3, warmup_steps=10, total_steps=100)
+        sched = make_schedule(cfg, cfg.lr)
+        assert float(sched(0)) == 0.0
+        assert abs(float(sched(10)) - 1e-3) < 1e-9
+        assert float(sched(99)) < 1e-3
+
+    def test_per_module_lr_groups(self, rng):
+        cfg, params, batch = tiny_setup(rng)
+        ocfg = OptimizerConfig(lr=1e-3, projector_lr=0.0, warmup_steps=0,
+                               total_steps=100)
+        opt = build_optimizer(ocfg, params)
+        step = ts.make_train_step(cfg, opt, "qa", donate=False)
+        state = ts.init_train_state(params, opt)
+        new_state, _ = step(state, batch)
+        # projector lr=0 -> projector params unchanged
+        p0 = params["projectors"]["token_projector"][0]["w"]
+        p1 = new_state["params"]["projectors"]["token_projector"][0]["w"]
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+        # llama params changed
+        l0 = params["llama"]["final_norm"]
+        l1 = new_state["params"]["llama"]["final_norm"]
+        assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+    def test_frozen_mask(self, rng):
+        cfg, params, batch = tiny_setup(rng)
+        ocfg = OptimizerConfig(lr=1e-3, warmup_steps=0, total_steps=100)
+        opt = build_frozen_mask_optimizer(
+            ocfg, params,
+            lambda path: str(getattr(path[0], "key", "")) == "llama")
+        step = ts.make_train_step(cfg, opt, "qa", donate=False)
+        state = ts.init_train_state(params, opt)
+        new_state, _ = step(state, batch)
+        l0 = params["llama"]["final_norm"]
+        l1 = new_state["params"]["llama"]["final_norm"]
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1))
+
+
+class TestTrainSteps:
+    def test_qa_loss_decreases_on_overfit(self, rng):
+        cfg, params, batch = tiny_setup(rng)
+        ocfg = OptimizerConfig(lr=5e-3, warmup_steps=0, total_steps=100,
+                               schedule="constant")
+        opt = build_optimizer(ocfg, params)
+        step = ts.make_train_step(cfg, opt, "qa", donate=False)
+        state = ts.init_train_state(params, opt)
+        losses = []
+        for _ in range(12):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.8, losses
+
+    def test_retrieval_loss_decreases(self, rng):
+        cfg, params, batch = tiny_setup(rng)
+        ocfg = OptimizerConfig(lr=5e-3, warmup_steps=0, total_steps=100,
+                               schedule="constant")
+        opt = build_optimizer(ocfg, params)
+        step = ts.make_train_step(cfg, opt, "retrieval", donate=False)
+        state = ts.init_train_state(params, opt)
+        losses = []
+        for _ in range(12):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses
+
+
+class TestCheckpointing:
+    def test_save_restore_roundtrip(self, rng, tmp_path):
+        cfg, params, batch = tiny_setup(rng)
+        ocfg = OptimizerConfig(warmup_steps=0, total_steps=10)
+        opt = build_optimizer(ocfg, params)
+        state = ts.init_train_state(params, opt)
+        step = ts.make_train_step(cfg, opt, "qa", donate=False)
+        state, _ = step(state, batch)
+
+        base = str(tmp_path / "ckpt")
+        checkpointing.save_checkpoint(
+            base, 1, state, configs={"model": cfg},
+            training_state={"global_step": 1, "task_progress": {"qa": 1}})
+        path = checkpointing.latest_checkpoint(base)
+        assert path.endswith("checkpoint-1")
+
+        restored = checkpointing.restore_checkpoint(path, state)
+        flat_a, _ = jax.tree_util.tree_flatten(state["params"])
+        flat_b, _ = jax.tree_util.tree_flatten(restored["params"])
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        tstate = checkpointing.load_training_state(path)
+        assert tstate["global_step"] == 1
+
+    def test_best_marker_and_prune(self, tmp_path, rng):
+        cfg, params, batch = tiny_setup(rng)
+        ocfg = OptimizerConfig(warmup_steps=0, total_steps=10)
+        opt = build_optimizer(ocfg, params)
+        state = ts.init_train_state(params, opt)
+        base = str(tmp_path / "ckpt")
+        for s in [1, 2, 3, 4]:
+            checkpointing.save_checkpoint(base, s, state)
+        checkpointing.mark_best(base, 2)
+        checkpointing.prune_checkpoints(base, keep_last=1)
+        steps = checkpointing.list_checkpoints(base)
+        assert 4 in steps and 2 in steps  # best survives pruning
+        assert 1 not in steps and 3 not in steps
+
+
+class TestTrainerLoop:
+    def test_loop_runs_and_resumes(self, rng, tmp_path):
+        cfg, params, batch = tiny_setup(rng)
+        ocfg = OptimizerConfig(lr=1e-3, warmup_steps=0, total_steps=50,
+                               schedule="constant")
+        opt = build_optimizer(ocfg, params)
+        out = str(tmp_path / "run")
+        loop = TrainLoopConfig(max_steps=6, log_steps=2, save_steps=3,
+                               output_dir=out,
+                               skip_frequency={"retrieval": 2})
+        calls = {"qa": 0, "retrieval": 0}
+
+        def make_stream(name):
+            def stream():
+                calls[name] += 1
+                return batch
+            return stream
+
+        tr = Trainer(cfg=cfg, params=params, optimizer=opt, loop=loop,
+                     task_streams={"qa": make_stream("qa"),
+                                   "retrieval": make_stream("retrieval")})
+        tr.train()
+        assert tr.global_step == 6
+        assert calls["qa"] == 6
+        assert calls["retrieval"] == 3  # skip frequency 2
+        assert checkpointing.latest_checkpoint(out).endswith("checkpoint-6")
+
+        # resume: new trainer picks up at step 6 and runs to 8
+        loop2 = TrainLoopConfig(max_steps=8, log_steps=2, save_steps=100,
+                                output_dir=out)
+        tr2 = Trainer(cfg=cfg, params=params, optimizer=opt, loop=loop2,
+                      task_streams={"qa": make_stream("qa"),
+                                    "retrieval": make_stream("retrieval")})
+        assert tr2.maybe_resume()
+        assert tr2.global_step == 6
+        tr2.train()
+        assert tr2.global_step == 8

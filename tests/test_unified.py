@@ -25,8 +25,8 @@ def make_batch(cfg, rng, B=2, L=16, U=3):
             rng.standard_normal((U, d_enc)), jnp.float32),
         "labels": jnp.asarray(labels),
         "ret_pos": jnp.asarray([L - 1] * B, jnp.int32),
-        "ret_target_pos": jnp.asarray([0, 1], jnp.int32),
-        "ret_valid": jnp.asarray([True, True]),
+        "ret_target_pos": jnp.asarray(np.arange(B) % U, jnp.int32),
+        "ret_valid": jnp.ones((B,), bool),
     }
 
 
