@@ -8,7 +8,7 @@ embeddings and MLM logits out.  Sizes mirror fair-esm's released family
 TPU-native design (vs the reference's eager torch):
   * stacked-layer `lax.scan` blocks like llama.py; shared Pallas flash
     attention in bidirectional mode.
-  * ESM2 specifics preserved: interleaved RoPE, pre-LN transformer with
+  * ESM2 specifics preserved: RoPE, pre-LN transformer with
     LayerNorm (not RMSNorm), GELU MLP with biases, token-dropout embedding
     rescale for <mask> tokens, tied-embedding roberta LM head.
 
@@ -43,6 +43,11 @@ class ESM2Config:
     norm_eps: float = 1e-5
     max_seq_len: int = 1026  # 1024 residues + cls + eos
     token_dropout: bool = True
+    # True: mask ratio over VALID tokens (fair-esm and transformers==4.31.0,
+    # the reference's pin). False: over the full padded length (behavior of
+    # newer transformers, whose EsmModel stopped passing attention_mask into
+    # the embedding layer).
+    pad_aware_token_dropout: bool = True
     dtype: Any = jnp.bfloat16
     attn_backend: Optional[str] = None
     remat: bool = True
@@ -138,8 +143,10 @@ def _block(x, lp, seg_ids, positions, cos, sin, cfg: ESM2Config):
     q = (h @ lp["attn"]["wq"] + lp["attn"]["bq"]).reshape(B, S, cfg.n_heads, hd)
     k = (h @ lp["attn"]["wk"] + lp["attn"]["bk"]).reshape(B, S, cfg.n_heads, hd)
     v = (h @ lp["attn"]["wv"] + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
-    q = apply_rotary(q, cos, sin, positions, interleaved=True)
-    k = apply_rotary(k, cos, sin, positions, interleaved=True)
+    # ESM2 (fair-esm and HF) uses the same rotate_half convention as Llama
+    # (modeling_esm.py:44-53), NOT GPT-J interleaving.
+    q = apply_rotary(q, cos, sin, positions)
+    k = apply_rotary(k, cos, sin, positions)
     attn = flash_attention(q, k, v, seg_ids, seg_ids, causal=False,
                            backend=cfg.attn_backend)
     attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
@@ -170,9 +177,12 @@ def forward(params, cfg: ESM2Config, tokens, *, seg_ids=None,
         # rest scaled by (1 - 0.15*0.8) / (1 - observed_mask_ratio)
         is_mask = (tokens == MASK_IDX)
         x = jnp.where(is_mask[..., None], 0.0, x)
-        valid = (seg_ids > 0)
-        n_valid = jnp.maximum(valid.sum(-1), 1)
-        mask_ratio_obs = (is_mask & valid).sum(-1) / n_valid
+        if cfg.pad_aware_token_dropout:
+            valid = (seg_ids > 0)
+            n_valid = jnp.maximum(valid.sum(-1), 1)
+            mask_ratio_obs = (is_mask & valid).sum(-1) / n_valid
+        else:
+            mask_ratio_obs = is_mask.sum(-1) / tokens.shape[1]
         scale = (1.0 - 0.15 * 0.8) / jnp.maximum(1.0 - mask_ratio_obs, 1e-3)
         x = x * scale[:, None, None]
     x = x.astype(cfg.dtype)
