@@ -1,0 +1,256 @@
+"""Top-level configuration: ModelArgs / DataArgs / TrainArgs.
+
+Equivalent of the reference's args system (procyon/training/
+training_args_IT.py: ModelArgs :27, DataArgs :654, TrainArgs :1152 and
+procyon/evaluate/framework/args.py EvalArgs), with the same override
+pattern: flags parsed into dataclasses, overridable wholesale from YAML
+(--from_yaml, run_pretrain.py:120-128).
+
+`build_*` functions translate these user-facing args into the framework's
+internal configs (UnifiedConfig, OptimizerConfig, TrainLoopConfig,
+CollatorConfig, MeshConfig), the analogue of postprocess_args (:1813).
+"""
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class ModelArgs:
+    # text encoder (ModelArgs.text_encoder_fname etc.)
+    text_model: str = "llama3-8b"       # llama2-7b | llama3-8b | tiny
+    text_encoder_debug: bool = False    # 2-layer shrink (:160-164)
+    # protein encoder
+    protein_encoder: str = "esm2-3b"    # esm2-{8m,35m,150m,650m,3b} | none
+    use_aaseq_embeddings: bool = True   # frozen tables vs live ESM (:189)
+    protein_embed_dim: int = 2560
+    protein_pooling: str = "mean"
+    long_protein_strategy: str = "split"
+    max_protein_len: int = 1024
+    # projectors (:protein_tokenizer dims; configs/llama3-full.yml)
+    num_layers_token_projector: int = 3
+    hidden_size_token_projector: int = 2560
+    num_layers_shared_projector: int = 1
+    num_layers_lm_projector: int = 1
+    retrieval_dim: int = 1024
+    ret_token_access: str = "last"
+    # modalities
+    use_drug_embeddings: bool = False
+    drug_embed_dim: int = 512
+    # LoRA / MoLoRA (:mlora)
+    use_lora: bool = False
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
+    lora_num_experts: int = 1
+    # freezing (freeze_* flags)
+    freeze_protein_encoder: bool = True
+    freeze_text_encoder: bool = False
+    # numerics
+    dtype: str = "bfloat16"
+    attention_backend: Optional[str] = None
+    tokenizer_path: Optional[str] = None
+
+
+@dataclasses.dataclass
+class DataArgs:
+    data_dir: str = ""                  # DATA_DIR env in the reference
+    it_data_config_yml: str = ""        # dataset-mix YAML (it_data_config)
+    max_text_len: int = 2048
+    num_examples: int = 1               # ICL examples per prompt
+    use_text_crop_sampling: bool = False
+    negative_samples_per_positive: int = 1
+    qa_batch_size: int = 8
+    retrieval_batch_size: int = 8
+    caption_batch_size: int = 8
+    mlm_batch_size: int = 8
+    synthetic: bool = False
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    output_dir: str = "runs/pretrain"
+    max_steps: int = 100_000
+    warmup_steps: int = 1000
+    lr: float = 1e-4
+    protein_encoder_lr: Optional[float] = None
+    text_encoder_lr: Optional[float] = None
+    projector_lr: Optional[float] = None
+    weight_decay: float = 1e-3
+    grad_clip: float = 1.0
+    schedule: str = "cosine"
+    # per-task loss weights + skip frequencies (:1204-1250, :335-380)
+    qa_loss_weight: float = 1.0
+    retrieval_loss_weight: float = 1.0
+    caption_loss_weight: float = 1.0
+    mlm_loss_weight: float = 1.0
+    qa_skip_frequency: int = 1
+    retrieval_skip_frequency: int = 1
+    caption_skip_frequency: int = 1
+    mlm_skip_frequency: int = 0         # 0 = task off
+    # cadence (:1341-1438)
+    log_steps: int = 10
+    save_steps: int = 1000
+    eval_steps: int = 0
+    keep_last_checkpoints: int = 3
+    early_stopping_patience: int = 0
+    # mesh
+    mesh_data: int = 1
+    mesh_fsdp: int = -1
+    mesh_model: int = 1
+    seed: int = 0
+    resume: bool = False
+    use_wandb: bool = False
+    wandb_project: Optional[str] = None
+
+
+_TEXT_MODELS = {
+    "llama2-7b": dict(vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+                      n_kv_heads=32, intermediate=11008, rope_theta=1e4,
+                      max_seq_len=4096),
+    "llama3-8b": dict(vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
+                      n_kv_heads=8, intermediate=14336, rope_theta=5e5,
+                      max_seq_len=8192),
+    "tiny": dict(vocab_size=4096, dim=128, n_layers=2, n_heads=4,
+                 n_kv_heads=2, intermediate=256, max_seq_len=512),
+}
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+def build_model_config(margs: ModelArgs, dargs: Optional[DataArgs] = None):
+    from procyon_tpu.models import esm2, llama, unified
+
+    spec = dict(_TEXT_MODELS[margs.text_model])
+    if margs.text_encoder_debug:
+        spec["n_layers"] = 2
+    if dargs is not None:
+        spec["max_seq_len"] = max(spec["max_seq_len"], dargs.max_text_len)
+    lcfg = llama.LlamaConfig(dtype=_DTYPES[margs.dtype],
+                             attn_backend=margs.attention_backend, **spec)
+    ecfg = None
+    if not margs.use_aaseq_embeddings and margs.protein_encoder != "none":
+        size = margs.protein_encoder.split("-")[-1]
+        ecfg = esm2.esm2_config(size, dtype=_DTYPES[margs.dtype],
+                                attn_backend=margs.attention_backend)
+    return unified.UnifiedConfig(
+        llama=lcfg, esm=ecfg,
+        protein_embed_dim=margs.protein_embed_dim,
+        token_projector_layers=margs.num_layers_token_projector,
+        token_projector_hidden=margs.hidden_size_token_projector,
+        retrieval_dim=margs.retrieval_dim,
+        retrieval_projector_layers=margs.num_layers_lm_projector,
+        use_drug_embeddings=margs.use_drug_embeddings,
+        drug_embed_dim=margs.drug_embed_dim,
+        protein_pooling=margs.protein_pooling,
+        dtype=_DTYPES[margs.dtype])
+
+
+def build_optimizer_config(targs: TrainArgs):
+    from procyon_tpu.training.optimizer import OptimizerConfig
+
+    return OptimizerConfig(
+        lr=targs.lr, protein_encoder_lr=targs.protein_encoder_lr,
+        text_encoder_lr=targs.text_encoder_lr,
+        projector_lr=targs.projector_lr, weight_decay=targs.weight_decay,
+        grad_clip=targs.grad_clip, warmup_steps=targs.warmup_steps,
+        total_steps=targs.max_steps, schedule=targs.schedule)
+
+
+def build_loop_config(targs: TrainArgs):
+    from procyon_tpu.training.trainer import TrainLoopConfig
+
+    skip = {}
+    for task in ("qa", "retrieval", "caption", "mlm"):
+        f = getattr(targs, f"{task}_skip_frequency")
+        if f > 1:  # 0 = task disabled entirely (its stream isn't built)
+            skip[task] = f
+    return TrainLoopConfig(
+        max_steps=targs.max_steps, log_steps=targs.log_steps,
+        save_steps=targs.save_steps, eval_steps=targs.eval_steps,
+        keep_last_checkpoints=targs.keep_last_checkpoints,
+        output_dir=targs.output_dir, skip_frequency=skip,
+        early_stopping_patience=targs.early_stopping_patience)
+
+
+def build_task_weights(targs: TrainArgs):
+    from procyon_tpu.training.train_step import TaskWeights
+
+    return TaskWeights(qa=targs.qa_loss_weight,
+                       retrieval=targs.retrieval_loss_weight,
+                       caption=targs.caption_loss_weight,
+                       mlm=targs.mlm_loss_weight)
+
+
+def build_collator_config(margs: ModelArgs, dargs: DataArgs):
+    from procyon_tpu.data.collators import CollatorConfig
+
+    return CollatorConfig(
+        max_text_len=dargs.max_text_len,
+        max_protein_len=margs.max_protein_len,
+        num_examples=dargs.num_examples,
+        use_protein_tokens=not margs.use_aaseq_embeddings,
+        protein_embed_dim=margs.protein_embed_dim,
+        long_protein_strategy=margs.long_protein_strategy,
+        crop_texts=dargs.use_text_crop_sampling)
+
+
+def freeze_fn(margs: ModelArgs):
+    """Parameter freeze predicate (freeze_* args)."""
+    def frozen(path):
+        top = str(getattr(path[0], "key", path[0]))
+        if margs.freeze_protein_encoder and top == "esm":
+            return True
+        if margs.freeze_text_encoder and top == "llama":
+            return True
+        return False
+
+    return frozen
+
+
+def load_yaml_into(args_obj, path: str):
+    import yaml
+
+    with open(path) as f:
+        overrides = yaml.safe_load(f) or {}
+    for k, v in overrides.items():
+        if hasattr(args_obj, k):
+            setattr(args_obj, k, v)
+    return args_obj
+
+
+def parse_all(argv=None):
+    """HfArgumentParser-style parse of (TrainArgs, DataArgs, ModelArgs) with
+    --from_yaml override (run_pretrain.py:120-128)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--from_yaml", type=str, default=None)
+    for cls in (TrainArgs, DataArgs, ModelArgs):
+        for f in dataclasses.fields(cls):
+            flag = f"--{f.name}"
+            if any(a.dest == f.name for a in p._actions):
+                continue
+            if f.type is bool or f.default in (True, False):
+                p.add_argument(flag, type=lambda s: s.lower() in
+                               ("1", "true", "yes"), default=None)
+            else:
+                p.add_argument(flag, default=None)
+    ns, _ = p.parse_known_args(argv)
+    targs, dargs, margs = TrainArgs(), DataArgs(), ModelArgs()
+    if ns.from_yaml:
+        for obj in (targs, dargs, margs):
+            load_yaml_into(obj, ns.from_yaml)
+    for obj in (targs, dargs, margs):
+        for f in dataclasses.fields(obj):
+            v = getattr(ns, f.name, None)
+            if v is not None:
+                caster = f.type if callable(f.type) and f.type is not bool \
+                    else (lambda x: x)
+                try:
+                    setattr(obj, f.name, type(getattr(obj, f.name))(v)
+                            if getattr(obj, f.name) is not None else v)
+                except (TypeError, ValueError):
+                    setattr(obj, f.name, v)
+    return targs, dargs, margs

@@ -21,10 +21,14 @@ last [ANSWER] (mask_before, model_unified.py:39-82).
 """
 
 import dataclasses
+import logging
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_logger = logging.getLogger("procyon_tpu.collators")
+_truncation_warned = set()
 
 from procyon_tpu.data import protein_tokenizer
 from procyon_tpu.data.instruct import Prompt
@@ -146,6 +150,19 @@ def _pad_batch(rows: List[Dict], max_len: int, left_pad: bool):
     for b, row in enumerate(rows):
         ids = row["ids"][:L]
         n = len(ids)
+        # a truncated answer/[PROT] position silently removes supervision —
+        # warn once per (surplus bucket) so misconfigured max_text_len is
+        # visible (the reference crops descriptions into the budget instead)
+        for key in ("answer_pos", "ret_pos"):
+            p = row.get(key)
+            if p is not None and p >= L:
+                bucket = (key, len(row["ids"]) // 64)
+                if bucket not in _truncation_warned:
+                    _truncation_warned.add(bucket)
+                    _logger.warning(
+                        "%s at token %d exceeds max_text_len=%d — "
+                        "supervision truncated; raise max_text_len or "
+                        "reduce num_examples", key, p, L)
         off = L - n if left_pad else 0
         input_ids[b, off:off + n] = ids
         seg_ids[b, off:off + n] = 1

@@ -1,0 +1,169 @@
+"""Dataset/collator factory from a dataset-mix YAML.
+
+Equivalent of procyon/data/it_data_config.py: ITDatasetConfig (:242),
+ITMultiDatasetConfig.load_from_yaml (:371-431), get_IT_dataset (:38),
+get_IT_collator (:146), and package_collators_for_trainer (:475).
+
+YAML schema (compatible in spirit with the reference's data_configs/*.yml):
+
+  datasets:
+    - aaseq_type: protein
+      text_type: go
+      relations: [process]        # relation filter
+      tasks: [qa, retrieval, caption]
+      splits: [train]
+      batch_size: 8               # optional per-dataset override
+      weight: 1.0                 # sampling weight in the mix
+
+Returns task streams consumable by training/trainer.Trainer.
+"""
+
+import dataclasses
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from procyon_tpu.data import collators as C
+from procyon_tpu.data import datasets as D
+from procyon_tpu.data import instruct, mixing
+
+
+@dataclasses.dataclass
+class DatasetEntry:
+    aaseq_type: str = "protein"
+    text_type: str = "go"
+    relations: List[str] = dataclasses.field(default_factory=lambda: ["all"])
+    tasks: List[str] = dataclasses.field(
+        default_factory=lambda: ["qa", "retrieval", "caption"])
+    splits: List[str] = dataclasses.field(default_factory=lambda: ["train"])
+    batch_size: Optional[int] = None
+    weight: float = 1.0
+
+
+@dataclasses.dataclass
+class MultiDatasetConfig:
+    entries: List[DatasetEntry]
+
+    @classmethod
+    def load_from_yaml(cls, path: str) -> "MultiDatasetConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        entries = [DatasetEntry(**e) for e in raw.get("datasets", [])]
+        return cls(entries=entries)
+
+
+def _dataset_for_entry(entry: DatasetEntry, relation: str, store, data_dir,
+                       split: str, synthetic: bool, seed: int):
+    name = f"{entry.aaseq_type}_{entry.text_type}_{relation}_{split}"
+    if synthetic:
+        rng = np.random.default_rng(abs(hash(name)) % 2 ** 31)
+        n = 256
+        relations = [(int(rng.integers(0, 128)), int(rng.integers(0, 128)))
+                     for _ in range(n)]
+        return D.AASeqTextRelationDataset(relations, store, name=name,
+                                          seed=seed)
+    return D.AASeqTextRelationDataset.from_csv(
+        data_dir, entry.aaseq_type, entry.text_type,
+        None if relation == "all" else [relation], split, store=store,
+        name=name, seed=seed)
+
+
+def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
+                       collator_cfg: C.CollatorConfig,
+                       batch_sizes: Dict[str, int],
+                       data_dir: str = "", synthetic: bool = False,
+                       task_library: Optional[instruct.TaskLibrary] = None,
+                       seed: int = 0, rank: int = 0, world_size: int = 1):
+    """-> {task: stream_fn} + {task: mixer} for resumable state."""
+    lib = task_library or instruct.TaskLibrary()
+    rng = np.random.default_rng(seed)
+
+    per_task_datasets: Dict[str, Dict[str, object]] = {}
+    per_task_weights: Dict[str, Dict[str, float]] = {}
+    prompts: Dict[str, object] = {}
+    collators: Dict[str, object] = {}
+
+    for entry in cfg.entries:
+        for relation in entry.relations:
+            for task in entry.tasks:
+                task_id = instruct.construct_task_id(
+                    entry.aaseq_type, entry.text_type, relation, task)
+                try:
+                    template = lib.get(task_id)
+                except FileNotFoundError:
+                    continue
+                for split in entry.splits:
+                    ds = _dataset_for_entry(entry, relation, store,
+                                            data_dir, split, synthetic,
+                                            seed)
+                    key = f"{task_id}_{split}"
+                    per_task_datasets.setdefault(task, {})[key] = ds
+                    per_task_weights.setdefault(task, {})[key] = entry.weight
+                if task_id not in prompts:
+                    prompts[task_id] = instruct.get_prompt(
+                        template, num_examples=collator_cfg.num_examples,
+                        is_ppi=(entry.text_type == "protein"),
+                        aaseq_type=entry.aaseq_type)
+                    coll_cls = {"qa": C.QACollator,
+                                "retrieval": C.RetrievalCollator,
+                                "caption": C.CaptionCollator}[task]
+                    kwargs = {}
+                    if task == "retrieval":
+                        kwargs["known_positive_pairs"] = set()
+                    collators[task_id] = coll_cls(
+                        collator_cfg, tokenizer, store, template, **kwargs)
+
+    streams = {}
+    mixers = {}
+    for task, dsets in per_task_datasets.items():
+        bs = batch_sizes.get(task, 8)
+        mixer = mixing.TaskMixer(
+            dsets, {k: bs for k in dsets}, seed=seed, rank=rank,
+            world_size=world_size,
+            weights=per_task_weights.get(task))
+        mixers[task] = mixer
+        it = mixer.iterate(mixing.MixerState())
+
+        def make_stream(task=task, it=it, dsets=dsets):
+            def stream():
+                key, idxs, _ = next(it)
+                ds = dsets[key]
+                task_id = key.rsplit("_", 1)[0]
+                prompt = prompts[task_id]
+                coll = collators[task_id]
+                items = [ds[i] for i in idxs]
+                if task == "qa":
+                    samples = [(x["aaseq_idx"], x["text_idx"],
+                                bool(rng.random() < 0.5)) for x in items]
+                    # negatives: flip aaseq for "no" rows when sampler gave
+                    # none (simple corruption negative)
+                    samples = [
+                        (a if pos else (a + 1) % 128, t, pos)
+                        for (a, t, pos) in samples]
+                    return coll(samples, prompt)
+                samples = [(x["aaseq_idx"], x["text_idx"]) for x in items]
+                return coll(samples, prompt)
+
+            return stream
+
+        streams[task] = make_stream()
+    return streams, mixers
+
+
+DEFAULT_FULL_MIX = MultiDatasetConfig(entries=[
+    DatasetEntry(text_type="go",
+                 relations=["process", "component", "function"]),
+    DatasetEntry(text_type="pfam", relations=["all"]),
+    DatasetEntry(text_type="drugbank",
+                 relations=["drug_target", "drug_carrier", "drug_enzyme",
+                            "drug_transporter"]),
+    DatasetEntry(text_type="reactome", relations=["all"]),
+    DatasetEntry(text_type="ec", relations=["all"]),
+    DatasetEntry(text_type="gtop", relations=["all"]),
+    DatasetEntry(text_type="omim", relations=["all"]),
+    DatasetEntry(text_type="disgenet", relations=["all"]),
+    DatasetEntry(text_type="uniprot", relations=["all"]),
+])

@@ -187,7 +187,11 @@ def _kv_specs(Skv):
 
 
 def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
-    causal, sm_scale, interpret, bounded = cfg
+    causal, sm_scale, interpret, bounded = cfg[:4]
+    if len(cfg) > 4 and cfg[4] == "rowblock":
+        from procyon_tpu.ops.attention_rowblock import rowblock_fwd
+
+        return rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg[:4])
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
     group = Hq // Hkv
@@ -329,7 +333,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg):
-    causal, sm_scale, interpret, bounded = cfg
+    causal, sm_scale, interpret, bounded = cfg[:4]
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
     group = Hq // Hkv
@@ -458,7 +462,8 @@ def flash_attention(q, k, v, seg_q=None, seg_kv=None, *, causal=False,
                     backend=None, interpret=False):
     """Flash attention entry point. See module docstring for layout/masking.
 
-    backend: None (auto: pallas on TPU, reference elsewhere), "pallas", "ref".
+    backend: None (auto: pallas on TPU, reference elsewhere), "pallas",
+    "rowblock" (single-pass pallas fwd for moderate Skv; flash bwd), "ref".
     q_positions/kv_positions [B,S] override positional causal comparison
     (needed for KV-cache decode and left-padded prompts). When omitted and
     causal=True, sequence indices are used and upper kv blocks are skipped.
@@ -490,6 +495,7 @@ def flash_attention(q, k, v, seg_q=None, seg_kv=None, *, causal=False,
         return mha_reference(q, k, v, seg_q, seg_kv, causal=causal,
                              sm_scale=sm_scale, q_positions=q_positions,
                              kv_positions=kv_positions)
+    impl = "rowblock" if backend == "rowblock" else "flash"
 
     # Pad sequence dims to the 128 tile; padded positions get segment id 0 so
     # they are masked out, then sliced away.
@@ -503,6 +509,6 @@ def flash_attention(q, k, v, seg_q=None, seg_kv=None, *, causal=False,
     qpp = _pad_to(q_positions, Sq_p, 1, value=0)
     kpp = _pad_to(kv_positions, Skv_p, 1, value=0)
 
-    cfg = (causal, sm_scale, interpret, bounded)
+    cfg = (causal, sm_scale, interpret, bounded, impl)
     out = _flash(qp, kp, vp, sqp, skvp, qpp, kpp, cfg)
     return out[:, :Sq]

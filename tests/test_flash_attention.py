@@ -97,3 +97,34 @@ def test_cross_segment_isolation(rng):
     out_solo = flash_attention(q[:, :16], k[:, :16], v[:, :16], backend="ref")
     np.testing.assert_allclose(np.asarray(out_packed[:, :16]),
                                np.asarray(out_solo), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_rowblock_forward_matches_reference(rng, causal):
+    q, k, v, seg_q, seg_kv = make_inputs(rng, Hq=8, Hkv=2)
+    ref = mha_reference(q, k, v, seg_q, seg_kv, causal=causal)
+    out = flash_attention(q, k, v, seg_q, seg_kv, causal=causal,
+                          backend="rowblock", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_rowblock_gradients_match_reference(rng):
+    q, k, v, seg_q, seg_kv = make_inputs(rng, B=1, Sq=32, Skv=32,
+                                         Hq=2, Hkv=2, D=16)
+
+    def loss_ref(q, k, v):
+        o = mha_reference(q, k, v, seg_q, seg_kv)
+        return jnp.sum(o * o)
+
+    def loss_rb(q, k, v):
+        o = flash_attention(q, k, v, seg_q, seg_kv, backend="rowblock",
+                            interpret=True)
+        return jnp.sum(o * o)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_rb = jax.grad(loss_rb, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_rb, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4,
+                                   err_msg=f"rowblock grad {name}")
