@@ -70,7 +70,8 @@ class TextStore:
 
 def _assemble(prompt_text: str, tokenizer, ext_texts: Sequence[str],
               answer: Optional[str], max_len: int, crop: bool,
-              rng: Optional[np.random.Generator]) -> Tuple[
+              rng: Optional[np.random.Generator],
+              context_texts: Sequence[str] = ()) -> Tuple[
                   List[int], List[int], Optional[int], Optional[int],
                   List[int]]:
     """Tokenize a template, splicing [EXT] texts and markers.
@@ -81,6 +82,7 @@ def _assemble(prompt_text: str, tokenizer, ext_texts: Sequence[str],
     spec = tokenizer.spec
     parts = _MARKER_RE.split(prompt_text)
     ext_iter = iter(ext_texts)
+    ctx_iter = iter(context_texts)
 
     # budget for [EXT] splices: remaining context divided by slot count
     # (model_unified.py:1230: (max_text_len - prompt_len) / num_texts)
@@ -122,7 +124,9 @@ def _assemble(prompt_text: str, tokenizer, ext_texts: Sequence[str],
             answer_positions.append(len(ids))
             ids.append(spec.answer_id)
         elif part == "[CONTEXT]":
-            continue  # context augmentation hook (off by default)
+            ctx = next(ctx_iter, "")
+            if ctx:
+                ids.extend(tokenizer.encode(ctx))
         elif part == "{answer}":
             if answer is not None:
                 a_ids = tokenizer.encode(answer)
@@ -198,19 +202,35 @@ class _UniqueProteins:
 
 class BaseCollator:
     def __init__(self, cfg: CollatorConfig, tokenizer, store: TextStore,
-                 task: Dict, *, seed: int = 0):
+                 task: Dict, *, seed: int = 0, context_provider=None,
+                 text_type: str = ""):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.store = store
         self.task = task
         self.rng = np.random.default_rng(seed)
+        self.context_provider = context_provider
+        self.text_type = text_type or task.get("DATASET_IDENTIFIER", "")
+
+    def _contexts(self, prompt, query_text_idx) -> list:
+        """[CONTEXT] strings in marker order: ICL examples then the
+        instance (it_collator.py context augmentation)."""
+        if self.context_provider is None:
+            return []
+        out = [self.context_provider.context(self.text_type, t)
+               for t in prompt.example_text_ids]
+        out.append(self.context_provider.context(self.text_type,
+                                                 query_text_idx))
+        return out
 
     def _protein_arrays(self, unique: _UniqueProteins) -> Dict:
         cfg = self.cfg
         idxs = unique.order or [0]
         if cfg.use_protein_tokens:
+            from procyon_tpu import native
+
             seqs = [self.store.protein_sequence(i) for i in idxs]
-            pb = protein_tokenizer.batch_encode(
+            pb = native.batch_encode(
                 seqs, max_len=cfg.max_protein_len,
                 long_strategy=cfg.long_protein_strategy,
                 pad_rows_to=cfg.max_protein_rows)
@@ -249,7 +269,8 @@ class QACollator(BaseCollator):
             exts = self._prompt_exts(prompt, self.store.text(text_idx))
             ids, prot_pos, _, ans_pos, _ = _assemble(
                 prompt.text, self.tokenizer, exts, answer,
-                self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
+                self.cfg.max_text_len, self.cfg.crop_texts, self.rng,
+                context_texts=self._contexts(prompt, text_idx))
             soft = []
             # ICL example proteins then the query protein, in slot order
             slot_aaseqs = list(prompt.example_aaseq_ids) + [aaseq_idx]
@@ -292,7 +313,8 @@ class RetrievalCollator(BaseCollator):
             exts = self._prompt_exts(prompt, self.store.text(text_idx))
             ids, prot_pos, prot_query, _, _ = _assemble(
                 prompt.text, self.tokenizer, exts, None,
-                self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
+                self.cfg.max_text_len, self.cfg.crop_texts, self.rng,
+                context_texts=self._contexts(prompt, text_idx))
             soft = []
             for pos, a_idx in zip(prot_pos, prompt.example_aaseq_ids):
                 soft.append((pos, unique.add(a_idx)))
@@ -340,7 +362,8 @@ class CaptionCollator(BaseCollator):
             exts = icl_exts + ([""] if for_generation else [caption])
             ids, prot_pos, _, ans_pos, _ = _assemble(
                 prompt.text, self.tokenizer, exts, None,
-                self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
+                self.cfg.max_text_len, self.cfg.crop_texts, self.rng,
+                context_texts=self._contexts(prompt, text_idx))
             if not for_generation:
                 ids = ids + [spec.eos_id]
             soft = []
@@ -361,4 +384,72 @@ class CaptionCollator(BaseCollator):
         batch["reference_indices"] = {
             "aaseq": [s[0] for s in samples],
             "text": [s[1] for s in samples]}
+        return batch
+
+
+class PPIQACollator(BaseCollator):
+    """Protein-protein interaction yes/no batches (is_ppi QA prompts,
+    instruct_constructor compose_qa_examples PPI branch).
+
+    samples: list of (aaseq_idx_1, aaseq_idx_2, is_positive).
+    """
+
+    def __call__(self, samples, prompt: Prompt) -> Dict:
+        unique = _UniqueProteins()
+        rows = []
+        yes_no = []
+        for a1, a2, positive in samples:
+            answer = " yes" if positive else " no"
+            ids, prot_pos, _, ans_pos, _ = _assemble(
+                prompt.text, self.tokenizer, [], answer,
+                self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
+            slot_aaseqs = list(prompt.example_aaseq_ids) + [a1, a2]
+            soft = [(pos, unique.add(a))
+                    for pos, a in zip(prot_pos, slot_aaseqs)]
+            labels = np.full((len(ids),), -100, np.int32)
+            if ans_pos is not None:
+                labels[ans_pos + 1:] = ids[ans_pos + 1:]
+            rows.append({"ids": ids, "soft": soft, "labels": labels,
+                         "answer_pos": ans_pos})
+            yes_no.append(1 if positive else 0)
+        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
+        batch.update(self._protein_arrays(unique))
+        batch["qa_labels"] = np.asarray(yes_no, np.int32)
+        return batch
+
+
+class PPIRetrievalCollator(BaseCollator):
+    """PPI retrieval: query protein 1 in the prompt, [PROT] retrieves
+    protein 2. samples: list of (aaseq_idx_1, aaseq_idx_2)."""
+
+    def __call__(self, samples, prompt: Prompt) -> Dict:
+        unique = _UniqueProteins()
+        rows = []
+        target_pos = []
+        pair_ids = []
+        for a1, a2 in samples:
+            ids, prot_pos, prot_query, _, _ = _assemble(
+                prompt.text, self.tokenizer, [], None,
+                self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
+            slot_aaseqs = list(prompt.example_aaseq_ids) + [a1]
+            soft = [(pos, unique.add(a))
+                    for pos, a in zip(prot_pos, slot_aaseqs)]
+            rows.append({"ids": ids, "soft": soft, "labels": None,
+                         "ret_pos": prot_query})
+            target_pos.append(unique.add(a2))
+            pair_ids.append((a1, a2))
+        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
+        del batch["labels"]
+        batch.update(self._protein_arrays(unique))
+        B = len(samples)
+        batch["ret_target_pos"] = np.asarray(target_pos, np.int32)
+        batch["ret_valid"] = np.ones((B,), bool)
+        mask = np.ones((B, B), np.float32)
+        known = {p for p in pair_ids} | {(b, a) for a, b in pair_ids}
+        for i in range(B):
+            for j in range(B):
+                if i != j and (pair_ids[i][0], pair_ids[j][1]) in known:
+                    mask[i, j] = 0.0
+        batch["conflict_mask"] = mask
+        batch["reference_indices"] = {"pairs": pair_ids}
         return batch
