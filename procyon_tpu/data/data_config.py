@@ -71,6 +71,28 @@ def _dataset_for_entry(entry: DatasetEntry, relation: str, store, data_dir,
         name=name, seed=seed)
 
 
+def build_mlm_stream(store, *, batch_size: int, n_proteins: int,
+                     max_protein_len: int = 1024, seed: int = 0):
+    """ESM2 masked-LM task stream (ProteinMLMCollator equivalent,
+    data_collator.py:21-174): sample proteins, tokenize, BERT-mask."""
+    from procyon_tpu import native
+
+    rng = np.random.default_rng(seed)
+    counter = [0]
+
+    def stream():
+        idxs = rng.integers(0, n_proteins, batch_size)
+        seqs = [store.protein_sequence(int(i)) for i in idxs]
+        pb = native.batch_encode(seqs, max_len=max_protein_len,
+                                 long_strategy="truncate")
+        counter[0] += 1
+        masked, labels = native.mask_for_mlm(pb.tokens,
+                                             seed + counter[0])
+        return {"protein_tokens": masked, "mlm_labels": labels}
+
+    return stream
+
+
 def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                        collator_cfg: C.CollatorConfig,
                        batch_sizes: Dict[str, int],

@@ -1,0 +1,109 @@
+"""Aux subsystems: profiling utils, dataset tracker, eval data loading,
+drug modality."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from procyon_tpu.data.dataset_tracker import DatasetTracker
+from procyon_tpu.evaluate import data_loading
+from procyon_tpu.utils.profiling import StepTimer, device_memory_stats
+
+
+class TestStepTimer:
+    def test_rates(self):
+        t = StepTimer(window=10)
+        import time
+        for _ in range(3):
+            t.tick()
+            time.sleep(0.01)
+        t.tick()
+        assert t.steps_per_sec > 0
+        assert t.mean_step_ms >= 10
+
+
+class TestDeviceMemory:
+    def test_stats_shape(self):
+        stats = device_memory_stats()
+        assert isinstance(stats, dict)  # may be empty on CPU
+
+
+class TestDatasetTracker:
+    def test_proportional_sampling(self):
+        tr = DatasetTracker(budgets={"a": 100, "b": 0})
+        rng = np.random.default_rng(0)
+        picks = {tr.sample(rng) for _ in range(20)}
+        assert picks == {"a"}
+
+    def test_budget_exhaustion(self):
+        tr = DatasetTracker(budgets={"a": 10})
+        tr.record("a", 10)
+        assert tr.remaining("a") == 0
+        assert tr.exhausted()
+
+    def test_serialization_roundtrip(self):
+        tr = DatasetTracker(budgets={"a": 10, "b": 5}, world_size=4)
+        tr.record("a", 3)
+        tr2 = DatasetTracker.from_dict(tr.to_dict())
+        assert tr2.remaining("a") == 7
+        assert tr2.world_size == 4
+
+
+class TestEvalDataLoading:
+    def test_build_retrieval_entry(self):
+        eval_rel = [(1, 100), (2, 100), (3, 101)]
+        train_rel = [(4, 100)]
+        e = data_loading.build_eval_dataset(
+            eval_relations=eval_rel, train_relations=train_rel,
+            all_protein_ids=[1, 2, 3, 4], task="retrieval")
+        assert e["query_order"] == [100, 101]
+        # protein 4 is a train positive for text 100 -> leak pair (q=0,t=3)
+        assert (0, 3) in e["train_leak_pairs"]
+
+    def test_build_qa_entry_negatives_avoid_positives(self):
+        eval_rel = [(1, 100)]
+        e = data_loading.build_eval_dataset(
+            eval_relations=eval_rel, train_relations=[(2, 100)],
+            all_protein_ids=[1, 2, 3, 4, 5], task="qa",
+            qa_negatives_per_positive=3)
+        pos = [(a, t) for a, t, y in e["qa_samples"] if y == 1]
+        negs = [a for a, t, y in e["qa_samples"] if y == 0]
+        assert pos == [(1, 100)]
+        assert 1 not in negs and 2 not in negs
+
+
+class TestDrugModality:
+    def test_drug_soft_tokens(self, rng):
+        from procyon_tpu.models import unified
+
+        cfg = unified.tiny_config(esm=None, protein_embed_dim=16,
+                                  use_drug_embeddings=True,
+                                  drug_embed_dim=8)
+        params = unified.init_params(jax.random.PRNGKey(0), cfg)
+        assert "drug_projector" in params["projectors"]
+        B, L, U, Ud = 2, 12, 2, 2
+        soft_map = np.full((B, L), -1, np.int32)
+        soft_map[0, 2] = 0       # protein 0
+        soft_map[1, 3] = U + 1   # drug 1 (drug rows follow protein rows)
+        batch = {
+            "input_ids": jnp.asarray(
+                rng.integers(4, cfg.llama.vocab_size, (B, L)), jnp.int32),
+            "seg_ids": jnp.ones((B, L), jnp.int32),
+            "positions": jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.int32), (B, L)),
+            "soft_map": jnp.asarray(soft_map),
+            "protein_embeds": jnp.asarray(
+                rng.standard_normal((U, 16)), jnp.float32),
+            "drug_embeds": jnp.asarray(
+                rng.standard_normal((Ud, 8)), jnp.float32),
+        }
+        out_a = unified.forward(params, cfg, batch)
+        batch2 = dict(batch)
+        batch2["drug_embeds"] = batch["drug_embeds"] + 5.0
+        out_b = unified.forward(params, cfg, batch2)
+        # drug soft token at (1, 3) must change
+        assert not np.allclose(np.asarray(out_a["logits"][1, 3]),
+                               np.asarray(out_b["logits"][1, 3]))
+        # row 0 has no drug token -> unchanged
+        np.testing.assert_allclose(np.asarray(out_a["logits"][0]),
+                                   np.asarray(out_b["logits"][0]),
+                                   atol=1e-5)

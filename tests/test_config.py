@@ -114,3 +114,20 @@ class TestDataConfigFactory:
         for t in ["go", "pfam", "drugbank", "reactome", "ec", "gtop",
                   "omim", "disgenet", "uniprot"]:
             assert t in types
+
+
+class TestMLMStream:
+    def test_mlm_stream_batches(self):
+        store = SyntheticStore(embed_dim=32)
+        stream = data_config.build_mlm_stream(store, batch_size=4,
+                                              n_proteins=32,
+                                              max_protein_len=64)
+        b1 = stream()
+        assert b1["protein_tokens"].shape[0] == 4
+        sel = b1["mlm_labels"] != -100
+        assert sel.sum() > 0
+        b2 = stream()
+        # successive batches differ (rng advances)
+        assert not (b1["protein_tokens"].shape == b2["protein_tokens"].shape
+                    and np.array_equal(b1["protein_tokens"],
+                                       b2["protein_tokens"]))
