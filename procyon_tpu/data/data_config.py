@@ -98,8 +98,13 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                        batch_sizes: Dict[str, int],
                        data_dir: str = "", synthetic: bool = False,
                        task_library: Optional[instruct.TaskLibrary] = None,
-                       seed: int = 0, rank: int = 0, world_size: int = 1):
-    """-> {task: stream_fn} + {task: mixer} for resumable state."""
+                       seed: int = 0, rank: int = 0, world_size: int = 1,
+                       resume_states: Optional[Dict[str, dict]] = None):
+    """-> (streams, mixers, state_holder).
+
+    state_holder[task] tracks the mixer position after each stream() call;
+    persist it in the trainer checkpoint and pass back as resume_states for
+    exact mid-epoch resume (DistributedSamplerResume semantics)."""
     lib = task_library or instruct.TaskLibrary()
     rng = np.random.default_rng(seed)
 
@@ -140,6 +145,8 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
 
     streams = {}
     mixers = {}
+    state_holder: Dict[str, dict] = {}
+    resume_states = resume_states or {}
     for task, dsets in per_task_datasets.items():
         bs = batch_sizes.get(task, 8)
         mixer = mixing.TaskMixer(
@@ -147,11 +154,14 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
             world_size=world_size,
             weights=per_task_weights.get(task))
         mixers[task] = mixer
-        it = mixer.iterate(mixing.MixerState())
+        start = mixing.MixerState.from_dict(resume_states[task]) \
+            if task in resume_states else mixing.MixerState()
+        it = mixer.iterate(start)
 
         def make_stream(task=task, it=it, dsets=dsets):
             def stream():
-                key, idxs, _ = next(it)
+                key, idxs, nxt = next(it)
+                state_holder[task] = nxt.to_dict()
                 ds = dsets[key]
                 task_id = key.rsplit("_", 1)[0]
                 prompt = prompts[task_id]
@@ -172,7 +182,7 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
             return stream
 
         streams[task] = make_stream()
-    return streams, mixers
+    return streams, mixers, state_holder
 
 
 DEFAULT_FULL_MIX = MultiDatasetConfig(entries=[

@@ -125,3 +125,11 @@ def best_checkpoint_step(base: str) -> Optional[int]:
         with open(p) as f:
             return int(f.read().strip())
     return None
+
+
+def peek_resume_state(base: str):
+    """Training-state of the latest checkpoint (None if no checkpoint) —
+    lets callers rebuild data streams at the right position BEFORE
+    constructing the trainer."""
+    path = latest_checkpoint(base)
+    return load_training_state(path) if path else None

@@ -48,6 +48,7 @@ class Trainer:
                  eval_fn: Optional[Callable] = None,
                  metrics_logger: Optional[MetricsLogger] = None,
                  mixer: Optional[TaskMixer] = None,
+                 stream_states: Optional[Dict[str, dict]] = None,
                  to_device: Optional[Callable] = None):
         """task_streams: task name -> callable returning the next device
         batch for that task (built from a TaskMixer + collators; see
@@ -59,6 +60,7 @@ class Trainer:
         self.task_streams = task_streams
         self.eval_fn = eval_fn
         self.mixer = mixer
+        self.stream_states = stream_states
         self.to_device = to_device or (lambda b: b)
         self.logger = get_logger(log_dir=loop.output_dir)
         self.metrics = metrics_logger or MetricsLogger(loop.output_dir)
@@ -93,6 +95,8 @@ class Trainer:
             "global_step": self.global_step,
             "task_progress": self.progress,
         }
+        if self.stream_states:
+            tstate["stream_states"] = dict(self.stream_states)
         if self.mixer is not None and hasattr(self, "_mixer_state"):
             tstate["mixer"] = self._mixer_state.to_dict()
         path = checkpointing.save_checkpoint(

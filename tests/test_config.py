@@ -95,7 +95,7 @@ class TestDataConfigFactory:
                                      tasks=["caption"]),
         ])
         store = SyntheticStore(embed_dim=32)
-        streams, mixers = data_config.build_task_streams(
+        streams, mixers, states = data_config.build_task_streams(
             mc, store=store, tokenizer=WordTokenizer(),
             collator_cfg=CollatorConfig(max_text_len=128,
                                         protein_embed_dim=32),
@@ -108,6 +108,7 @@ class TestDataConfigFactory:
         assert ret_batch["conflict_mask"].shape == (4, 4)
         cap_batch = streams["caption"]()
         assert (cap_batch["labels"] != -100).sum() > 0
+        assert "qa" in states and "index" in states["qa"]
 
     def test_default_full_mix_has_all_reference_datasets(self):
         types = {e.text_type for e in data_config.DEFAULT_FULL_MIX.entries}
