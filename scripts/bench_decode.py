@@ -1,0 +1,94 @@
+"""Decode throughput benchmark: output tokens/sec/chip.
+
+The second tracked metric (BASELINE.md): bulk caption decode on a Llama-
+architecture decoder. Uses two-point timing over different generation
+lengths, which cancels both the prefill cost and the tunnel RTT.
+
+The default model is a ~0.9B-param Llama-3-style decoder (GQA 16/8 heads,
+dim 2048, 16 layers) sized so weights + KV cache fit one v5e chip in bf16.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--prompt_len", type=int, default=256)
+    p.add_argument("--gen_small", type=int, default=32)
+    p.add_argument("--gen_big", type=int, default=96)
+    p.add_argument("--dim", type=int, default=2048)
+    p.add_argument("--layers", type=int, default=16)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from procyon_tpu.inference import generation
+    from procyon_tpu.models import llama, unified
+
+    cfg = unified.UnifiedConfig(
+        llama=llama.LlamaConfig(
+            vocab_size=32000, dim=args.dim, n_layers=args.layers,
+            n_heads=args.dim // 128, n_kv_heads=max(args.dim // 256, 1),
+            intermediate=int(args.dim * 2.6875),
+            max_seq_len=args.prompt_len + args.gen_big + 32,
+            dtype=jnp.bfloat16),
+        esm=None, protein_embed_dim=64, token_projector_layers=1,
+        token_projector_hidden=64, retrieval_dim=64, dtype=jnp.bfloat16)
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(
+        params["llama"]))
+
+    rng = np.random.default_rng(0)
+    B, L = args.batch, args.prompt_len
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(4, cfg.llama.vocab_size, (B, L)), jnp.int32),
+        "seg_ids": jnp.ones((B, L), jnp.int32),
+        "positions": jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32),
+                                      (B, L)),
+        "soft_map": jnp.full((B, L), -1, jnp.int32),
+        "protein_embeds": jnp.zeros((1, 64), jnp.float32),
+    }
+
+    def gen_cfg(n):
+        return generation.GenerationConfig(
+            max_new_tokens=n, method="greedy",
+            eos_token_id=-1, pad_token_id=0)  # eos -1: never stop early
+
+    def run(n, repeats=2):
+        g = jax.jit(lambda b: generation.generate(params, cfg, b,
+                                                  gen_cfg(n)))
+        out = g(batch)
+        float(jnp.sum(out))  # sync (compile + warm)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = g(batch)
+            float(jnp.sum(out))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_small = run(args.gen_small)
+    t_big = run(args.gen_big)
+    per_step = (t_big - t_small) / (args.gen_big - args.gen_small)
+    toks_per_sec = args.batch / per_step
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_chip",
+        "value": round(toks_per_sec, 1),
+        "unit": f"tok/s (B{args.batch}, ~{n_params/1e9:.1f}B params, bf16)",
+        "per_step_ms": round(per_step * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,29 @@ class TestTrainerLoop:
         assert tr2.global_step == 6
         tr2.train()
         assert tr2.global_step == 8
+
+
+class TestModelIO:
+    def test_save_load_model_roundtrip(self, rng, tmp_path):
+        from procyon_tpu.models import checkpoint_io, unified
+        cfg = unified.tiny_config(esm=None, protein_embed_dim=16)
+        params = unified.init_params(jax.random.PRNGKey(3), cfg)
+        path = str(tmp_path / "model")
+        checkpoint_io.save_model(
+            path, params, cfg,
+            tokenizer_info={"vocab_size": 256})
+        params2, cfg2, tok = checkpoint_io.load_model(path)
+        assert cfg2.llama.dim == cfg.llama.dim
+        assert cfg2.retrieval_dim == cfg.retrieval_dim
+        assert tok is not None and tok.spec.vocab_size == 256
+        flat_a, _ = jax.tree_util.tree_flatten(params)
+        flat_b, _ = jax.tree_util.tree_flatten(params2)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # loaded model produces identical logits
+        from tests.test_unified import make_batch
+        batch = make_batch(cfg, rng, B=2, L=8, U=2)
+        o1 = unified.forward(params, cfg, batch)
+        o2 = unified.forward(params2, cfg2, batch)
+        np.testing.assert_allclose(np.asarray(o1["logits"]),
+                                   np.asarray(o2["logits"]), atol=1e-6)
