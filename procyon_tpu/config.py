@@ -127,8 +127,16 @@ def build_model_config(margs: ModelArgs, dargs: Optional[DataArgs] = None):
         spec["n_layers"] = 2
     if dargs is not None:
         spec["max_seq_len"] = max(spec["max_seq_len"], dargs.max_text_len)
+    lora = None
+    if margs.use_lora:
+        from procyon_tpu.models.lora import LoRAConfig
+
+        lora = LoRAConfig(rank=margs.lora_rank, alpha=margs.lora_alpha,
+                          num_experts=margs.lora_num_experts,
+                          dtype=_DTYPES[margs.dtype])
     lcfg = llama.LlamaConfig(dtype=_DTYPES[margs.dtype],
-                             attn_backend=margs.attention_backend, **spec)
+                             attn_backend=margs.attention_backend,
+                             lora=lora, **spec)
     ecfg = None
     if not margs.use_aaseq_embeddings and margs.protein_encoder != "none":
         size = margs.protein_encoder.split("-")[-1]
@@ -197,13 +205,21 @@ def build_collator_config(margs: ModelArgs, dargs: DataArgs):
 
 
 def freeze_fn(margs: ModelArgs):
-    """Parameter freeze predicate (freeze_* args)."""
+    """Parameter freeze predicate (freeze_* args). With LoRA enabled, the
+    decoder's base weights freeze but the LoRA banks stay trainable (peft
+    semantics)."""
     def frozen(path):
-        top = str(getattr(path[0], "key", path[0]))
+        parts = [str(getattr(p, "key", p)) for p in path]
+        top = parts[0] if parts else ""
         if margs.freeze_protein_encoder and top == "esm":
             return True
-        if margs.freeze_text_encoder and top == "llama":
-            return True
+        if top == "llama":
+            is_lora = any(p.startswith("lora_") for p in parts)
+            if margs.use_lora and not is_lora:
+                return True
+            if margs.freeze_text_encoder and not (margs.use_lora and
+                                                  is_lora):
+                return True
         return False
 
     return frozen

@@ -24,6 +24,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from procyon_tpu.models import lora as lora_mod
 from procyon_tpu.ops.flash_attention import flash_attention
 from procyon_tpu.ops.norms import rms_norm
 from procyon_tpu.ops.rotary import apply_rotary, rope_frequencies
@@ -44,6 +45,9 @@ class LlamaConfig:
     # attention backend override for tests ("ref" forces the jnp path)
     attn_backend: Optional[str] = None
     remat: bool = True
+    # task-banked LoRA on the attention q/v projections (the peft default
+    # targets; reference wires MoLoRA there, pmc_llama.py:521-536)
+    lora: Optional[lora_mod.LoRAConfig] = None
 
     @property
     def head_dim(self):
@@ -99,6 +103,15 @@ def init_params(key, cfg: LlamaConfig):
         "attn_norm": jnp.ones((L, cfg.dim), cfg.dtype),
         "mlp_norm": jnp.ones((L, cfg.dim), cfg.dtype),
     }
+    if cfg.lora is not None:
+        lkeys = jax.random.split(jax.random.fold_in(key, 7), 2 * L)
+        def lora_bank(ks, out_dim):
+            ps = [lora_mod.init_params(k, cfg.lora, cfg.dim, out_dim)
+                  for k in ks]
+            return {"A": jnp.stack([p["A"] for p in ps]),
+                    "B": jnp.stack([p["B"] for p in ps])}
+        layers["lora_wq"] = lora_bank(lkeys[:L], cfg.n_heads * hd)
+        layers["lora_wv"] = lora_bank(lkeys[L:], cfg.n_kv_heads * hd)
     return {
         "embed": dense(k_embed, (cfg.vocab_size, cfg.dim), scale=0.02),
         "layers": layers,
@@ -124,15 +137,22 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
 
 def _block(x, lp, seg_ids, positions, cos, sin, cfg: LlamaConfig,
            cache_k=None, cache_v=None, cache_seg=None, cache_pos=None,
-           cache_len=None):
+           cache_len=None, lora_expert=0):
     """One decoder block. x [B,S,dim]. Returns (y, new_k, new_v)."""
     B, S, _ = x.shape
     hd = cfg.head_dim
 
     h = rms_norm(x, lp["attn_norm"], eps=cfg.norm_eps)
-    q = (h @ lp["attn"]["wq"]).reshape(B, S, cfg.n_heads, hd)
+    q_flat = h @ lp["attn"]["wq"]
+    v_flat = h @ lp["attn"]["wv"]
+    if cfg.lora is not None:
+        q_flat = lora_mod.apply(lp["lora_wq"], cfg.lora, h, q_flat,
+                                expert_idx=lora_expert)
+        v_flat = lora_mod.apply(lp["lora_wv"], cfg.lora, h, v_flat,
+                                expert_idx=lora_expert)
+    q = q_flat.reshape(B, S, cfg.n_heads, hd)
     k = (h @ lp["attn"]["wk"]).reshape(B, S, cfg.n_kv_heads, hd)
-    v = (h @ lp["attn"]["wv"]).reshape(B, S, cfg.n_kv_heads, hd)
+    v = v_flat.reshape(B, S, cfg.n_kv_heads, hd)
     q = apply_rotary(q, cos, sin, positions)
     k = apply_rotary(k, cos, sin, positions)
 
@@ -161,7 +181,7 @@ def _block(x, lp, seg_ids, positions, cos, sin, cfg: LlamaConfig,
 
 
 def forward(params, cfg: LlamaConfig, *, input_embeds=None, tokens=None,
-            seg_ids=None, positions=None, kv_cache=None):
+            seg_ids=None, positions=None, kv_cache=None, lora_expert=0):
     """Run the decoder stack.
 
     input_embeds [B,S,dim] (fusion path) or tokens [B,S]. seg_ids [B,S]
@@ -183,7 +203,8 @@ def forward(params, cfg: LlamaConfig, *, input_embeds=None, tokens=None,
 
     if kv_cache is None:
         def scan_body(x, lp):
-            y, _ = _block(x, lp, seg_ids, positions, cos, sin, cfg)
+            y, _ = _block(x, lp, seg_ids, positions, cos, sin, cfg,
+                          lora_expert=lora_expert)
             return y, None
 
         body = scan_body
@@ -204,7 +225,8 @@ def forward(params, cfg: LlamaConfig, *, input_embeds=None, tokens=None,
             lp, ck, cv = inp
             y, (nk, nv) = _block(x, lp, seg_ids, positions, cos, sin, cfg,
                                  cache_k=ck, cache_v=cv, cache_seg=cache_seg,
-                                 cache_pos=cache_pos, cache_len=cache_len)
+                                 cache_pos=cache_pos, cache_len=cache_len,
+                                 lora_expert=lora_expert)
             return y, (nk, nv)
 
         x, (nk, nv) = jax.lax.scan(

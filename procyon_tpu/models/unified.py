@@ -192,7 +192,7 @@ def build_soft_bank(params, cfg: UnifiedConfig, protein_embeds,
 
 
 def forward(params, cfg: UnifiedConfig, batch, *, retrieval=False,
-            axis_name=None, kv_cache=None):
+            axis_name=None, kv_cache=None, lora_expert=0):
     """Run the fusion model.
 
     batch keys (all fixed-shape; produced by data/collators.py):
@@ -214,7 +214,7 @@ def forward(params, cfg: UnifiedConfig, batch, *, retrieval=False,
                         input_embeds=input_embeds,
                         seg_ids=batch.get("seg_ids"),
                         positions=batch.get("positions"),
-                        kv_cache=kv_cache)
+                        kv_cache=kv_cache, lora_expert=lora_expert)
     result = {"logits": out["logits"], "hidden": out["hidden"]}
     if "kv_cache" in out:
         result["kv_cache"] = out["kv_cache"]

@@ -49,8 +49,9 @@ def _apply_updates(state, grads, optimizer):
             "step": state["step"] + 1}
 
 
-def lm_loss_fn(params, cfg, batch, weight):
-    out = unified.forward(params, cfg, batch, retrieval=False)
+def lm_loss_fn(params, cfg, batch, weight, lora_expert=0):
+    out = unified.forward(params, cfg, batch, retrieval=False,
+                          lora_expert=lora_expert)
     loss = out["lm_loss"] * weight
     # QA accuracy-style metric: exact next-token match on supervised tokens
     logits = out["logits"][:, :-1]
@@ -62,14 +63,15 @@ def lm_loss_fn(params, cfg, batch, weight):
     return loss, {"lm_loss": out["lm_loss"], "token_acc": acc, "ppl": ppl}
 
 
-def retrieval_loss_fn(params, cfg, batch, weight):
-    out = unified.forward(params, cfg, batch, retrieval=True)
+def retrieval_loss_fn(params, cfg, batch, weight, lora_expert=0):
+    out = unified.forward(params, cfg, batch, retrieval=True,
+                          lora_expert=lora_expert)
     loss = out["retrieval_loss"] * weight
     return loss, {"retrieval_loss": out["retrieval_loss"],
                   **out["retrieval_metrics"]}
 
 
-def mlm_loss_fn(params, cfg, batch, weight):
+def mlm_loss_fn(params, cfg, batch, weight, lora_expert=0):
     """ESM2 masked-LM loss (compute_mlm_loss, trainIT.py:1138-1193;
     get_mlm_loss, train_utils.py:884-938)."""
     logits = unified.protein_mlm_logits(params, cfg, batch["protein_tokens"])
@@ -92,15 +94,22 @@ _LOSS_FNS = {
     "mlm": mlm_loss_fn,
 }
 
+# task-indexed LoRA expert selection (the reference's manual expert cycling,
+# trainIT.py:795-931: qa=0, retrieval=1, mlm/caption=2, joint=3)
+TASK_LORA_EXPERT = {"qa": 0, "retrieval": 1, "caption": 2, "mlm": 2}
+
 
 def make_train_step(cfg: unified.UnifiedConfig, optimizer, task: str,
                     weight: float = 1.0, donate: bool = True):
     """Build a jittable train step for one task family."""
     loss_fn = _LOSS_FNS[task]
+    n_experts = (cfg.llama.lora.num_experts
+                 if cfg.llama.lora is not None else 1)
+    expert = TASK_LORA_EXPERT.get(task, 0) % max(n_experts, 1)
 
     def step(state, batch):
         def lf(params):
-            return loss_fn(params, cfg, batch, weight)
+            return loss_fn(params, cfg, batch, weight, lora_expert=expert)
 
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
             state["params"])

@@ -244,3 +244,41 @@ class TestProjectors:
         p = projectors.init_params(jax.random.PRNGKey(0), cfg)
         x = jnp.asarray(rng.standard_normal((3, 8)), jnp.float32)
         assert projectors.apply(p, cfg, x).shape == (3, 4)
+
+
+class TestLoRAIntegration:
+    def test_lora_experts_change_output(self, rng):
+        from procyon_tpu.models import lora as lora_mod
+        cfg = llama.tiny_config(
+            attn_backend="ref", remat=False,
+            lora=lora_mod.LoRAConfig(rank=4, num_experts=3,
+                                     dtype=jnp.float32))
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        # B starts at zero: all experts identical to base at init
+        tokens = jnp.arange(12).reshape(1, 12) % cfg.vocab_size
+        base = llama.forward(params, cfg, tokens=tokens, lora_expert=0)
+        e1 = llama.forward(params, cfg, tokens=tokens, lora_expert=1)
+        np.testing.assert_allclose(np.asarray(base["logits"]),
+                                   np.asarray(e1["logits"]), atol=1e-6)
+        # perturb expert 1's B: only expert 1 changes
+        params["layers"]["lora_wq"]["B"] = \
+            params["layers"]["lora_wq"]["B"].at[:, 1].set(0.5)
+        base2 = llama.forward(params, cfg, tokens=tokens, lora_expert=0)
+        e1b = llama.forward(params, cfg, tokens=tokens, lora_expert=1)
+        np.testing.assert_allclose(np.asarray(base["logits"]),
+                                   np.asarray(base2["logits"]), atol=1e-6)
+        assert not np.allclose(np.asarray(e1b["logits"]),
+                               np.asarray(base["logits"]))
+
+    def test_lora_freeze_fn(self):
+        from procyon_tpu import config as cfg_mod
+        margs = cfg_mod.ModelArgs(use_lora=True)
+        fn = cfg_mod.freeze_fn(margs)
+
+        class K:
+            def __init__(self, key):
+                self.key = key
+
+        assert fn((K("llama"), K("layers"), K("attn"), K("wq"))) is True
+        assert fn((K("llama"), K("layers"), K("lora_wq"), K("A"))) is False
+        assert fn((K("projectors"), K("token_projector"))) is False
