@@ -303,13 +303,20 @@ class RetrievalCollator(BaseCollator):
         super().__init__(*args, **kw)
         self.known_pairs = known_positive_pairs or set()
 
-    def __call__(self, samples, prompt: Prompt) -> Dict:
+    def __call__(self, samples, prompt: Prompt,
+                 negatives: Optional[Sequence[Sequence[int]]] = None
+                 ) -> Dict:
+        """negatives: optional per-sample preset negative protein indices
+        (the reference's PresetNegativeSampler / with_N_negatives path,
+        dataset.py:844-956); when given, the model scores against them
+        instead of in-batch negatives."""
         unique = _UniqueProteins()
         rows = []
         target_pos = []
         text_ids = []
         aaseq_ids = []
-        for aaseq_idx, text_idx in samples:
+        neg_pos = [] if negatives is not None else None
+        for si, (aaseq_idx, text_idx) in enumerate(samples):
             exts = self._prompt_exts(prompt, self.store.text(text_idx))
             ids, prot_pos, prot_query, _, _ = _assemble(
                 prompt.text, self.tokenizer, exts, None,
@@ -323,6 +330,8 @@ class RetrievalCollator(BaseCollator):
             target_pos.append(unique.add(aaseq_idx))
             text_ids.append(text_idx)
             aaseq_ids.append(aaseq_idx)
+            if neg_pos is not None:
+                neg_pos.append([unique.add(n) for n in negatives[si]])
         batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
         del batch["labels"]
         batch.update(self._protein_arrays(unique))
@@ -340,6 +349,8 @@ class RetrievalCollator(BaseCollator):
                         (aaseq_ids[j], text_ids[i]) in self.known_pairs:
                     mask[i, j] = 0.0
         batch["conflict_mask"] = mask
+        if neg_pos is not None:
+            batch["ret_negative_pos"] = np.asarray(neg_pos, np.int32)
         batch["reference_indices"] = {"text": text_ids, "aaseq": aaseq_ids}
         return batch
 

@@ -115,6 +115,29 @@ def info_nce_in_batch(params, cfg: InfoNCEConfig, seq_embeds, text_embeds,
     return loss, metrics
 
 
+def info_nce_explicit(params, cfg: InfoNCEConfig, seq_embeds, text_embeds,
+                      neg_seq_embeds, *, valid=None):
+    """InfoNCE with explicit negatives (contrastive.py:22-93): positive pair
+    (i, i) against K preset negative proteins per row, logsumexp form.
+
+    neg_seq_embeds: [N, K, D]."""
+    temp = jnp.clip(jnp.exp(params["log_temp"]), cfg.min_temperature,
+                    cfg.max_temperature)
+    z_s = _normalize(seq_embeds)          # [N, D]
+    z_t = _normalize(text_embeds)         # [N, D]
+    z_n = _normalize(neg_seq_embeds)      # [N, K, D]
+    if valid is None:
+        valid = jnp.ones((z_s.shape[0],), bool)
+    pos = jnp.sum(z_s * z_t, -1) / temp                     # [N]
+    neg = jnp.einsum("nd,nkd->nk", z_t, z_n) / temp         # [N, K]
+    logits = jnp.concatenate([pos[:, None], neg], axis=1)   # [N, 1+K]
+    ce = -jax.nn.log_softmax(logits, axis=-1)[:, 0]
+    ce = jnp.where(valid, ce, 0.0)
+    loss = ce.sum() / jnp.maximum(valid.sum(), 1)
+    acc = jnp.where(valid, jnp.argmax(logits, -1) == 0, False).sum() /         jnp.maximum(valid.sum(), 1)
+    return loss, {"contrastive_acc": acc, "temperature": temp}
+
+
 def max_margin_loss(seq_embeds, text_embeds, neg_text_embeds, *, margin=1.0):
     """MaxMarginContrastiveLoss analogue (contrastive.py:229-268): hinge on
     cosine(pos) - cosine(neg) with explicit negatives [N, K, D]."""

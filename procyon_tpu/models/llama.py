@@ -135,6 +135,28 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
     }
 
 
+def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
+                           positions, cache_pos):
+    """One-token attention over the cache. q [B,1,Hq,D]; cache [B,S,Hkv,D].
+
+    Masking matches the flash kernel: same segment, nonzero, and cached
+    position <= query position."""
+    import math
+
+    B, _, Hq, D = q.shape
+    _, S, Hkv, _ = cache_k.shape
+    group = Hq // Hkv
+    qh = q[:, 0].reshape(B, Hkv, group, D).astype(jnp.float32)
+    kf = cache_k.astype(jnp.float32)  # [B,S,Hkv,D]
+    s = jnp.einsum("bhgd,bshd->bhgs", qh, kf) / math.sqrt(D)
+    allowed = (cache_seg == seg_ids[:, :1]) & (cache_seg > 0) & \
+        (cache_pos <= positions[:, :1])  # [B, S]
+    s = jnp.where(allowed[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgs,bshd->bhgd", p, cache_v.astype(jnp.float32))
+    return out.reshape(B, 1, Hq, D).astype(q.dtype)
+
+
 def _block(x, lp, seg_ids, positions, cos, sin, cfg: LlamaConfig,
            cache_k=None, cache_v=None, cache_seg=None, cache_pos=None,
            cache_len=None, lora_expert=0):
@@ -161,11 +183,19 @@ def _block(x, lp, seg_ids, positions, cos, sin, cfg: LlamaConfig,
         upd = jax.lax.dynamic_update_slice
         cache_k = upd(cache_k, k.astype(cache_k.dtype), (0, cache_len, 0, 0))
         cache_v = upd(cache_v, v.astype(cache_v.dtype), (0, cache_len, 0, 0))
-        attn = flash_attention(
-            q, cache_k, cache_v, seg_ids, cache_seg,
-            causal=True, q_positions=positions, kv_positions=cache_pos,
-            backend=cfg.attn_backend,
-        )
+        if S == 1:
+            # single-token decode: a bandwidth-bound matvec over the cache —
+            # plain jnp beats the pallas kernel (which pads the 1-token
+            # query to a 128 tile and adds a custom-call per layer)
+            attn = _decode_attention_step(
+                q, cache_k, cache_v, seg_ids, cache_seg, positions,
+                cache_pos)
+        else:
+            attn = flash_attention(
+                q, cache_k, cache_v, seg_ids, cache_seg,
+                causal=True, q_positions=positions, kv_positions=cache_pos,
+                backend=cfg.attn_backend,
+            )
         new_kv = (cache_k, cache_v)
     else:
         attn = flash_attention(q, k, v, seg_ids, seg_ids, causal=True,

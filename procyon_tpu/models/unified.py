@@ -229,11 +229,19 @@ def forward(params, cfg: UnifiedConfig, batch, *, retrieval=False,
                                  pcfgs["lm_projector"], prot_hidden)
         targets = target_protein_embeddings(
             params, cfg, batch["protein_embeds"][batch["ret_target_pos"]])
-        loss, metrics = contrastive.info_nce_in_batch(
-            params["contrastive"], cfg.contrastive, targets, query,
-            valid=batch.get("ret_valid"),
-            conflict_mask=batch.get("conflict_mask"),
-            axis_name=axis_name)
+        if batch.get("ret_negative_pos") is not None:
+            negs = target_protein_embeddings(
+                params, cfg,
+                batch["protein_embeds"][batch["ret_negative_pos"]])
+            loss, metrics = contrastive.info_nce_explicit(
+                params["contrastive"], cfg.contrastive, targets, query,
+                negs, valid=batch.get("ret_valid"))
+        else:
+            loss, metrics = contrastive.info_nce_in_batch(
+                params["contrastive"], cfg.contrastive, targets, query,
+                valid=batch.get("ret_valid"),
+                conflict_mask=batch.get("conflict_mask"),
+                axis_name=axis_name)
         result.update({"retrieval_loss": loss, "retrieval_metrics": metrics,
                        "query_embeds": query, "target_embeds": targets})
 

@@ -99,3 +99,26 @@ class TestUnified:
         assert any("lm_projector" in k for k in nonzero)
         assert any("shared_projector" in k for k in nonzero)
         assert any("contrastive" in k for k in nonzero)
+
+
+class TestExplicitNegatives:
+    def test_explicit_negative_path(self, rng):
+        from procyon_tpu.models import contrastive
+        cfg = unified.tiny_config()
+        params = unified.init_params(jax.random.PRNGKey(0), cfg)
+        batch = make_batch(cfg, rng, B=2, L=16, U=5)
+        batch["ret_negative_pos"] = jnp.asarray([[2, 3], [3, 4]], jnp.int32)
+        out = unified.forward(params, cfg, batch, retrieval=True)
+        assert np.isfinite(float(out["retrieval_loss"]))
+
+    def test_explicit_nce_prefers_aligned(self, rng):
+        from procyon_tpu.models import contrastive
+        ccfg = contrastive.InfoNCEConfig(temperature=0.05)
+        p = contrastive.init_params(ccfg)
+        z = jnp.eye(4, 8)
+        negs = jnp.asarray(rng.standard_normal((4, 3, 8)), jnp.float32)
+        loss_good, m = contrastive.info_nce_explicit(p, ccfg, z, z, negs)
+        z_bad = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+        loss_bad, _ = contrastive.info_nce_explicit(p, ccfg, z_bad, z, negs)
+        assert float(loss_good) < float(loss_bad)
+        assert float(m["contrastive_acc"]) == 1.0
