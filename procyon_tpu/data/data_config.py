@@ -55,16 +55,33 @@ class MultiDatasetConfig:
         return cls(entries=entries)
 
 
+def _is_ppi(entry: DatasetEntry) -> bool:
+    return entry.text_type == "protein" and entry.aaseq_type == "protein"
+
+
 def _dataset_for_entry(entry: DatasetEntry, relation: str, store, data_dir,
                        split: str, synthetic: bool, seed: int):
     name = f"{entry.aaseq_type}_{entry.text_type}_{relation}_{split}"
     if synthetic:
         rng = np.random.default_rng(abs(hash(name)) % 2 ** 31)
         n = 256
-        relations = [(int(rng.integers(0, 128)), int(rng.integers(0, 128)))
-                     for _ in range(n)]
-        return D.AASeqTextRelationDataset(relations, store, name=name,
+        pairs = [(int(rng.integers(0, 128)), int(rng.integers(0, 128)))
+                 for _ in range(n)]
+        if _is_ppi(entry):
+            return D.AASeqPairDataset(pairs, store, name=name, seed=seed)
+        return D.AASeqTextRelationDataset(pairs, store, name=name,
                                           seed=seed)
+    if _is_ppi(entry):
+        import pandas as pd
+
+        path = f"{data_dir}/integrated_data/v1/protein_protein/" \
+               f"protein_protein_relations_indexed.unified.csv"
+        df = pd.read_csv(path)
+        if "split" in df.columns:
+            df = df[df["split"] == split]
+        pairs = [(int(r["seq_id"]), int(r["seq_id_2"]))
+                 for _, r in df.iterrows()]
+        return D.AASeqPairDataset(pairs, store, name=name, seed=seed)
     return D.AASeqTextRelationDataset.from_csv(
         data_dir, entry.aaseq_type, entry.text_type,
         None if relation == "all" else [relation], split, store=store,
@@ -130,16 +147,20 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                     per_task_datasets.setdefault(task, {})[key] = ds
                     per_task_weights.setdefault(task, {})[key] = entry.weight
                 if task_id not in prompts:
+                    ppi = _is_ppi(entry)
                     prompts[task_id] = instruct.get_prompt(
                         template, num_examples=collator_cfg.num_examples,
-                        is_ppi=(entry.text_type == "protein"),
-                        aaseq_type=entry.aaseq_type)
-                    coll_cls = {"qa": C.QACollator,
-                                "retrieval": C.RetrievalCollator,
-                                "caption": C.CaptionCollator}[task]
-                    kwargs = {}
-                    if task == "retrieval":
-                        kwargs["known_positive_pairs"] = set()
+                        is_ppi=ppi, aaseq_type=entry.aaseq_type)
+                    if ppi:
+                        coll_cls = {"qa": C.PPIQACollator,
+                                    "retrieval": C.PPIRetrievalCollator}[task]
+                        kwargs = {}
+                    else:
+                        coll_cls = {"qa": C.QACollator,
+                                    "retrieval": C.RetrievalCollator,
+                                    "caption": C.CaptionCollator}[task]
+                        kwargs = {"known_positive_pairs": set()} \
+                            if task == "retrieval" else {}
                     collators[task_id] = coll_cls(
                         collator_cfg, tokenizer, store, template, **kwargs)
 
@@ -167,7 +188,18 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                 prompt = prompts[task_id]
                 coll = collators[task_id]
                 items = [ds[i] for i in idxs]
+                is_pair = "aaseq_idx_2" in items[0]
                 if task == "qa":
+                    if is_pair:
+                        samples = [
+                            (x["aaseq_idx"],
+                             x["aaseq_idx_2"] if rng.random() < 0.5
+                             else (x["aaseq_idx_2"] + 1 + int(
+                                 rng.integers(0, 16))) % 128,
+                             True) for x in items]
+                        samples = [(a, b, bool(i % 2 == 0))
+                                   for i, (a, b, _) in enumerate(samples)]
+                        return coll(samples, prompt)
                     samples = [(x["aaseq_idx"], x["text_idx"],
                                 bool(rng.random() < 0.5)) for x in items]
                     # negatives: flip aaseq for "no" rows when sampler gave
@@ -175,6 +207,10 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                     samples = [
                         (a if pos else (a + 1) % 128, t, pos)
                         for (a, t, pos) in samples]
+                    return coll(samples, prompt)
+                if is_pair:
+                    samples = [(x["aaseq_idx"], x["aaseq_idx_2"])
+                               for x in items]
                     return coll(samples, prompt)
                 samples = [(x["aaseq_idx"], x["text_idx"]) for x in items]
                 return coll(samples, prompt)

@@ -45,8 +45,9 @@ def construct_task_id(aaseq_type: str, text_type: str, relation: str,
                       task: str) -> str:
     """(aaseq, text, relation, task) -> task file stem
     (it_collator.py:886-940 semantics): protein-side datasets drop the
-    aaseq prefix; domain/peptide keep it."""
-    if aaseq_type == "protein":
+    aaseq prefix; domain keeps it; aaseq==text collapses (peptide_all_*,
+    protein_experiments_* PPI)."""
+    if aaseq_type == "protein" or aaseq_type == text_type:
         return f"{text_type}_{relation}_{task}"
     return f"{aaseq_type}_{text_type}_{relation}_{task}"
 

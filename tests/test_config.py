@@ -132,3 +132,31 @@ class TestMLMStream:
         assert not (b1["protein_tokens"].shape == b2["protein_tokens"].shape
                     and np.array_equal(b1["protein_tokens"],
                                        b2["protein_tokens"]))
+
+
+class TestBindMixes:
+    def test_peptide_and_ppi_mixes(self):
+        store = SyntheticStore(embed_dim=32)
+        for path in ["configs/data_configs/peptide_mix.yml",
+                     "configs/data_configs/full_mix.yml"]:
+            mc = data_config.MultiDatasetConfig.load_from_yaml(path)
+            streams, mixers, _ = data_config.build_task_streams(
+                mc, store=store, tokenizer=WordTokenizer(),
+                collator_cfg=CollatorConfig(max_text_len=256,
+                                            protein_embed_dim=32),
+                batch_sizes={"qa": 4, "retrieval": 4, "caption": 2},
+                synthetic=True)
+            assert "qa" in streams and "retrieval" in streams
+            for _ in range(6):  # cycle until a PPI/peptide batch appears
+                b = streams["qa"]()
+                assert (b["labels"] != -100).sum() > 0
+            rb = streams["retrieval"]()
+            assert rb["ret_target_pos"].shape[0] == 4
+
+    def test_construct_task_id_collapse(self):
+        from procyon_tpu.data import instruct
+        assert instruct.construct_task_id(
+            "peptide", "peptide", "all", "qa") == "peptide_all_qa"
+        assert instruct.construct_task_id(
+            "protein", "protein", "experiments",
+            "retrieval") == "protein_experiments_retrieval"
