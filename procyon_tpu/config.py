@@ -248,7 +248,10 @@ def parse_all(argv=None):
             flag = f"--{f.name}"
             if any(a.dest == f.name for a in p._actions):
                 continue
-            if f.type is bool or f.default in (True, False):
+            # identity check: `0 in (True, False)` is True (int/bool
+            # equality), which silently turned integer flags with 0/1
+            # defaults into booleans
+            if f.type is bool or f.default is True or f.default is False:
                 p.add_argument(flag, type=lambda s: s.lower() in
                                ("1", "true", "yes"), default=None)
             else:

@@ -115,6 +115,27 @@ def main():
         targs.output_dir, use_wandb=targs.use_wandb,
         wandb_project=targs.wandb_project)
 
+    # eval_on_the_fly (trainIT.py:725-748 _run_eval equivalent): held-out
+    # batches scored with the per-task eval steps
+    eval_fn = None
+    if targs.eval_steps:
+        from procyon_tpu.training.train_step import make_eval_step
+
+        eval_batches = {t: [to_device(streams[t]()) for _ in range(2)]
+                        for t in streams}
+        eval_steps_fns = {t: make_eval_step(ucfg, t) for t in streams}
+
+        def eval_fn(params):
+            out = {}
+            losses = []
+            for t, batches in eval_batches.items():
+                ms = [eval_steps_fns[t](params, b) for b in batches]
+                loss = float(np.mean([float(m["loss"]) for m in ms]))
+                out[f"{t}_loss"] = loss
+                losses.append(loss)
+            out["loss"] = float(np.mean(losses))
+            return out
+
     def run():
         nonlocal params
         if mesh is not None:
@@ -123,7 +144,7 @@ def main():
                           loop=loop, task_streams=streams, weights=weights,
                           metrics_logger=metrics_logger,
                           stream_states=stream_states,
-                          to_device=to_device)
+                          eval_fn=eval_fn, to_device=to_device)
         if targs.resume:
             trainer.maybe_resume()
         trainer.train()

@@ -46,6 +46,15 @@ class TestArgs:
         assert margs.text_model == "tiny"
         assert dargs.synthetic is True
 
+    def test_parse_all_int_flags_with_bool_like_defaults(self):
+        """0/1-default int fields must stay ints (`0 == False` footgun)."""
+        targs, _, _ = cfg_mod.parse_all(
+            ["--eval_steps", "3", "--mesh_data", "4",
+             "--retrieval_skip_frequency", "2"])
+        assert targs.eval_steps == 3
+        assert targs.mesh_data == 4
+        assert targs.retrieval_skip_frequency == 2
+
     def test_freeze_fn(self):
         margs = cfg_mod.ModelArgs(freeze_protein_encoder=True,
                                   freeze_text_encoder=False)
