@@ -142,3 +142,41 @@ def get_proteins_from_batched_embeddings(all_protein_embeddings,
     return [get_proteins_from_embedding(all_protein_embeddings, q,
                                         protein_ids=protein_ids, top_k=top_k)
             for q in np.asarray(query_embeddings)]
+
+
+def perturb_description(text: str, rng, *, drop_prob: float = 0.1,
+                        shuffle: bool = False, n_variants: int = 5):
+    """Description-perturbation variants for retrieval-robustness CIs
+    (inference_utils.py:1001-1038): word dropout and optional sentence
+    shuffling. Returns n_variants perturbed strings."""
+    words = text.split()
+    out = []
+    for _ in range(n_variants):
+        kept = [w for w in words if rng.random() > drop_prob] or words[:1]
+        if shuffle:
+            kept = list(kept)
+            rng.shuffle(kept)
+        out.append(" ".join(kept))
+    return out
+
+
+def retrieval_rank_stability(service, *, task_id: str, description: str,
+                             k: int = 10, n_variants: int = 5, seed: int = 0,
+                             drop_prob: float = 0.1):
+    """Run retrieval on perturbed description variants and report how stable
+    the top-k set is (mean Jaccard overlap with the unperturbed top-k)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = {r["protein_id"] for r in service.retrieve(
+        task_id=task_id, disease_desc=description, k=k)}
+    overlaps = []
+    for variant in perturb_description(description, rng,
+                                       drop_prob=drop_prob,
+                                       n_variants=n_variants):
+        got = {r["protein_id"] for r in service.retrieve(
+            task_id=task_id, disease_desc=variant, k=k)}
+        overlaps.append(len(base & got) / max(len(base | got), 1))
+    return {"mean_jaccard": float(np.mean(overlaps)),
+            "min_jaccard": float(np.min(overlaps)),
+            "n_variants": n_variants}

@@ -277,3 +277,35 @@ def convert_reference_checkpoint(ckpt_dir: str, out_dir: str,
         params["esm"] = convert_hf_esm2(esm_sd, cfg.esm)
     save_model(out_dir, params, cfg, tokenizer_info=tokenizer_info)
     return out_dir
+
+
+def resize_token_embeddings(llama_params, new_vocab_size: int, *,
+                            init_scale: float = 0.02, seed: int = 0):
+    """Grow (or shrink) the decoder vocab rows.
+
+    The reference adds special tokens after loading HF weights and calls
+    resize_token_embeddings with a deliberate off-by-one quirk ([EXT] added
+    last and NOT given an embedding row, model_unified.py:1130-1133 +
+    :166). When converting released checkpoints, size the embed/lm_head to
+    the tokenizer's reported vocab; new rows init at N(0, init_scale).
+    """
+    import jax
+
+    embed = llama_params["embed"]
+    old, dim = embed.shape
+    if new_vocab_size == old:
+        return llama_params
+    out = dict(llama_params)
+    if new_vocab_size < old:
+        out["embed"] = embed[:new_vocab_size]
+        out["lm_head"] = llama_params["lm_head"][:, :new_vocab_size]
+        return out
+    key = jax.random.PRNGKey(seed)
+    extra = (jax.random.normal(key, (new_vocab_size - old, dim),
+                               jnp.float32) * init_scale).astype(embed.dtype)
+    out["embed"] = jnp.concatenate([embed, extra], 0)
+    extra_h = (jax.random.normal(jax.random.fold_in(key, 1),
+                                 (dim, new_vocab_size - old), jnp.float32)
+               * init_scale).astype(embed.dtype)
+    out["lm_head"] = jnp.concatenate([llama_params["lm_head"], extra_h], 1)
+    return out

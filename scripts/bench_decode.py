@@ -9,6 +9,7 @@ dim 2048, 16 layers) sized so weights + KV cache fit one v5e chip in bf16.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -60,26 +61,47 @@ def main():
         "protein_embeds": jnp.zeros((1, 64), jnp.float32),
     }
 
-    def gen_cfg(n):
-        return generation.GenerationConfig(
-            max_new_tokens=n, method="greedy",
-            eos_token_id=-1, pad_token_id=0)  # eos -1: never stop early
+    from procyon_tpu.models import llama as llama_mod
 
-    def run(n, repeats=2):
-        g = jax.jit(lambda b: generation.generate(params, cfg, b,
-                                                  gen_cfg(n)))
-        out = g(batch)
-        float(jnp.sum(out))  # sync (compile + warm)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = g(batch)
-            float(jnp.sum(out))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # jit prefill + ONE decode step; loop steps in python (dispatches are
+    # async, so a trailing scalar sync measures pure device time; the
+    # while_loop whole-program compile is minutes over the remote tunnel)
+    max_len = L + args.gen_big + 8
 
-    t_small = run(args.gen_small)
-    t_big = run(args.gen_big)
+    @jax.jit
+    def prefill(b):
+        cache = llama_mod.init_kv_cache(cfg.llama, B, max_len=max_len)
+        out = unified.forward(params, cfg, b, kv_cache=cache)
+        nxt = jnp.argmax(out["logits"][:, -1], -1)
+        return nxt, out["kv_cache"]
+
+    seg_live = batch["seg_ids"][:, -1:]
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(tok, pos, cache):
+        b = {
+            "input_ids": tok[:, None],
+            "seg_ids": seg_live,
+            "positions": pos,
+            "soft_map": jnp.full((B, 1), -1, jnp.int32),
+            "protein_embeds": batch["protein_embeds"],
+        }
+        out = unified.forward(params, cfg, b, kv_cache=cache)
+        return jnp.argmax(out["logits"][:, -1], -1), out["kv_cache"]
+
+    def run(n):
+        tok, cache = prefill(batch)
+        pos = batch["positions"][:, -1:] + 1
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tok, cache = step(tok, pos, cache)
+            pos = pos + 1
+        float(jnp.sum(tok))  # sync
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warm
+    t_small = min(run(args.gen_small) for _ in range(2))
+    t_big = min(run(args.gen_big) for _ in range(2))
     per_step = (t_big - t_small) / (args.gen_big - args.gen_small)
     toks_per_sec = args.batch / per_step
     print(json.dumps({

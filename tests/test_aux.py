@@ -107,3 +107,47 @@ class TestDrugModality:
         np.testing.assert_allclose(np.asarray(out_a["logits"][0]),
                                    np.asarray(out_b["logits"][0]),
                                    atol=1e-5)
+
+
+class TestPerturbationCI:
+    def test_perturb_variants(self):
+        from procyon_tpu.inference.prompts import perturb_description
+        rng = np.random.default_rng(0)
+        vs = perturb_description("a b c d e f g h", rng, n_variants=4)
+        assert len(vs) == 4
+        assert all(len(v.split()) >= 1 for v in vs)
+
+    def test_rank_stability_on_synthetic_service(self):
+        from procyon_tpu.data import datasets
+        from procyon_tpu.data.text_tokenizer import load_tokenizer
+        from procyon_tpu.inference.prompts import retrieval_rank_stability
+        from procyon_tpu.inference.retrieval_service import startup_retrieval
+        from procyon_tpu.models import llama, unified
+        cfg = unified.UnifiedConfig(
+            llama=llama.tiny_config(vocab_size=4096, attn_backend="ref",
+                                    remat=False),
+            esm=None, protein_embed_dim=32, token_projector_layers=1,
+            token_projector_hidden=32, retrieval_dim=16, dtype=jnp.float32)
+        params = unified.init_params(jax.random.PRNGKey(0), cfg)
+        store = datasets.SyntheticStore(n_proteins=32, embed_dim=32)
+        tok = load_tokenizer(vocab_size=4096)
+        svc = startup_retrieval(params, cfg, tok, store, list(range(32)))
+        r = retrieval_rank_stability(
+            svc, task_id="disgenet_all_retrieval",
+            description="progressive neurological decline with seizures",
+            k=5, n_variants=2)
+        assert 0.0 <= r["mean_jaccard"] <= 1.0
+
+
+class TestResizeEmbeddings:
+    def test_grow_and_shrink(self):
+        from procyon_tpu.models import checkpoint_io, llama
+        cfg = llama.tiny_config()
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        grown = checkpoint_io.resize_token_embeddings(params, 300)
+        assert grown["embed"].shape == (300, cfg.dim)
+        assert grown["lm_head"].shape == (cfg.dim, 300)
+        np.testing.assert_array_equal(
+            np.asarray(grown["embed"][:256]), np.asarray(params["embed"]))
+        shrunk = checkpoint_io.resize_token_embeddings(params, 200)
+        assert shrunk["embed"].shape == (200, cfg.dim)
