@@ -11,7 +11,7 @@ PROCYON_SYNTHETIC=1 for a synthetic demo service.
 """
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 try:
     from fastapi import FastAPI, HTTPException

@@ -12,7 +12,7 @@ CollatorConfig, MeshConfig), the analogue of postprocess_args (:1813).
 """
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 

@@ -30,7 +30,6 @@ import numpy as np
 _logger = logging.getLogger("procyon_tpu.collators")
 _truncation_warned = set()
 
-from procyon_tpu.data import protein_tokenizer
 from procyon_tpu.data.instruct import Prompt
 
 _MARKER_RE = re.compile(

@@ -10,7 +10,7 @@ the instance's [CONTEXT] marker. Providers compose; empty string = no
 context (marker is dropped).
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 
 class NullContextProvider:

@@ -19,7 +19,6 @@ Returns task streams consumable by training/trainer.Trainer.
 """
 
 import dataclasses
-import os
 from typing import Dict, List, Optional
 
 import numpy as np

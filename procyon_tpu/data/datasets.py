@@ -18,7 +18,7 @@ Stores give the collators sequence/text/embedding lookups:
 
 import dataclasses
 import os
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, Optional, Sequence, Set, Tuple
 
 import numpy as np
 

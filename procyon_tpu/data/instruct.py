@@ -22,7 +22,7 @@ line up; task JSONs in the reference's schema load as-is, so users can point
 import dataclasses
 import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 _AASEQ_PROMPT = {"protein": "Protein", "domain": "Domain",
                  "peptide": "Peptide"}

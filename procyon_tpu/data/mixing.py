@@ -10,7 +10,7 @@ skipping consumed items; per-host sharding takes rank-interleaved items
 """
 
 import dataclasses
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -19,8 +19,6 @@ splice marker consumed by the prompt composer (never reaches the model).
 import dataclasses
 from typing import List, Optional, Sequence
 
-import numpy as np
-
 SPECIAL_TOKENS = ["<|protein|>", "[PROT]", "[ANSWER]", "<|struct|>",
                   "<|drug|>", "[EXT]"]
 

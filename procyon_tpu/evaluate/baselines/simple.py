@@ -5,7 +5,7 @@ on precomputed protein embeddings (esm2-650m/3b/esm3/gearnet) or on
 precomputed pairwise score matrices (BLAST bit scores), no language model.
 """
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -7,8 +7,7 @@ protein (multi-reference merge, :48-66); metrics are BERTScore (en-sci,
 optional — requires a local model), ROUGE-L, BLEU.
 """
 
-import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

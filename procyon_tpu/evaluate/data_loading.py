@@ -6,7 +6,7 @@ per-dataset dicts `core.run_evaluation` consumes from the DATA_DIR relation
 CSVs (or synthetic fixtures), including train-leak masking pairs.
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ All metrics are NaN-aware: NaN labels mark (query, target) pairs excluded
 from scoring (train-leak masking, retrieval.py:210-223).
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from sklearn import metrics as skm

@@ -10,7 +10,7 @@ Equivalent of procyon/evaluate/framework/procyon.py:
 
 import os
 import pickle
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

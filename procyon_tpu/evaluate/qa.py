@@ -6,8 +6,7 @@ macro-F1 with bootstrap CIs. The probability of "yes" is read at the
 [ANSWER] position (get_qa_scores, train_utils.py:1048-1118).
 """
 
-import dataclasses
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

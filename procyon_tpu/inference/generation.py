@@ -19,8 +19,6 @@ decode in lockstep.
 """
 
 import dataclasses
-import functools
-from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

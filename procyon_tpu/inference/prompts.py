@@ -7,7 +7,7 @@ helpers (:921-999). These produce the same fixed-shape batches the collators
 emit, from free-text user input instead of dataset rows.
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

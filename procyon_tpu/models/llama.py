@@ -18,7 +18,6 @@ mechanical converter (models/checkpoint_convert.py).
 """
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax

@@ -20,8 +20,6 @@ import os
 import shutil
 from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 
 
 def _config_to_jsonable(obj):

@@ -13,8 +13,6 @@ in models/contrastive.py remains for explicit-collective use.
 """
 
 import dataclasses
-import functools
-from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

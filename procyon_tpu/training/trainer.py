@@ -17,7 +17,6 @@ import dataclasses
 import time
 from typing import Callable, Dict, Optional
 
-import jax
 import numpy as np
 
 from procyon_tpu.data.mixing import MixerState, TaskMixer
