@@ -64,11 +64,16 @@ def _dataset_for_entry(entry: DatasetEntry, relation: str, store, data_dir,
     if synthetic:
         rng = np.random.default_rng(abs(hash(name)) % 2 ** 31)
         n = 256
-        pairs = [(int(rng.integers(0, 128)), int(rng.integers(0, 128)))
+        n_prot = getattr(store, "n_proteins", 128)
+        n_text = getattr(store, "n_texts", 128)
+        pairs = [(int(rng.integers(0, n_prot)), int(rng.integers(0, n_text)))
                  for _ in range(n)]
         if _is_ppi(entry):
             return D.AASeqPairDataset(pairs, store, name=name, seed=seed)
+        sampler = D.RandomNegativeSampler(n_prot, n_text, set(pairs),
+                                          num_neg_protein=1)
         return D.AASeqTextRelationDataset(pairs, store, name=name,
+                                          negative_sampler=sampler,
                                           seed=seed)
     if _is_ppi(entry):
         import pandas as pd
@@ -81,10 +86,15 @@ def _dataset_for_entry(entry: DatasetEntry, relation: str, store, data_dir,
         pairs = [(int(r["seq_id"]), int(r["seq_id_2"]))
                  for _, r in df.iterrows()]
         return D.AASeqPairDataset(pairs, store, name=name, seed=seed)
-    return D.AASeqTextRelationDataset.from_csv(
+    ds = D.AASeqTextRelationDataset.from_csv(
         data_dir, entry.aaseq_type, entry.text_type,
         None if relation == "all" else [relation], split, store=store,
         name=name, seed=seed)
+    n_prot = max((a for a, _ in ds.true_pairs), default=0) + 1
+    n_text = max((t for _, t in ds.true_pairs), default=0) + 1
+    ds.negative_sampler = D.RandomNegativeSampler(
+        n_prot, n_text, ds.true_pairs, num_neg_protein=1)
+    return ds
 
 
 def build_mlm_stream(store, *, batch_size: int, n_proteins: int,
@@ -199,13 +209,18 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                         samples = [(a, b, bool(i % 2 == 0))
                                    for i, (a, b, _) in enumerate(samples)]
                         return coll(samples, prompt)
-                    samples = [(x["aaseq_idx"], x["text_idx"],
-                                bool(rng.random() < 0.5)) for x in items]
-                    # negatives: flip aaseq for "no" rows when sampler gave
-                    # none (simple corruption negative)
-                    samples = [
-                        (a if pos else (a + 1) % 128, t, pos)
-                        for (a, t, pos) in samples]
+                    # "no" rows use sampled negatives avoiding true
+                    # relations (QACollator pos+neg rows,
+                    # it_collator.py:995-1060)
+                    samples = []
+                    for x in items:
+                        pos = bool(rng.random() < 0.5)
+                        if pos or not x["neg_aaseqs"]:
+                            samples.append((x["aaseq_idx"], x["text_idx"],
+                                            pos))
+                        else:
+                            samples.append((int(x["neg_aaseqs"][0]),
+                                            x["text_idx"], False))
                     return coll(samples, prompt)
                 if is_pair:
                     samples = [(x["aaseq_idx"], x["aaseq_idx_2"])
