@@ -68,8 +68,11 @@ def main():
     # while_loop whole-program compile is minutes over the remote tunnel)
     max_len = L + args.gen_big + 8
 
+    # params must be ARGUMENTS, not closure captures: captured arrays embed
+    # as HLO constants and the remote-compile request body explodes
+    # (HTTP 413 on the tunnel)
     @jax.jit
-    def prefill(b):
+    def prefill(params, b):
         cache = llama_mod.init_kv_cache(cfg.llama, B, max_len=max_len)
         out = unified.forward(params, cfg, b, kv_cache=cache)
         nxt = jnp.argmax(out["logits"][:, -1], -1)
@@ -77,8 +80,8 @@ def main():
 
     seg_live = batch["seg_ids"][:, -1:]
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def step(tok, pos, cache):
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def step(params, tok, pos, cache):
         b = {
             "input_ids": tok[:, None],
             "seg_ids": seg_live,
@@ -90,11 +93,11 @@ def main():
         return jnp.argmax(out["logits"][:, -1], -1), out["kv_cache"]
 
     def run(n):
-        tok, cache = prefill(batch)
+        tok, cache = prefill(params, batch)
         pos = batch["positions"][:, -1:] + 1
         t0 = time.perf_counter()
         for _ in range(n):
-            tok, cache = step(tok, pos, cache)
+            tok, cache = step(params, tok, pos, cache)
             pos = pos + 1
         float(jnp.sum(tok))  # sync
         return time.perf_counter() - t0
