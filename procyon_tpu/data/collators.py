@@ -284,8 +284,10 @@ class QACollator(BaseCollator):
         batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
         batch.update(self._protein_arrays(unique))
         batch["qa_labels"] = np.asarray(yes_no, np.int32)
-        batch["yes_token"] = spec.yes_id
-        batch["no_token"] = spec.no_id
+        # 0-d arrays (np.isscalar(np.int32(x)) is True!) so they survive
+        # scalar-filtering in host->device batch conversion
+        batch["yes_token"] = np.asarray(spec.yes_id, np.int32)
+        batch["no_token"] = np.asarray(spec.no_id, np.int32)
         return batch
 
 

@@ -188,7 +188,10 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
             if task in resume_states else mixing.MixerState()
         it = mixer.iterate(start)
 
-        def make_stream(task=task, it=it, dsets=dsets):
+        entry_weights = per_task_weights.get(task, {})
+
+        def make_stream(task=task, it=it, dsets=dsets,
+                        entry_weights=entry_weights):
             def stream():
                 key, idxs, nxt = next(it)
                 state_holder[task] = nxt.to_dict()
@@ -227,7 +230,12 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                                for x in items]
                     return coll(samples, prompt)
                 samples = [(x["aaseq_idx"], x["text_idx"]) for x in items]
-                return coll(samples, prompt)
+                batch = coll(samples, prompt)
+                if task == "caption":
+                    w = entry_weights.get(key, 1.0)
+                    if w != 1.0:
+                        batch["loss_weight"] = np.float32(w)
+                return batch
 
             return stream
 

@@ -50,15 +50,31 @@ def _apply_updates(state, grads, optimizer):
 def lm_loss_fn(params, cfg, batch, weight, lora_expert=0):
     out = unified.forward(params, cfg, batch, retrieval=False,
                           lora_expert=lora_expert)
-    loss = out["lm_loss"] * weight
-    # QA accuracy-style metric: exact next-token match on supervised tokens
+    # optional per-batch loss rescale (CAPTION_TRAIN_WEIGHTS,
+    # constants.py:682: per-dataset caption loss weights)
+    batch_w = batch.get("loss_weight", 1.0)
+    loss = out["lm_loss"] * weight * batch_w
+    # token-level accuracy on supervised tokens
     logits = out["logits"][:, :-1]
     labels = batch["labels"][:, 1:]
     mask = labels != -100
     correct = (jnp.argmax(logits, -1) == labels) & mask
     acc = correct.sum() / jnp.maximum(mask.sum(), 1)
     ppl = jnp.exp(jnp.minimum(out["lm_loss"], 20.0))
-    return loss, {"lm_loss": out["lm_loss"], "token_acc": acc, "ppl": ppl}
+    metrics = {"lm_loss": out["lm_loss"], "token_acc": acc, "ppl": ppl}
+    if batch.get("qa_labels") is not None and \
+            batch.get("answer_pos") is not None and \
+            batch.get("yes_token") is not None:
+        # train-time QA yes/no accuracy at the [ANSWER] position
+        # (get_qa_metrics, train_utils.py:1120-1189)
+        B = out["logits"].shape[0]
+        at = out["logits"][jnp.arange(B), batch["answer_pos"]]
+        yes_logit = at[:, batch["yes_token"]]
+        no_logit = at[:, batch["no_token"]]
+        pred_yes = yes_logit > no_logit
+        qa_acc = (pred_yes == (batch["qa_labels"] > 0)).mean()
+        metrics["qa_acc"] = qa_acc
+    return loss, metrics
 
 
 def retrieval_loss_fn(params, cfg, batch, weight, lora_expert=0):
