@@ -43,6 +43,8 @@ class ESM2Config:
     norm_eps: float = 1e-5
     max_seq_len: int = 1026  # 1024 residues + cls + eos
     token_dropout: bool = True
+    # exact erf gelu matches fair-esm/HF; tanh approx is faster on VPU
+    gelu_approx: bool = False
     # True: mask ratio over VALID tokens (fair-esm and transformers==4.31.0,
     # the reference's pin). False: over the full padded length (behavior of
     # newer transformers, whose EsmModel stopped passing attention_mask into
@@ -154,7 +156,8 @@ def _block(x, lp, seg_ids, positions, cos, sin, cfg: ESM2Config):
 
     h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                    eps=cfg.norm_eps)
-    h = jax.nn.gelu(h @ lp["mlp"]["w1"] + lp["mlp"]["b1"], approximate=False)
+    h = jax.nn.gelu(h @ lp["mlp"]["w1"] + lp["mlp"]["b1"],
+                    approximate=cfg.gelu_approx)
     x = x + h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
     return x
 

@@ -33,7 +33,7 @@ fa = importlib.import_module("procyon_tpu.ops.flash_attention")
 
 
 def _rowblock_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
-                     o_ref, lse_ref, *, causal, sm_scale):
+                     o_ref, lse_ref=None, *, causal, sm_scale):
     block_q = q_ref.shape[2]
     D = q_ref.shape[3]
     Skv = k_ref.shape[2]
@@ -68,12 +68,13 @@ def _rowblock_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
     ) / l_safe
     out = jnp.where(row_masked | (l == 0.0), 0.0, out)
     o_ref[0, 0] = out.astype(o_ref.dtype)
-    lse = m + jnp.log(l_safe)
-    lse = jnp.where(row_masked | (l == 0.0), fa.DEFAULT_MASK_VALUE, lse)
-    lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, fa.NUM_LANES))
+    if lse_ref is not None:
+        lse = m + jnp.log(l_safe)
+        lse = jnp.where(row_masked | (l == 0.0), fa.DEFAULT_MASK_VALUE, lse)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, fa.NUM_LANES))
 
 
-def rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
+def rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True):
     """Same contract as flash_attention._fwd (returns out, compact lse)."""
     causal, sm_scale, interpret, _ = cfg
     B, Sq, Hq, D = q.shape
@@ -91,28 +92,38 @@ def rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
 
     kernel = functools.partial(_rowblock_kernel, causal=causal,
                                sm_scale=sm_scale)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h // group, 0, 0)),
+        pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h // group, 0, 0)),
+        fa._q_specs(block_q),
+        fa._kv_specs(Skv),
+        fa._q_specs(block_q),
+        fa._kv_specs(Skv),
+    ]
+    o_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0))
+    o_shape = jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype)
+    args = (qt, kt, vt, fa._lane_bcast(seg_q), fa._sublane_bcast(seg_kv),
+            fa._lane_bcast(qpos), fa._sublane_bcast(kpos))
+    if not want_lse:
+        out = pl.pallas_call(
+            kernel, grid=(B, Hq, Sq // block_q), in_specs=in_specs,
+            out_specs=o_spec, out_shape=o_shape, interpret=interpret,
+        )(*args)
+        return out.transpose(0, 2, 1, 3), None
     out, lse = pl.pallas_call(
         kernel,
         grid=(B, Hq, Sq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h // group, 0, 0)),
-            pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h // group, 0, 0)),
-            fa._q_specs(block_q),
-            fa._kv_specs(Skv),
-            fa._q_specs(block_q),
-            fa._kv_specs(Skv),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            o_spec,
             pl.BlockSpec((1, 1, block_q, fa.NUM_LANES),
                          lambda b, h, i: (b, h, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+            o_shape,
             jax.ShapeDtypeStruct((B, Hq, Sq, fa.NUM_LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(qt, kt, vt, fa._lane_bcast(seg_q), fa._sublane_bcast(seg_kv),
-      fa._lane_bcast(qpos), fa._sublane_bcast(kpos))
+    )(*args)
     return out.transpose(0, 2, 1, 3), lse[..., 0]

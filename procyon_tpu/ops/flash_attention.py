@@ -109,7 +109,8 @@ def _block_mask(seg_q_tile, seg_k_row, qpos_tile, kpos_row, causal):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
-                o_ref, lse_ref, *, causal, sm_scale, num_kv_blocks, bounded):
+                o_ref, lse_ref=None, *, causal, sm_scale, num_kv_blocks,
+                bounded):
     iq = pl.program_id(2)
     block_q = q_ref.shape[2]
     block_k = BLOCK
@@ -186,12 +187,16 @@ def _kv_specs(Skv):
     return pl.BlockSpec((1, NUM_SUBLANES, Skv), lambda b, h, i: (b, 0, 0))
 
 
-def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
+def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True):
+    """want_lse=False (inference) skips the lane-broadcast logsumexp output
+    — at ESM2-650M shapes that output is ~670MB written + re-read per
+    layer, needed only by the backward kernels."""
     causal, sm_scale, interpret, bounded = cfg[:4]
     if len(cfg) > 4 and cfg[4] == "rowblock":
         from procyon_tpu.ops.attention_rowblock import rowblock_fwd
 
-        return rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg[:4])
+        return rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg[:4],
+                            want_lse=want_lse)
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
     group = Hq // Hkv
@@ -430,7 +435,8 @@ def _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _flash(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
-    out, _ = _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg)
+    # primal (not differentiated): skip the lse output entirely
+    out, _ = _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=False)
     return out
 
 
