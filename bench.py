@@ -24,7 +24,7 @@ import numpy as np
 A100_PROTEINS_PER_SEC = 140.0
 
 
-def bench_esm2_650m(batch=32, seq_len=512, iters=20):
+def bench_esm2_650m(batch=64, seq_len=512, iters=20):
     from procyon_tpu.models import esm2, unified
 
     cfg = esm2.esm2_config("650m", max_seq_len=seq_len, dtype=jnp.bfloat16,

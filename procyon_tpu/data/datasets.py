@@ -77,31 +77,21 @@ class ProCyonDataStore:
         self._embeds = None
         self._embed_map = None
 
-    # -- sequences (integrated_data/v1/{type}/{type}_sequences.fa)
+    # -- sequences (integrated_data/v1/{type}/{type}_sequences.fa) via the
+    # native FASTA offset index (no full-file load for 57k-protein stores)
     def _load_sequences(self):
         if self._seqs is not None:
             return
+        from procyon_tpu.native import FastaIndex
+
         fa = os.path.join(self.data_dir, "integrated_data", "v1",
                           self.aaseq_type,
                           f"{self.aaseq_type}_sequences.fa")
-        seqs = []
-        with open(fa) as f:
-            cur = []
-            for line in f:
-                line = line.strip()
-                if line.startswith(">"):
-                    if cur:
-                        seqs.append("".join(cur))
-                        cur = []
-                else:
-                    cur.append(line)
-            if cur:
-                seqs.append("".join(cur))
-        self._seqs = seqs
+        self._seqs = FastaIndex(fa)
 
     def protein_sequence(self, idx: int) -> str:
         self._load_sequences()
-        return self._seqs[idx]
+        return self._seqs.get(idx)
 
     # -- precomputed embeddings (data_utils.py:365-388)
     def _load_embeddings(self):

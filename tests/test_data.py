@@ -270,3 +270,14 @@ class TestNegativeSampling:
             negs = datasets.negative_sampling_random_tail(0, 10, 4, true, rng)
             assert not (set(negs.tolist()) & true)
             assert 0 not in negs
+
+
+class TestProCyonDataStore:
+    def test_fasta_sequences_via_native_index(self, tmp_path):
+        d = tmp_path / "integrated_data" / "v1" / "protein"
+        d.mkdir(parents=True)
+        (d / "protein_sequences.fa").write_text(
+            ">P1\nMKVLA\nGGH\n>P2\nACDEF\n")
+        store = datasets.ProCyonDataStore(str(tmp_path))
+        assert store.protein_sequence(0) == "MKVLAGGH"
+        assert store.protein_sequence(1) == "ACDEF"
