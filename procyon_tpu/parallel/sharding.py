@@ -104,8 +104,21 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return NamedSharding(mesh, P(("data", "fsdp"), *([None] * (ndim - 1))))
 
 
+# batch entries that are shared banks/scalars, not per-example rows
+_REPLICATED_BATCH_KEYS = {"protein_embeds", "drug_embeds", "protein_tokens",
+                          "protein_group_ids", "protein_row_valid",
+                          "yes_token", "no_token", "loss_weight"}
+
+
 def shard_batch(batch: Any, mesh: Mesh):
-    def one(x):
+    """Shard per-example arrays over (data, fsdp); replicate shared banks
+    (the unique-protein embedding table indexed by soft_map is global to
+    the batch, not per-row)."""
+    def one(key, x):
+        if key in _REPLICATED_BATCH_KEYS or x.ndim == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
 
-    return jax.tree_util.tree_map(one, batch)
+    if isinstance(batch, dict):
+        return {k: one(k, v) for k, v in batch.items()}
+    return jax.tree_util.tree_map(lambda x: one("", x), batch)

@@ -1,0 +1,88 @@
+"""Multi-device correctness on the 8-device virtual CPU mesh: GSPMD-sharded
+training must match single-device numerics (the reference never tested its
+distributed path — SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from procyon_tpu.models import unified
+from procyon_tpu.parallel import create_mesh, MeshConfig, shard_params
+from procyon_tpu.parallel.sharding import (batch_sharding, param_shardings,
+                                           shard_batch, spec_for)
+from procyon_tpu.training import train_step as ts
+from procyon_tpu.training.optimizer import OptimizerConfig, build_optimizer
+
+from tests.test_unified import make_batch
+
+
+def setup(rng, B=8):
+    cfg = unified.tiny_config(esm=None, protein_embed_dim=16)
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, rng, B=B, L=16, U=4)
+    ocfg = OptimizerConfig(lr=1e-3, warmup_steps=0, total_steps=10,
+                           schedule="constant")
+    opt = build_optimizer(ocfg, params)
+    return cfg, params, batch, opt
+
+
+class TestShardingRules:
+    def test_specs_respect_divisibility(self, eight_devices):
+        mesh = create_mesh(MeshConfig(2, 2, 2))
+        # a dim that doesn't divide the axis falls back to replication
+        spec = spec_for("llama/layers/attn/wq", (2, 63, 128), mesh)
+        assert spec[1] is None  # 63 % 2 != 0
+        spec = spec_for("llama/layers/attn/wq", (2, 64, 128), mesh)
+        assert spec[1] == "fsdp" and spec[2] == "model"
+
+    def test_params_shard_without_error(self, eight_devices, rng):
+        cfg, params, _, _ = setup(rng)
+        mesh = create_mesh(MeshConfig(2, 2, 2))
+        sharded = shard_params(params, mesh)
+        # same values after sharding
+        a, _ = jax.tree_util.tree_flatten(params)
+        b, _ = jax.tree_util.tree_flatten(sharded)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestDistributedTrainStep:
+    @pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2), (1, 4, 2)])
+    def test_sharded_step_matches_single_device(self, eight_devices, rng,
+                                                mesh_shape):
+        cfg, params, batch, opt = setup(rng)
+        step = ts.make_train_step(cfg, opt, "qa", donate=False)
+
+        # single device
+        state = ts.init_train_state(params, opt)
+        ref_state, ref_m = step(state, batch)
+        ref_loss = float(ref_m["loss"])
+
+        # sharded over the mesh
+        mesh = create_mesh(MeshConfig(*mesh_shape))
+        with jax.set_mesh(mesh):
+            sp = shard_params(params, mesh)
+            sstate = ts.init_train_state(sp, opt)
+            sbatch = shard_batch(batch, mesh)
+            new_state, m = step(sstate, sbatch)
+            loss = float(m["loss"])
+        assert abs(loss - ref_loss) < 1e-4, (loss, ref_loss)
+        # updated params agree
+        a = np.asarray(ref_state["params"]["llama"]["final_norm"])
+        b = np.asarray(new_state["params"]["llama"]["final_norm"])
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_retrieval_global_batch_sharded(self, eight_devices, rng):
+        """In-batch contrastive over a sharded batch == single device (the
+        GSPMD 'global batch for free' property)."""
+        cfg, params, batch, opt = setup(rng, B=8)
+        step = ts.make_train_step(cfg, opt, "retrieval", donate=False)
+        state = ts.init_train_state(params, opt)
+        _, ref_m = step(state, batch)
+        mesh = create_mesh(MeshConfig(4, 2, 1))
+        with jax.set_mesh(mesh):
+            sp = shard_params(params, mesh)
+            sstate = ts.init_train_state(sp, opt)
+            sbatch = shard_batch(batch, mesh)
+            _, m = step(sstate, sbatch)
+        assert abs(float(m["loss"]) - float(ref_m["loss"])) < 1e-4
