@@ -22,6 +22,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from procyon_tpu.ops.activations import gelu_erf_fast
 from procyon_tpu.ops.flash_attention import flash_attention
 from procyon_tpu.ops.norms import layer_norm
 from procyon_tpu.ops.rotary import apply_rotary, rope_frequencies
@@ -156,8 +157,9 @@ def _block(x, lp, seg_ids, positions, cos, sin, cfg: ESM2Config):
 
     h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                    eps=cfg.norm_eps)
-    h = jax.nn.gelu(h @ lp["mlp"]["w1"] + lp["mlp"]["b1"],
-                    approximate=cfg.gelu_approx)
+    h1 = h @ lp["mlp"]["w1"] + lp["mlp"]["b1"]
+    h = jax.nn.gelu(h1, approximate=True) if cfg.gelu_approx \
+        else gelu_erf_fast(h1)
     x = x + h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
     return x
 
@@ -202,8 +204,8 @@ def forward(params, cfg: ESM2Config, tokens, *, seg_ids=None,
                    eps=cfg.norm_eps)
     out = {"hidden": x}
     if return_logits:
-        h = jax.nn.gelu(x @ params["lm_head"]["dense_w"]
-                        + params["lm_head"]["dense_b"], approximate=False)
+        h = gelu_erf_fast(x @ params["lm_head"]["dense_w"]
+                          + params["lm_head"]["dense_b"])
         h = layer_norm(h, params["lm_head"]["norm"]["w"],
                        params["lm_head"]["norm"]["b"], eps=cfg.norm_eps)
         logits = h @ params["embed"].T.astype(h.dtype)
