@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from procyon_tpu.ops.activations import gelu_erf_fast
 from procyon_tpu.ops.flash_attention import flash_attention
 from procyon_tpu.ops.norms import layer_norm
-from procyon_tpu.ops.rotary import apply_rotary, rope_frequencies
+from procyon_tpu.ops.rotary import (apply_rotary_flat, flat_rotary_tables,
+                                    rope_frequencies)
 
 # alphabet constants (data/protein_tokenizer.py mirrors these)
 PAD_IDX = 1
@@ -137,19 +138,20 @@ def init_params(key, cfg: ESM2Config):
     }
 
 
-def _block(x, lp, seg_ids, positions, cos, sin, cfg: ESM2Config):
+def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
     B, S, _ = x.shape
     hd = cfg.head_dim
+    cos_g, sin_g, perm = rot
 
     h = layer_norm(x, lp["attn_norm"]["w"], lp["attn_norm"]["b"],
                    eps=cfg.norm_eps)
-    q = (h @ lp["attn"]["wq"] + lp["attn"]["bq"]).reshape(B, S, cfg.n_heads, hd)
-    k = (h @ lp["attn"]["wk"] + lp["attn"]["bk"]).reshape(B, S, cfg.n_heads, hd)
+    # rotate_half convention (fair-esm / modeling_esm.py:44-53), applied on
+    # the flat projection outputs (see ops/rotary.py flat_rotary_tables)
+    q = apply_rotary_flat(h @ lp["attn"]["wq"] + lp["attn"]["bq"],
+                          cos_g, sin_g, perm).reshape(B, S, cfg.n_heads, hd)
+    k = apply_rotary_flat(h @ lp["attn"]["wk"] + lp["attn"]["bk"],
+                          cos_g, sin_g, perm).reshape(B, S, cfg.n_heads, hd)
     v = (h @ lp["attn"]["wv"] + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
-    # ESM2 (fair-esm and HF) uses the same rotate_half convention as Llama
-    # (modeling_esm.py:44-53), NOT GPT-J interleaving.
-    q = apply_rotary(q, cos, sin, positions)
-    k = apply_rotary(k, cos, sin, positions)
     attn = flash_attention(q, k, v, seg_ids, seg_ids, causal=False,
                            backend=cfg.attn_backend)
     attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
@@ -192,10 +194,13 @@ def forward(params, cfg: ESM2Config, tokens, *, seg_ids=None,
         x = x * scale[:, None, None]
     x = x.astype(cfg.dtype)
 
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len)
+    cos_f, sin_f, perm = flat_rotary_tables(cfg.head_dim, cfg.n_heads,
+                                            cfg.max_seq_len)
+    rot = (cos_f[positions].astype(cfg.dtype),
+           sin_f[positions].astype(cfg.dtype), perm)
 
     def scan_body(x, lp):
-        return _block(x, lp, seg_ids, positions, cos, sin, cfg), None
+        return _block(x, lp, seg_ids, positions, rot, cfg), None
 
     body = jax.checkpoint(scan_body) if cfg.remat else scan_body
     x, _ = jax.lax.scan(body, x, params["layers"])

@@ -59,3 +59,41 @@ def apply_rotary(x, cos, sin, positions, *, interleaved: bool = False):
     s = sin[positions][:, :, None, :].astype(x.dtype)
     rot = _rotate_interleaved(x) if interleaved else _rotate_half(x)
     return x * c + rot * s
+
+
+# ---------------------------------------------------------------------------
+# Flat-layout rotary: operate on [B, S, H*D] projection outputs directly.
+#
+# Motivation (profiled on v5e): rotate_half on per-head [.., H, 64] tensors
+# slices 32-lane halves, forcing vector relayouts worth ~2 ms/layer in
+# ESM2-650M. On the flat layout the rotation is one static lane permutation
+# (sign folded into the sin table) + two multiplies on clean [B,S,H*D]
+# tiles.
+# ---------------------------------------------------------------------------
+
+
+def flat_rotary_tables(head_dim: int, n_heads: int, max_len: int,
+                       theta: float = 10000.0):
+    """Return (cos_flat [L, H*D], sin_signed_flat [L, H*D], perm [H*D])
+    implementing the half (rotate_half) convention per head on a flat
+    layout: rotated = x*cos + x[..., perm]*sin_signed."""
+    cos, sin = rope_frequencies(head_dim, max_len, theta)  # [L, D] full
+    d2 = head_dim // 2
+    # per-head permutation: first half reads the second half (negated),
+    # second half reads the first half
+    base = jnp.arange(head_dim)
+    perm_head = jnp.concatenate([base[d2:], base[:d2]])
+    sign_head = jnp.concatenate([-jnp.ones((d2,), jnp.float32),
+                                 jnp.ones((d2,), jnp.float32)])
+    perm = jnp.concatenate(
+        [perm_head + h * head_dim for h in range(n_heads)])
+    cos_flat = jnp.tile(cos, (1, n_heads))
+    sin_flat = jnp.tile(sin, (1, n_heads)) * jnp.tile(sign_head,
+                                                      (n_heads,))[None, :]
+    return cos_flat, sin_flat, perm
+
+
+def apply_rotary_flat(x_flat, cos_g, sin_signed_g, perm):
+    """x_flat [B, S, H*D]; cos_g/sin_signed_g [B, S, H*D] (position-gathered
+    tables in x dtype); perm [H*D] static lane permutation."""
+    return x_flat * cos_g + x_flat[..., perm] * sin_signed_g
