@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from procyon_tpu.models import lora as lora_mod
 from procyon_tpu.ops.flash_attention import flash_attention
 from procyon_tpu.ops.norms import rms_norm
-from procyon_tpu.ops.rotary import apply_rotary, rope_frequencies
+from procyon_tpu.ops.rotary import (apply_rotary_flat, flat_rotary_tables,
+                                    rope_frequencies)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,12 +157,13 @@ def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
     return out.reshape(B, 1, Hq, D).astype(q.dtype)
 
 
-def _block(x, lp, seg_ids, positions, cos, sin, cfg: LlamaConfig,
+def _block(x, lp, seg_ids, positions, rot, cfg: LlamaConfig,
            cache_k=None, cache_v=None, cache_seg=None, cache_pos=None,
            cache_len=None, lora_expert=0):
     """One decoder block. x [B,S,dim]. Returns (y, new_k, new_v)."""
     B, S, _ = x.shape
     hd = cfg.head_dim
+    cos_q, sin_q, perm_q, cos_k, sin_k, perm_k = rot
 
     h = rms_norm(x, lp["attn_norm"], eps=cfg.norm_eps)
     q_flat = h @ lp["attn"]["wq"]
@@ -171,11 +173,12 @@ def _block(x, lp, seg_ids, positions, cos, sin, cfg: LlamaConfig,
                                 expert_idx=lora_expert)
         v_flat = lora_mod.apply(lp["lora_wv"], cfg.lora, h, v_flat,
                                 expert_idx=lora_expert)
-    q = q_flat.reshape(B, S, cfg.n_heads, hd)
-    k = (h @ lp["attn"]["wk"]).reshape(B, S, cfg.n_kv_heads, hd)
+    # rotate_half rotary on flat projection outputs (ops/rotary.py)
+    q = apply_rotary_flat(q_flat, cos_q, sin_q,
+                          perm_q).reshape(B, S, cfg.n_heads, hd)
+    k = apply_rotary_flat(h @ lp["attn"]["wk"], cos_k, sin_k,
+                          perm_k).reshape(B, S, cfg.n_kv_heads, hd)
     v = v_flat.reshape(B, S, cfg.n_kv_heads, hd)
-    q = apply_rotary(q, cos, sin, positions)
-    k = apply_rotary(k, cos, sin, positions)
 
     if cache_k is not None:
         # decode: write new k/v at [cache_len, cache_len+S), attend over cache
@@ -228,11 +231,21 @@ def forward(params, cfg: LlamaConfig, *, input_embeds=None, tokens=None,
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
 
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    cos_f, sin_f, perm_q = flat_rotary_tables(
+        cfg.head_dim, cfg.n_heads, cfg.max_seq_len, cfg.rope_theta)
+    if cfg.n_kv_heads == cfg.n_heads:
+        cos_fk, sin_fk, perm_k = cos_f, sin_f, perm_q
+    else:
+        cos_fk, sin_fk, perm_k = flat_rotary_tables(
+            cfg.head_dim, cfg.n_kv_heads, cfg.max_seq_len, cfg.rope_theta)
+    rot = (cos_f[positions].astype(cfg.dtype),
+           sin_f[positions].astype(cfg.dtype), perm_q,
+           cos_fk[positions].astype(cfg.dtype),
+           sin_fk[positions].astype(cfg.dtype), perm_k)
 
     if kv_cache is None:
         def scan_body(x, lp):
-            y, _ = _block(x, lp, seg_ids, positions, cos, sin, cfg,
+            y, _ = _block(x, lp, seg_ids, positions, rot, cfg,
                           lora_expert=lora_expert)
             return y, None
 
@@ -252,7 +265,7 @@ def forward(params, cfg: LlamaConfig, *, input_embeds=None, tokens=None,
 
         def scan_body(x, inp):
             lp, ck, cv = inp
-            y, (nk, nv) = _block(x, lp, seg_ids, positions, cos, sin, cfg,
+            y, (nk, nv) = _block(x, lp, seg_ids, positions, rot, cfg,
                                  cache_k=ck, cache_v=cv, cache_seg=cache_seg,
                                  cache_pos=cache_pos, cache_len=cache_len,
                                  lora_expert=lora_expert)
