@@ -127,3 +127,89 @@ def rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True):
         interpret=interpret,
     )(*args)
     return out.transpose(0, 2, 1, 3), lse[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Packed-lane rowblock forward: reads the flat [B, S, H*D] activation layout
+# directly (no BSHD->BHSD transposes around the kernel — profiled at
+# ~2 ms/layer in ESM2-650M). Each grid step processes 128 lanes =
+# 128//D heads. Inference only (no lse); requires Hq == Hkv and D <= 128
+# with (H*D) % 128 == 0.
+# ---------------------------------------------------------------------------
+
+
+def _rowblock_packed_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
+                            kp_ref, o_ref, *, causal, sm_scale, head_dim):
+    block_q = q_ref.shape[1]
+    lanes = q_ref.shape[2]
+    Skv = k_ref.shape[1]
+    hpb = lanes // head_dim
+
+    seg_q = sq_ref[0]
+    qpos = qp_ref[0]
+    seg_k = skv_ref[0, :1, :]
+    kpos = kp_ref[0, :1, :]
+    allowed = (seg_q[:, :1] == seg_k) & (seg_q[:, :1] > 0)
+    if causal:
+        allowed = allowed & (qpos[:, :1] >= kpos)
+
+    qb = q_ref[0]   # [bq, lanes]
+    kb = k_ref[0]   # [Skv, lanes]
+    vb = v_ref[0]
+    outs = []
+    for h in range(hpb):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            qb[:, sl], kb[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        s = jnp.where(allowed, s, fa.DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        row_masked = m <= fa.DEFAULT_MASK_VALUE * 0.5
+        l_safe = jnp.where(row_masked | (l == 0.0), 1.0, l)
+        out = jax.lax.dot_general(
+            p.astype(vb.dtype), vb[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l_safe
+        outs.append(jnp.where(row_masked | (l == 0.0), 0.0, out))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
+    """q/k/v [B, S, H, D] -> attention out [B, S, H, D], no transposes.
+    Preconditions: Hq == Hkv, (H*D) % 128 == 0, 128 % D == 0."""
+    causal, sm_scale, interpret, _ = cfg
+    B, Sq, Hq, D = q.shape
+    _, Skv, Hkv, _ = k.shape
+    assert Hq == Hkv and (Hq * D) % 128 == 0 and 128 % D == 0
+    hpb = 128 // D
+    block_q = 256 if Sq % 256 == 0 else 128
+
+    qf = q.reshape(B, Sq, Hq * D)
+    kf = k.reshape(B, Skv, Hkv * D)
+    vf = v.reshape(B, Skv, Hkv * D)
+
+    kernel = functools.partial(_rowblock_packed_kernel, causal=causal,
+                               sm_scale=sm_scale, head_dim=D)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hq // hpb, Sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((1, Skv, 128), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((1, Skv, 128), lambda b, h, i: (b, 0, h)),
+            fa._q_specs(block_q),
+            fa._kv_specs(Skv),
+            fa._q_specs(block_q),
+            fa._kv_specs(Skv),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 128), lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, Hq * D), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, fa._lane_bcast(seg_q), fa._sublane_bcast(seg_kv),
+      fa._lane_bcast(qpos), fa._sublane_bcast(kpos))
+    return out.reshape(B, Sq, Hq, D), None

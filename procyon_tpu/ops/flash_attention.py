@@ -193,8 +193,15 @@ def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True):
     layer, needed only by the backward kernels."""
     causal, sm_scale, interpret, bounded = cfg[:4]
     if len(cfg) > 4 and cfg[4] == "rowblock":
-        from procyon_tpu.ops.attention_rowblock import rowblock_fwd
+        from procyon_tpu.ops.attention_rowblock import (rowblock_fwd,
+                                                        rowblock_packed_fwd)
 
+        B, Sq, Hq, D = q.shape
+        Hkv = k.shape[2]
+        if (not want_lse and Hq == Hkv and (Hq * D) % 128 == 0
+                and 128 % D == 0):
+            return rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos,
+                                       cfg[:4])
         return rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg[:4],
                             want_lse=want_lse)
     B, Sq, Hq, D = q.shape

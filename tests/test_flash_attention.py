@@ -128,3 +128,24 @@ def test_rowblock_gradients_match_reference(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=3e-4,
                                    err_msg=f"rowblock grad {name}")
+
+
+def test_rowblock_packed_matches_reference(rng):
+    """Packed-lane path (D=64-style head packing, inference)."""
+    q, k, v, seg_q, seg_kv = make_inputs(rng, B=2, Sq=64, Skv=64,
+                                         Hq=4, Hkv=4, D=32)
+    ref = mha_reference(q, k, v, seg_q, seg_kv)
+    out = flash_attention(q, k, v, seg_q, seg_kv, backend="rowblock",
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_rowblock_packed_causal(rng):
+    q, k, v, seg_q, seg_kv = make_inputs(rng, B=1, Sq=64, Skv=64,
+                                         Hq=8, Hkv=8, D=16)
+    ref = mha_reference(q, k, v, seg_q, seg_kv, causal=True)
+    out = flash_attention(q, k, v, seg_q, seg_kv, causal=True,
+                          backend="rowblock", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
