@@ -252,7 +252,8 @@ def parse_all(argv=None):
             # equality), which silently turned integer flags with 0/1
             # defaults into booleans
             if f.type is bool or f.default is True or f.default is False:
-                p.add_argument(flag, type=lambda s: s.lower() in
+                p.add_argument(flag, nargs="?", const="true",
+                               type=lambda s: s.lower() in
                                ("1", "true", "yes"), default=None)
             else:
                 p.add_argument(flag, default=None)
