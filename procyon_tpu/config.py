@@ -236,6 +236,38 @@ def load_yaml_into(args_obj, path: str):
     return args_obj
 
 
+_BOOL_VALUES = {"1": True, "true": True, "yes": True,
+                "0": False, "false": False, "no": False}
+
+
+def _parse_bool(s: str) -> bool:
+    try:
+        return _BOOL_VALUES[s.lower()]
+    except KeyError:
+        raise ValueError(f"expected a boolean value, got {s!r}")
+
+
+def _coerce(v, current):
+    """CLI string -> the field's runtime type. For Optional fields (default
+    None) infer numerics from the string itself."""
+    if not isinstance(v, str):
+        return v
+    if current is not None and not isinstance(current, bool):
+        try:
+            return type(current)(v)
+        except (TypeError, ValueError):
+            return v
+    if isinstance(current, bool):
+        return v
+    # default is None: try int, then float, else keep the string
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
+
+
 def parse_all(argv=None):
     """HfArgumentParser-style parse of (TrainArgs, DataArgs, ModelArgs) with
     --from_yaml override (run_pretrain.py:120-128)."""
@@ -252,9 +284,11 @@ def parse_all(argv=None):
             # equality), which silently turned integer flags with 0/1
             # defaults into booleans
             if f.type is bool or f.default is True or f.default is False:
+                # strict value set: a stray following token (e.g. a
+                # launcher-appended positional) errors loudly instead of
+                # being consumed as a falsy value
                 p.add_argument(flag, nargs="?", const="true",
-                               type=lambda s: s.lower() in
-                               ("1", "true", "yes"), default=None)
+                               type=_parse_bool, default=None)
             else:
                 p.add_argument(flag, default=None)
     ns, _ = p.parse_known_args(argv)
@@ -265,12 +299,7 @@ def parse_all(argv=None):
     for obj in (targs, dargs, margs):
         for f in dataclasses.fields(obj):
             v = getattr(ns, f.name, None)
-            if v is not None:
-                caster = f.type if callable(f.type) and f.type is not bool \
-                    else (lambda x: x)
-                try:
-                    setattr(obj, f.name, type(getattr(obj, f.name))(v)
-                            if getattr(obj, f.name) is not None else v)
-                except (TypeError, ValueError):
-                    setattr(obj, f.name, v)
+            if v is None:
+                continue
+            setattr(obj, f.name, _coerce(v, getattr(obj, f.name)))
     return targs, dargs, margs

@@ -46,6 +46,18 @@ class TestArgs:
         assert margs.text_model == "tiny"
         assert dargs.synthetic is True
 
+    def test_optional_float_flags_convert(self):
+        targs, _, margs = cfg_mod.parse_all(
+            ["--protein_encoder_lr", "5e-5", "--tokenizer_path", "/x/y"])
+        assert targs.protein_encoder_lr == 5e-5
+        assert isinstance(targs.protein_encoder_lr, float)
+        assert margs.tokenizer_path == "/x/y"
+
+    def test_bare_bool_followed_by_garbage_errors_loudly(self):
+        import pytest
+        with pytest.raises(SystemExit):
+            cfg_mod.parse_all(["--resume", "some_extra_token"])
+
     def test_parse_all_int_flags_with_bool_like_defaults(self):
         """0/1-default int fields must stay ints (`0 == False` footgun)."""
         targs, _, _ = cfg_mod.parse_all(
