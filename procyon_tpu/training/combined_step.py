@@ -18,22 +18,31 @@ def make_combined_step(cfg: unified.UnifiedConfig, optimizer,
     def step(state, batches):
         """batches: dict with optional keys qa / caption / retrieval / mlm."""
 
+        n_experts = (cfg.llama.lora.num_experts
+                     if cfg.llama.lora is not None else 1)
+
+        def expert(task):
+            return ts.TASK_LORA_EXPERT.get(task, 0) % max(n_experts, 1)
+
         def lf(params):
             total = 0.0
             metrics = {}
             if "qa" in batches:
-                l, m = ts.lm_loss_fn(params, cfg, batches["qa"], weights.qa)
+                l, m = ts.lm_loss_fn(params, cfg, batches["qa"], weights.qa,
+                                     lora_expert=expert("qa"))
                 total += l
                 metrics.update({f"qa/{k}": v for k, v in m.items()})
             if "caption" in batches:
                 l, m = ts.lm_loss_fn(params, cfg, batches["caption"],
-                                     weights.caption)
+                                     weights.caption,
+                                     lora_expert=expert("caption"))
                 total += l
                 metrics.update({f"caption/{k}": v for k, v in m.items()})
             if "retrieval" in batches:
                 l, m = ts.retrieval_loss_fn(params, cfg,
                                             batches["retrieval"],
-                                            weights.retrieval)
+                                            weights.retrieval,
+                                            lora_expert=expert("retrieval"))
                 total += l
                 metrics.update({f"retrieval/{k}": v for k, v in m.items()})
             if "mlm" in batches and cfg.esm is not None:
