@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from procyon_tpu.models import lora as lora_mod
+from procyon_tpu.ops import quant
 from procyon_tpu.ops.flash_attention import flash_attention
 from procyon_tpu.ops.norms import rms_norm
 from procyon_tpu.ops.rotary import (apply_rotary_flat, flat_rotary_tables,
@@ -135,6 +136,13 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
     }
 
 
+def _mm(x, w):
+    """Matmul dispatching on int8-quantized weights (ops/quant.py)."""
+    if quant.is_quantized(w):
+        return quant.qmatmul(x, w)
+    return x @ w
+
+
 def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
                            positions, cache_pos):
     """One-token attention over the cache. q [B,1,Hq,D]; cache [B,S,Hkv,D].
@@ -166,8 +174,8 @@ def _block(x, lp, seg_ids, positions, rot, cfg: LlamaConfig,
     cos_q, sin_q, perm_q, cos_k, sin_k, perm_k = rot
 
     h = rms_norm(x, lp["attn_norm"], eps=cfg.norm_eps)
-    q_flat = h @ lp["attn"]["wq"]
-    v_flat = h @ lp["attn"]["wv"]
+    q_flat = _mm(h, lp["attn"]["wq"])
+    v_flat = _mm(h, lp["attn"]["wv"])
     if cfg.lora is not None:
         q_flat = lora_mod.apply(lp["lora_wq"], cfg.lora, h, q_flat,
                                 expert_idx=lora_expert)
@@ -176,7 +184,7 @@ def _block(x, lp, seg_ids, positions, rot, cfg: LlamaConfig,
     # rotate_half rotary on flat projection outputs (ops/rotary.py)
     q = apply_rotary_flat(q_flat, cos_q, sin_q,
                           perm_q).reshape(B, S, cfg.n_heads, hd)
-    k = apply_rotary_flat(h @ lp["attn"]["wk"], cos_k, sin_k,
+    k = apply_rotary_flat(_mm(h, lp["attn"]["wk"]), cos_k, sin_k,
                           perm_k).reshape(B, S, cfg.n_kv_heads, hd)
     v = v_flat.reshape(B, S, cfg.n_kv_heads, hd)
 
@@ -204,11 +212,11 @@ def _block(x, lp, seg_ids, positions, rot, cfg: LlamaConfig,
                                backend=cfg.attn_backend)
         new_kv = (k, v)
     attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
-    x = x + attn @ lp["attn"]["wo"]
+    x = x + _mm(attn, lp["attn"]["wo"])
 
     h = rms_norm(x, lp["mlp_norm"], eps=cfg.norm_eps)
-    gated = jax.nn.silu(h @ lp["mlp"]["w_gate"]) * (h @ lp["mlp"]["w_up"])
-    x = x + gated @ lp["mlp"]["w_down"]
+    gated = jax.nn.silu(_mm(h, lp["mlp"]["w_gate"])) * _mm(h, lp["mlp"]["w_up"])
+    x = x + _mm(gated, lp["mlp"]["w_down"])
     return x, new_kv
 
 
@@ -277,8 +285,17 @@ def forward(params, cfg: LlamaConfig, *, input_embeds=None, tokens=None,
                      "length": cache_len + S}
 
     x = rms_norm(x, params["final_norm"], eps=cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     out = {"hidden": x, "logits": logits}
     if new_cache is not None:
         out["kv_cache"] = new_cache
+    return out
+
+
+def quantize_params(params, cfg: LlamaConfig):
+    """Weight-only int8 quantization of the decoder (ops/quant.py). LoRA
+    banks, norms, and the embedding table stay in the original dtype."""
+    out = dict(params)
+    out["layers"] = quant.quantize_tree(params["layers"])
+    out["lm_head"] = quant.quantize(params["lm_head"])
     return out

@@ -28,7 +28,12 @@ def main():
     p.add_argument("--gen_big", type=int, default=96)
     p.add_argument("--dim", type=int, default=2048)
     p.add_argument("--layers", type=int, default=16)
+    p.add_argument("--quant", action="store_true",
+                   help="int8 weight-only quantization (ops/quant.py)")
     args = p.parse_args()
+    if args.dim < 128 or args.dim % 128:
+        p.error(f"--dim must be a multiple of 128 (head_dim=128), "
+                f"got {args.dim}")
 
     import jax
     import jax.numpy as jnp
@@ -45,9 +50,40 @@ def main():
             dtype=jnp.bfloat16),
         esm=None, protein_embed_dim=64, token_projector_layers=1,
         token_projector_hidden=64, retrieval_dim=64, dtype=jnp.bfloat16)
-    params = unified.init_params(jax.random.PRNGKey(0), cfg)
-    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(
-        params["llama"]))
+    wtag = "bf16"
+    if args.quant:
+        # materialize the int8 tree directly ON DEVICE from eval_shape: a
+        # 7B bf16 init would OOM the 16GB chip before the int8 copy exists,
+        # and shipping host-quantized weights over the tunnel is minutes.
+        # Throughput doesn't depend on weight values.
+        from procyon_tpu.models.llama import quantize_params
+
+        def build():
+            p = unified.init_params(jax.random.PRNGKey(0), cfg)
+            p = dict(p)
+            p["llama"] = quantize_params(p["llama"], cfg.llama)
+            return p
+
+        shapes = jax.eval_shape(build)
+        n_params = sum(
+            np.prod(x.shape) for x in jax.tree_util.tree_leaves(
+                jax.eval_shape(
+                    lambda: unified.init_params(jax.random.PRNGKey(0),
+                                                cfg)["llama"])))
+
+        @jax.jit
+        def materialize():
+            return jax.tree_util.tree_map(
+                lambda sd: jnp.full(sd.shape, 1, sd.dtype)
+                if sd.dtype == jnp.int8 else jnp.full(sd.shape, 0.01,
+                                                      sd.dtype), shapes)
+
+        params = materialize()
+        wtag = "int8"
+    else:
+        params = unified.init_params(jax.random.PRNGKey(0), cfg)
+        n_params = sum(np.prod(x.shape)
+                       for x in jax.tree_util.tree_leaves(params["llama"]))
 
     rng = np.random.default_rng(0)
     B, L = args.batch, args.prompt_len
@@ -110,7 +146,8 @@ def main():
     print(json.dumps({
         "metric": "decode_tokens_per_sec_chip",
         "value": round(toks_per_sec, 1),
-        "unit": f"tok/s (B{args.batch}, ~{n_params/1e9:.1f}B params, bf16)",
+        "unit": f"tok/s (B{args.batch}, ~{n_params/1e9:.1f}B params, "
+                f"{wtag})",
         "per_step_ms": round(per_step * 1e3, 2),
     }))
 

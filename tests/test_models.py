@@ -282,3 +282,55 @@ class TestLoRAIntegration:
         assert fn((K("llama"), K("layers"), K("attn"), K("wq"))) is True
         assert fn((K("llama"), K("layers"), K("lora_wq"), K("A"))) is False
         assert fn((K("projectors"), K("token_projector"))) is False
+
+
+class TestQuantization:
+    def test_quantized_logits_close(self, rng):
+        from procyon_tpu.models import llama as L
+        cfg = L.tiny_config(attn_backend="ref", remat=False)
+        params = L.init_params(jax.random.PRNGKey(0), cfg)
+        qparams = L.quantize_params(params, cfg)
+        tokens = jnp.arange(16).reshape(1, 16) % cfg.vocab_size
+        a = np.asarray(L.forward(params, cfg, tokens=tokens)["logits"])
+        b = np.asarray(L.forward(qparams, cfg, tokens=tokens)["logits"])
+        # per-matmul error is ~0.5%; a tiny random-init model amplifies
+        # worst-case logit deltas, so assert on direction not max-rel
+        cos = (a.reshape(-1) @ b.reshape(-1)) / (
+            np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99, cos
+        agree = (np.argmax(a, -1) == np.argmax(b, -1)).mean()
+        assert agree > 0.8, agree
+
+    def test_qmatmul_accuracy(self, rng):
+        from procyon_tpu.ops import quant
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 128))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 256))
+        qw = quant.quantize(w)
+        a = np.asarray(x @ w)
+        b = np.asarray(quant.qmatmul(x, qw))
+        rel = np.abs(a - b).max() / np.abs(a).max()
+        assert rel < 0.02, rel
+        # round-trip dequant error bounded by scale/2 per element
+        wd = np.asarray(quant.dequantize(qw, jnp.float32))
+        assert np.abs(np.asarray(w) - wd).max() <= float(
+            qw["s"].max()) * 0.51
+
+    def test_quantized_decode_cache(self, rng):
+        from procyon_tpu.models import llama as L
+        cfg = L.tiny_config(attn_backend="ref", remat=False)
+        params = L.init_params(jax.random.PRNGKey(0), cfg)
+        qparams = L.quantize_params(params, cfg)
+        cache = L.init_kv_cache(cfg, 1, max_len=16)
+        tokens = jnp.arange(8).reshape(1, 8)
+        out = L.forward(qparams, cfg, tokens=tokens, kv_cache=cache)
+        assert np.isfinite(np.asarray(out["logits"])).all()
+
+    def test_memory_halves(self):
+        from procyon_tpu.models import llama as L
+        cfg = L.tiny_config(dtype=jnp.bfloat16)
+        params = L.init_params(jax.random.PRNGKey(0), cfg)
+        qparams = L.quantize_params(params, cfg)
+        def nbytes(t):
+            return sum(x.size * x.dtype.itemsize
+                       for x in jax.tree_util.tree_leaves(t))
+        assert nbytes(qparams["layers"]) < 0.7 * nbytes(params["layers"])
