@@ -141,19 +141,22 @@ def init_params(key, cfg: ESM2Config):
 def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
     B, S, _ = x.shape
     hd = cfg.head_dim
-    cos_g, sin_g, perm = rot
+    cos_g, sin_g = rot
 
     h = layer_norm(x, lp["attn_norm"]["w"], lp["attn_norm"]["b"],
                    eps=cfg.norm_eps)
-    # rotate_half convention (fair-esm / modeling_esm.py:44-53), applied on
-    # the flat projection outputs (see ops/rotary.py flat_rotary_tables)
-    q = apply_rotary_flat(h @ lp["attn"]["wq"] + lp["attn"]["bq"],
-                          cos_g, sin_g, perm).reshape(B, S, cfg.n_heads, hd)
-    k = apply_rotary_flat(h @ lp["attn"]["wk"] + lp["attn"]["bk"],
-                          cos_g, sin_g, perm).reshape(B, S, cfg.n_heads, hd)
+    # rotate_half convention (fair-esm / modeling_esm.py:44-53). Rotary is
+    # delegated to flash_attention(rope=...): fused into the packed kernel
+    # as lane rolls on TPU (the XLA x[..., perm] gather costs two HBM
+    # relayout copies per projection), applied outside on other backends.
+    q = (h @ lp["attn"]["wq"] + lp["attn"]["bq"]).reshape(
+        B, S, cfg.n_heads, hd)
+    k = (h @ lp["attn"]["wk"] + lp["attn"]["bk"]).reshape(
+        B, S, cfg.n_heads, hd)
     v = (h @ lp["attn"]["wv"] + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
     attn = flash_attention(q, k, v, seg_ids, seg_ids, causal=False,
-                           backend=cfg.attn_backend)
+                           backend=cfg.attn_backend,
+                           rope=(cos_g, sin_g, cos_g, sin_g))
     attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
     x = x + attn @ lp["attn"]["wo"] + lp["attn"]["bo"]
 
@@ -194,10 +197,11 @@ def forward(params, cfg: ESM2Config, tokens, *, seg_ids=None,
         x = x * scale[:, None, None]
     x = x.astype(cfg.dtype)
 
-    cos_f, sin_f, perm = flat_rotary_tables(cfg.head_dim, cfg.n_heads,
-                                            cfg.max_seq_len)
-    rot = (cos_f[positions].astype(cfg.dtype),
-           sin_f[positions].astype(cfg.dtype), perm)
+    cos_f, sin_f, _ = flat_rotary_tables(cfg.head_dim, cfg.n_heads,
+                                         cfg.max_seq_len)
+    # position-uniform [S, H*D] tables (positions are arange for every row);
+    # rotary itself is applied inside flash_attention (see _block)
+    rot = (cos_f[:S].astype(cfg.dtype), sin_f[:S].astype(cfg.dtype))
 
     def scan_body(x, lp):
         return _block(x, lp, seg_ids, positions, rot, cfg), None

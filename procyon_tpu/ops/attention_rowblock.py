@@ -138,8 +138,30 @@ def rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True):
 # ---------------------------------------------------------------------------
 
 
+def _lane_rotate_half(x, D):
+    """Per-head rotate_half permutation y[l] = x[D*(l//D) + (l+D/2) % D]
+    over the 128-lane axis, as two full-width rolls + a lane select (VPU
+    shuffles; the XLA equivalent gather costs two HBM relayout copies)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    d2 = D // 2
+    lanes = x.shape[-1]
+    # Mosaic only rotates 32-bit data; the VMEM-local up/downcast is free
+    # next to the HBM copies this replaces
+    x32 = x if x.dtype.itemsize == 4 else x.astype(jnp.float32)
+    r_plus = pltpu.roll(x32, d2, axis=x.ndim - 1)          # x[l - D/2]
+    r_minus = pltpu.roll(x32, (lanes - d2) % lanes, axis=x.ndim - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where((lane % D) < d2, r_minus, r_plus).astype(x.dtype)
+
+
 def _rowblock_packed_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
-                            kp_ref, o_ref, *, causal, sm_scale, head_dim):
+                            kp_ref, *rest, causal, sm_scale, head_dim,
+                            fused_rope):
+    if fused_rope:
+        cq_ref, sq_t_ref, ck_ref, sk_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     block_q = q_ref.shape[1]
     lanes = q_ref.shape[2]
     Skv = k_ref.shape[1]
@@ -156,6 +178,9 @@ def _rowblock_packed_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
     qb = q_ref[0]   # [bq, lanes]
     kb = k_ref[0]   # [Skv, lanes]
     vb = v_ref[0]
+    if fused_rope:
+        qb = qb * cq_ref[...] + _lane_rotate_half(qb, head_dim) * sq_t_ref[...]
+        kb = kb * ck_ref[...] + _lane_rotate_half(kb, head_dim) * sk_ref[...]
     outs = []
     for h in range(hpb):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -179,9 +204,15 @@ def _rowblock_packed_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
+def rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, rope=None):
     """q/k/v [B, S, H, D] -> attention out [B, S, H, D], no transposes.
-    Preconditions: Hq == Hkv, (H*D) % 128 == 0, 128 % D == 0."""
+    Preconditions: Hq == Hkv, (H*D) % 128 == 0, 128 % D == 0.
+
+    rope: optional (cos_q, sin_q, cos_k, sin_k) flat sign-folded tables
+    ([Sq, H*D] / [Skv, H*D], see ops/rotary.flat_rotary_tables) — rotary is
+    applied to q/k inside the kernel via lane rolls, avoiding the two HBM
+    relayout copies XLA emits for the x[..., perm] gather (~1 ms/layer at
+    ESM2-650M scale)."""
     causal, sm_scale, interpret, _ = cfg
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
@@ -194,22 +225,34 @@ def rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
     vf = v.reshape(B, Skv, Hkv * D)
 
     kernel = functools.partial(_rowblock_packed_kernel, causal=causal,
-                               sm_scale=sm_scale, head_dim=D)
+                               sm_scale=sm_scale, head_dim=D,
+                               fused_rope=rope is not None)
+    in_specs = [
+        pl.BlockSpec((1, block_q, 128), lambda b, h, i: (b, i, h)),
+        pl.BlockSpec((1, Skv, 128), lambda b, h, i: (b, 0, h)),
+        pl.BlockSpec((1, Skv, 128), lambda b, h, i: (b, 0, h)),
+        fa._q_specs(block_q),
+        fa._kv_specs(Skv),
+        fa._q_specs(block_q),
+        fa._kv_specs(Skv),
+    ]
+    args = [qf, kf, vf, fa._lane_bcast(seg_q), fa._sublane_bcast(seg_kv),
+            fa._lane_bcast(qpos), fa._sublane_bcast(kpos)]
+    if rope is not None:
+        cos_q, sin_q, cos_k, sin_k = (t.astype(q.dtype) for t in rope)
+        in_specs += [
+            pl.BlockSpec((block_q, 128), lambda b, h, i: (i, h)),
+            pl.BlockSpec((block_q, 128), lambda b, h, i: (i, h)),
+            pl.BlockSpec((Skv, 128), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Skv, 128), lambda b, h, i: (0, h)),
+        ]
+        args += [cos_q, sin_q, cos_k, sin_k]
     out = pl.pallas_call(
         kernel,
         grid=(B, Hq // hpb, Sq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, 128), lambda b, h, i: (b, i, h)),
-            pl.BlockSpec((1, Skv, 128), lambda b, h, i: (b, 0, h)),
-            pl.BlockSpec((1, Skv, 128), lambda b, h, i: (b, 0, h)),
-            fa._q_specs(block_q),
-            fa._kv_specs(Skv),
-            fa._q_specs(block_q),
-            fa._kv_specs(Skv),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, 128), lambda b, h, i: (b, i, h)),
         out_shape=jax.ShapeDtypeStruct((B, Sq, Hq * D), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf, fa._lane_bcast(seg_q), fa._sublane_bcast(seg_kv),
-      fa._lane_bcast(qpos), fa._sublane_bcast(kpos))
+    )(*args)
     return out.reshape(B, Sq, Hq, D), None

@@ -36,6 +36,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 DEFAULT_MASK_VALUE = -1e30
@@ -187,10 +188,32 @@ def _kv_specs(Skv):
     return pl.BlockSpec((1, NUM_SUBLANES, Skv), lambda b, h, i: (b, 0, 0))
 
 
-def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True):
+def _rope_perm(H, D):
+    """Flat lane permutation for the rotate_half convention (per head:
+    j -> (j + D/2) % D); an involution. Matches rotary.flat_rotary_tables."""
+    j = np.arange(H * D)
+    return (j // D) * D + ((j % D) + D // 2) % D
+
+
+def _apply_rope_4d(x, cos, sin_signed):
+    """Apply flat rotary to x [B,S,H,D] using [>=S, H*D] sign-folded tables
+    (ops/rotary.flat_rotary_tables). Inverse rotation: negate sin_signed."""
+    B, S, H, D = x.shape
+    xf = x.reshape(B, S, H * D)
+    perm = _rope_perm(H, D)
+    c = cos[:S].astype(x.dtype)[None]
+    sn = sin_signed[:S].astype(x.dtype)[None]
+    return (xf * c + xf[..., perm] * sn).reshape(B, S, H, D)
+
+
+def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True, rope=None):
     """want_lse=False (inference) skips the lane-broadcast logsumexp output
     — at ESM2-650M shapes that output is ~670MB written + re-read per
-    layer, needed only by the backward kernels."""
+    layer, needed only by the backward kernels.
+
+    rope: optional (cos_q, sin_q, cos_k, sin_k) flat tables — fused into
+    the packed kernel (lane rolls) when that path is taken, else applied
+    outside before the kernel."""
     causal, sm_scale, interpret, bounded = cfg[:4]
     if len(cfg) > 4 and cfg[4] == "rowblock":
         from procyon_tpu.ops.attention_rowblock import (rowblock_fwd,
@@ -201,9 +224,15 @@ def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True):
         if (not want_lse and Hq == Hkv and (Hq * D) % 128 == 0
                 and 128 % D == 0):
             return rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos,
-                                       cfg[:4])
+                                       cfg[:4], rope=rope)
+        if rope is not None:
+            q = _apply_rope_4d(q, rope[0], rope[1])
+            k = _apply_rope_4d(k, rope[2], rope[3])
         return rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg[:4],
                             want_lse=want_lse)
+    if rope is not None:
+        q = _apply_rope_4d(q, rope[0], rope[1])
+        k = _apply_rope_4d(k, rope[2], rope[3])
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
     group = Hq // Hkv
@@ -440,22 +469,36 @@ def _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _flash(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _flash(q, k, v, seg_q, seg_kv, qpos, kpos, rope, cfg):
     # primal (not differentiated): skip the lse output entirely
-    out, _ = _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=False)
+    out, _ = _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=False,
+                  rope=rope)
     return out
 
 
-def _flash_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg):
+def _flash_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, rope, cfg):
+    # residuals hold the ROTATED q/k (the bwd kernels recompute scores);
+    # the vjp of the rotation itself is applied to dq/dk afterwards
+    if rope is not None:
+        q = _apply_rope_4d(q, rope[0], rope[1])
+        k = _apply_rope_4d(k, rope[2], rope[3])
     out, lse = _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg)
-    return out, (q, k, v, seg_q, seg_kv, qpos, kpos, out, lse)
+    return out, (q, k, v, seg_q, seg_kv, qpos, kpos, rope, out, lse)
 
 
 def _flash_bwd(cfg, res, do):
-    q, k, v, seg_q, seg_kv, qpos, kpos, out, lse = res
+    q, k, v, seg_q, seg_kv, qpos, kpos, rope, out, lse = res
     dq, dk, dv = _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg)
-    return dq, dk, dv, None, None, None, None
+    if rope is not None:
+        # per-pair rotations are orthogonal: the vjp is the inverse
+        # rotation, i.e. the same flat form with sin_signed negated
+        dq = _apply_rope_4d(dq, rope[0], -rope[1])
+        dk = _apply_rope_4d(dk, rope[2], -rope[3])
+        drope = tuple(jnp.zeros_like(t) for t in rope)
+    else:
+        drope = None
+    return dq, dk, dv, None, None, None, None, drope
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -472,7 +515,7 @@ def _pad_to(x, target, axis, value=0):
 
 def flash_attention(q, k, v, seg_q=None, seg_kv=None, *, causal=False,
                     sm_scale=None, q_positions=None, kv_positions=None,
-                    backend=None, interpret=False):
+                    backend=None, interpret=False, rope=None):
     """Flash attention entry point. See module docstring for layout/masking.
 
     backend: None (auto: pallas on TPU, reference elsewhere), "pallas",
@@ -480,6 +523,12 @@ def flash_attention(q, k, v, seg_q=None, seg_kv=None, *, causal=False,
     q_positions/kv_positions [B,S] override positional causal comparison
     (needed for KV-cache decode and left-padded prompts). When omitted and
     causal=True, sequence indices are used and upper kv blocks are skipped.
+
+    rope: optional (cos_q, sin_q, cos_k, sin_k) flat sign-folded rotary
+    tables ([>=Sq, H*D] / [>=Skv, H*D], rotary.flat_rotary_tables); q and k
+    are then given PRE-rotary and rotary is applied internally — fused into
+    the packed inference kernel, applied outside on other paths. Only valid
+    when all rows share positions arange(S) (ESM2 encoder).
     """
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
@@ -505,6 +554,9 @@ def flash_attention(q, k, v, seg_q=None, seg_kv=None, *, causal=False,
     kv_positions = kv_positions.astype(jnp.int32)
 
     if backend == "ref":
+        if rope is not None:
+            q = _apply_rope_4d(q, rope[0], rope[1])
+            k = _apply_rope_4d(k, rope[2], rope[3])
         return mha_reference(q, k, v, seg_q, seg_kv, causal=causal,
                              sm_scale=sm_scale, q_positions=q_positions,
                              kv_positions=kv_positions)
@@ -522,6 +574,16 @@ def flash_attention(q, k, v, seg_q=None, seg_kv=None, *, causal=False,
     qpp = _pad_to(q_positions, Sq_p, 1, value=0)
     kpp = _pad_to(kv_positions, Skv_p, 1, value=0)
 
+    rope_p = None
+    if rope is not None:
+        # slice to the live lengths, pad to the tile with the identity
+        # rotation (cos=1, sin=0); padded rows are masked anyway
+        cos_q = _pad_to(rope[0][:Sq], Sq_p, 0, value=1.0)
+        sin_q = _pad_to(rope[1][:Sq], Sq_p, 0, value=0.0)
+        cos_k = _pad_to(rope[2][:Skv], Skv_p, 0, value=1.0)
+        sin_k = _pad_to(rope[3][:Skv], Skv_p, 0, value=0.0)
+        rope_p = (cos_q, sin_q, cos_k, sin_k)
+
     cfg = (causal, sm_scale, interpret, bounded, impl)
-    out = _flash(qp, kp, vp, sqp, skvp, qpp, kpp, cfg)
+    out = _flash(qp, kp, vp, sqp, skvp, qpp, kpp, rope_p, cfg)
     return out[:, :Sq]
