@@ -60,6 +60,11 @@ class DataArgs:
     max_text_len: int = 2048
     num_examples: int = 1               # ICL examples per prompt
     use_text_crop_sampling: bool = False
+    # augmentation: sample task-def / entity-description rephrasings
+    # (reference training_args use_task_def_rephrasings etc.)
+    use_task_def_rephrasings: bool = False
+    use_entity_rephrasings: bool = False
+    entity_rephrase_prob: float = 0.5
     negative_samples_per_positive: int = 1
     qa_batch_size: int = 8
     retrieval_batch_size: int = 8
@@ -201,7 +206,10 @@ def build_collator_config(margs: ModelArgs, dargs: DataArgs):
         use_protein_tokens=not margs.use_aaseq_embeddings,
         protein_embed_dim=margs.protein_embed_dim,
         long_protein_strategy=margs.long_protein_strategy,
-        crop_texts=dargs.use_text_crop_sampling)
+        crop_texts=dargs.use_text_crop_sampling,
+        use_task_def_rephrasings=dargs.use_task_def_rephrasings,
+        use_entity_rephrasings=dargs.use_entity_rephrasings,
+        entity_rephrase_prob=dargs.entity_rephrase_prob)
 
 
 def freeze_fn(margs: ModelArgs):

@@ -51,6 +51,14 @@ class CollatorConfig:
     max_protein_rows: int = 0
     left_pad: bool = False         # generation prompts are left-padded
     crop_texts: bool = True        # crop descriptions into the length budget
+    # sample among task-definition rephrasings per batch
+    # (it_collator.py:392-418); batches carry "rephrase_indicator"
+    use_task_def_rephrasings: bool = False
+    # sample rephrased entity descriptions (it_collator.py:420-460) with
+    # this probability per instance; stores without variants fall back to
+    # the canonical text
+    use_entity_rephrasings: bool = False
+    entity_rephrase_prob: float = 0.5
 
 
 class TextStore:
@@ -65,6 +73,9 @@ class TextStore:
 
     def text(self, idx: int) -> str:
         raise NotImplementedError
+
+    def text_variant(self, idx: int, variant: int) -> str:
+        return self.text(idx)   # stores without rephrasings
 
 
 def _assemble(prompt_text: str, tokenizer, ext_texts: Sequence[str],
@@ -211,6 +222,16 @@ class BaseCollator:
         self.context_provider = context_provider
         self.text_type = text_type or task.get("DATASET_IDENTIFIER", "")
 
+    def _instance_text(self, text_idx: int) -> str:
+        """Canonical or rephrased description for an instance (entity
+        rephrasings, it_collator.py:420-460)."""
+        if (self.cfg.use_entity_rephrasings
+                and self.rng.random() < self.cfg.entity_rephrase_prob
+                and hasattr(self.store, "text_variant")):
+            return self.store.text_variant(
+                text_idx, int(self.rng.integers(0, 6)))
+        return self.store.text(text_idx)
+
     def _contexts(self, prompt, query_text_idx) -> list:
         """[CONTEXT] strings in marker order: ICL examples then the
         instance (it_collator.py context augmentation)."""
@@ -265,7 +286,7 @@ class QACollator(BaseCollator):
         yes_no = []
         for aaseq_idx, text_idx, positive in samples:
             answer = " yes" if positive else " no"
-            exts = self._prompt_exts(prompt, self.store.text(text_idx))
+            exts = self._prompt_exts(prompt, self._instance_text(text_idx))
             ids, prot_pos, _, ans_pos, _ = _assemble(
                 prompt.text, self.tokenizer, exts, answer,
                 self.cfg.max_text_len, self.cfg.crop_texts, self.rng,
@@ -318,7 +339,7 @@ class RetrievalCollator(BaseCollator):
         aaseq_ids = []
         neg_pos = [] if negatives is not None else None
         for si, (aaseq_idx, text_idx) in enumerate(samples):
-            exts = self._prompt_exts(prompt, self.store.text(text_idx))
+            exts = self._prompt_exts(prompt, self._instance_text(text_idx))
             ids, prot_pos, prot_query, _, _ = _assemble(
                 prompt.text, self.tokenizer, exts, None,
                 self.cfg.max_text_len, self.cfg.crop_texts, self.rng,
@@ -368,7 +389,7 @@ class CaptionCollator(BaseCollator):
         # the final [EXT] in a caption template is the target text; split
         # the template at "Output: [ANSWER] [EXT]" tail
         for aaseq_idx, text_idx in samples:
-            caption = self.store.text(text_idx)
+            caption = self._instance_text(text_idx)
             # ICL exts fill earlier [EXT]s; the last is the caption target
             icl_exts = [self.store.text(t) for t in prompt.example_text_ids]
             exts = icl_exts + ([""] if for_generation else [caption])

@@ -119,6 +119,13 @@ def build_mlm_stream(store, *, batch_size: int, n_proteins: int,
     return stream
 
 
+def _mark(batch, ridx):
+    """Tag a batch with the sampled task-def rephrasing index (0 =
+    canonical); mirrors the reference's rephrase_indicator batch field."""
+    batch["rephrase_indicator"] = np.int32(ridx)
+    return batch
+
+
 def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                        collator_cfg: C.CollatorConfig,
                        batch_sizes: Dict[str, int],
@@ -157,9 +164,16 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                     per_task_weights.setdefault(task, {})[key] = entry.weight
                 if task_id not in prompts:
                     ppi = _is_ppi(entry)
-                    prompts[task_id] = instruct.get_prompt(
-                        template, num_examples=collator_cfg.num_examples,
-                        is_ppi=ppi, aaseq_type=entry.aaseq_type)
+                    n_var = (instruct.n_prompt_variants(template)
+                             if collator_cfg.use_task_def_rephrasings
+                             else 1)
+                    prompts[task_id] = [
+                        instruct.get_prompt(
+                            template,
+                            num_examples=collator_cfg.num_examples,
+                            is_ppi=ppi, aaseq_type=entry.aaseq_type,
+                            rephrase_idx=r)
+                        for r in range(n_var)]
                     if ppi:
                         coll_cls = {"qa": C.PPIQACollator,
                                     "retrieval": C.PPIRetrievalCollator}[task]
@@ -197,7 +211,10 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                 state_holder[task] = nxt.to_dict()
                 ds = dsets[key]
                 task_id = key.rsplit("_", 1)[0]
-                prompt = prompts[task_id]
+                variants = prompts[task_id]
+                ridx = int(rng.integers(0, len(variants))) \
+                    if len(variants) > 1 else 0
+                prompt = variants[ridx]
                 coll = collators[task_id]
                 items = [ds[i] for i in idxs]
                 is_pair = "aaseq_idx_2" in items[0]
@@ -211,7 +228,7 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                              True) for x in items]
                         samples = [(a, b, bool(i % 2 == 0))
                                    for i, (a, b, _) in enumerate(samples)]
-                        return coll(samples, prompt)
+                        return _mark(coll(samples, prompt), ridx)
                     # "no" rows use sampled negatives avoiding true
                     # relations (QACollator pos+neg rows,
                     # it_collator.py:995-1060)
@@ -224,13 +241,13 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                         else:
                             samples.append((int(x["neg_aaseqs"][0]),
                                             x["text_idx"], False))
-                    return coll(samples, prompt)
+                    return _mark(coll(samples, prompt), ridx)
                 if is_pair:
                     samples = [(x["aaseq_idx"], x["aaseq_idx_2"])
                                for x in items]
-                    return coll(samples, prompt)
+                    return _mark(coll(samples, prompt), ridx)
                 samples = [(x["aaseq_idx"], x["text_idx"]) for x in items]
-                batch = coll(samples, prompt)
+                batch = _mark(coll(samples, prompt), ridx)
                 if task == "caption":
                     w = entry_weights.get(key, 1.0)
                     if w != 1.0:

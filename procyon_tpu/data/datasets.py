@@ -58,6 +58,19 @@ class SyntheticStore:
         return (f"synthetic phenotype description number {idx} involving "
                 f"pathway p{idx % 7} and function f{idx % 11}")
 
+    def text_variant(self, idx: int, variant: int) -> str:
+        """Deterministic alternative wordings of text(idx) (entity
+        rephrasings, it_collator.py:420-460)."""
+        idx = idx % self.n_texts
+        forms = [
+            (f"phenotype {idx}, linked to pathway p{idx % 7} and "
+             f"function f{idx % 11} (synthetic rephrasing)"),
+            (f"a synthetic trait record ({idx}) tied to p{idx % 7} "
+             f"signalling and the f{idx % 11} activity"),
+            (f"record {idx}: pathway p{idx % 7}; function f{idx % 11}"),
+        ]
+        return forms[variant % len(forms)]
+
 
 class ProCyonDataStore:
     """Reads the ProCyon-Instruct DATA_DIR layout (README.md:39-59).
@@ -145,10 +158,17 @@ class TextTableStore:
     """Binds a ProCyonDataStore to one text dataset + composed columns."""
 
     def __init__(self, base: ProCyonDataStore, text_type: str,
-                 columns: Sequence[str]):
+                 columns: Sequence[str],
+                 rephrase_suffixes: Sequence[str] = (
+                     "junior_rephrasing", "mid_rephrasing",
+                     "senior_rephrasing", "junior_summarisation",
+                     "mid_summarisation", "senior_summarisation")):
         self.base = base
         self.text_type = text_type
         self.columns = columns
+        # entity-rephrasing columns, "{col}_{expertise}_{level}" layout
+        # (constants.py EXPERTISE_LEVEL x REPHRASE_ENTITY_LEVEL)
+        self.rephrase_suffixes = list(rephrase_suffixes)
 
     def protein_sequence(self, idx):
         return self.base.protein_sequence(idx)
@@ -160,6 +180,23 @@ class TextTableStore:
         df, cols = self.base.load_text_table(self.text_type, self.columns)
         row = df.iloc[idx]
         parts = [str(row[c]) for c in cols if str(row[c]) != "nan"]
+        return " ".join(parts)
+
+    def text_variant(self, idx: int, variant: int) -> str:
+        """Rephrased composed description: each base column is replaced by
+        its "{col}_{suffix}" rephrasing column when the table provides one
+        (reference stores *_filtered_rephrased.pkl tables with
+        expertise x level column variants); falls back to the canonical
+        column otherwise."""
+        df, cols = self.base.load_text_table(self.text_type, self.columns)
+        suffix = self.rephrase_suffixes[variant % len(self.rephrase_suffixes)]
+        row = df.iloc[idx]
+        parts = []
+        for c in cols:
+            rc = f"{c}_{suffix}"
+            v = row[rc] if rc in df.columns else row[c]
+            if str(v) != "nan":
+                parts.append(str(v))
         return " ".join(parts)
 
 

@@ -52,12 +52,17 @@ def construct_task_id(aaseq_type: str, text_type: str, relation: str,
     return f"{aaseq_type}_{text_type}_{relation}_{task}"
 
 
-def fill_definition(task: Dict) -> str:
-    d = task["Definition"]
+def fill_definition(task: Dict, template: Optional[str] = None) -> str:
+    d = task["Definition"] if template is None else template
     for slot in ("Relationship Summary", "Biological Summary",
                  "Task-Specific Relationship"):
         d = d.replace("{%s}" % slot, task.get(slot, ""))
     return d
+
+
+def n_prompt_variants(task: Dict) -> int:
+    """1 (canonical) + number of task-definition rephrasings."""
+    return 1 + len(task.get("Rephrasings") or [])
 
 
 @dataclasses.dataclass
@@ -125,9 +130,20 @@ def _caption_examples(examples, n, aaseq):
 
 def get_prompt(task: Dict, *, num_examples: Optional[int] = None,
                is_ppi: bool = False, aaseq_type: Optional[str] = "protein",
-               open_definition: bool = False) -> Prompt:
+               open_definition: bool = False,
+               rephrase_idx: Optional[int] = None) -> Prompt:
+    """rephrase_idx: None/0 = canonical Definition; i >= 1 selects
+    task["Rephrasings"][i-1] (task-def rephrasings,
+    it_collator.py:392-418) — same slots, alternative wording."""
     aaseq = aaseq_prompt_name(aaseq_type)
-    definition = "{definition}" if open_definition else fill_definition(task)
+    template = None
+    if rephrase_idx:
+        variants = task.get("Rephrasings") or []
+        if variants:
+            template = variants[(rephrase_idx - 1) % len(variants)][
+                "Definition"]
+    definition = "{definition}" if open_definition \
+        else fill_definition(task, template)
     category = task["CATEGORY"]
 
     if category == "qa":

@@ -147,6 +147,103 @@ PPI_DATASETS = {
         "Homology is inferred from sequence similarity. "),
 }
 
+# Task-definition rephrasings (it_collator.py:392-418 semantics: per-task
+# paraphrase variants at expertise/rephrase levels, sampled at collate
+# time). Fresh wording; slot structure identical to the canonical form.
+REPHRASINGS = {
+    "qa": [
+        ("rephrasing", "mid",
+         "The following text concerns {Biological Summary}. Decide whether "
+         "the accompanying protein is {Relationship Summary} described "
+         "there. {Task-Specific Relationship}Answer strictly with yes or "
+         "no: yes if the protein matches the description, no otherwise."),
+        ("rephrasing", "senior",
+         "Given a textual characterization of {Biological Summary} and a "
+         "candidate protein, assess whether that protein is "
+         "{Relationship Summary} referenced in the text. "
+         "{Task-Specific Relationship}Respond only with yes or no."),
+        ("summarisation", "junior",
+         "Text about {Biological Summary} is shown with a protein. Say yes "
+         "if the protein is {Relationship Summary} in the text, otherwise "
+         "say no. {Task-Specific Relationship}"),
+        ("simplification", "junior",
+         "Read the text about {Biological Summary}. Look at the protein. "
+         "Is the protein {Relationship Summary} the text talks about? "
+         "{Task-Specific Relationship}Reply yes or no only."),
+    ],
+    "retrieval": [
+        ("rephrasing", "mid",
+         "The following text concerns {Biological Summary}. Find a protein "
+         "that is {Relationship Summary} described there. "
+         "{Task-Specific Relationship}"),
+        ("rephrasing", "senior",
+         "Given a textual characterization of {Biological Summary}, "
+         "identify a protein that is {Relationship Summary} referenced in "
+         "the text. {Task-Specific Relationship}"),
+        ("summarisation", "junior",
+         "Text about {Biological Summary} is shown. Pick a protein that is "
+         "{Relationship Summary} in the text. "
+         "{Task-Specific Relationship}"),
+        ("simplification", "junior",
+         "Read the text about {Biological Summary}. Find the protein that "
+         "is {Relationship Summary} the text talks about. "
+         "{Task-Specific Relationship}"),
+    ],
+    "caption": [
+        ("rephrasing", "mid",
+         "A protein is shown below. Compose text describing "
+         "{Biological Summary} for which this protein is "
+         "{Relationship Summary}. {Task-Specific Relationship}"),
+        ("rephrasing", "senior",
+         "Given the protein presented, author a description of "
+         "{Biological Summary} such that the protein is "
+         "{Relationship Summary}. {Task-Specific Relationship}"),
+        ("summarisation", "junior",
+         "A protein is shown. Write text on {Biological Summary} where the "
+         "protein is {Relationship Summary}. "
+         "{Task-Specific Relationship}"),
+        ("simplification", "junior",
+         "Look at the protein. Write what {Biological Summary} it goes "
+         "with, where the protein is {Relationship Summary}. "
+         "{Task-Specific Relationship}"),
+    ],
+}
+REPHRASINGS_PPI = {
+    "qa": [
+        ("rephrasing", "mid",
+         "Two proteins are shown below. Decide whether they "
+         "{Relationship Summary}. {Task-Specific Relationship}Answer "
+         "strictly with yes or no."),
+        ("rephrasing", "senior",
+         "Given the pair of proteins presented, assess whether the two "
+         "{Relationship Summary}. {Task-Specific Relationship}Respond "
+         "only with yes or no."),
+        ("summarisation", "junior",
+         "A protein pair is shown. Say yes if they "
+         "{Relationship Summary}, otherwise say no. "
+         "{Task-Specific Relationship}"),
+        ("simplification", "junior",
+         "Look at the two proteins. Do they {Relationship Summary}? "
+         "{Task-Specific Relationship}Reply yes or no only."),
+    ],
+    "retrieval": [
+        ("rephrasing", "mid",
+         "A protein is shown below. Find a second protein so that the two "
+         "{Relationship Summary}. {Task-Specific Relationship}"),
+        ("rephrasing", "senior",
+         "Given the protein presented, identify a partner protein such "
+         "that the pair {Relationship Summary}. "
+         "{Task-Specific Relationship}"),
+        ("summarisation", "junior",
+         "One protein is shown. Pick another so the two "
+         "{Relationship Summary}. {Task-Specific Relationship}"),
+        ("simplification", "junior",
+         "Look at the protein. Find one more protein so that they "
+         "{Relationship Summary}. {Task-Specific Relationship}"),
+    ],
+}
+
+
 EXAMPLES_POS = [{"text": 0, "aaseq": 0, "output": "yes"},
                 {"text": 1, "aaseq": 1, "output": "yes"}]
 EXAMPLES_NEG = [{"text": 2, "aaseq": 2, "output": "no"},
@@ -163,12 +260,17 @@ def task_json(name, summaries, category, ppi=False):
     if ppi:
         definition = QA_PPI_DEF if category == "qa" else RET_PPI_DEF
         pos, neg = EXAMPLES_PPI_POS, EXAMPLES_PPI_NEG
+        rephrasings = REPHRASINGS_PPI[category]
     else:
         definition = {"qa": QA_DEF, "retrieval": RET_DEF,
                       "caption": CAP_DEF}[category]
         pos, neg = EXAMPLES_POS, EXAMPLES_NEG
+        rephrasings = REPHRASINGS[category]
     return {
         "Definition": definition,
+        "Rephrasings": [
+            {"Definition": d, "level": lvl, "expertise": exp}
+            for lvl, exp, d in rephrasings],
         "DATASET_IDENTIFIER": dataset_id,
         "CATEGORY": category,
         "Relationship Summary": rel,

@@ -281,3 +281,82 @@ class TestProCyonDataStore:
         store = datasets.ProCyonDataStore(str(tmp_path))
         assert store.protein_sequence(0) == "MKVLAGGH"
         assert store.protein_sequence(1) == "ACDEF"
+
+
+class TestRephrasings:
+    def test_task_json_has_variants(self):
+        from procyon_tpu.data import instruct
+        lib = instruct.TaskLibrary()
+        task = lib.get("go_process_qa")
+        assert instruct.n_prompt_variants(task) == 5
+        for v in task["Rephrasings"]:
+            assert "{Biological Summary}" in v["Definition"]
+            assert v["level"] in ("rephrasing", "summarisation",
+                                  "simplification")
+
+    def test_rephrased_prompt_same_structure(self):
+        from procyon_tpu.data import instruct
+        lib = instruct.TaskLibrary()
+        task = lib.get("go_process_qa")
+        base = instruct.get_prompt(task, num_examples=1)
+        texts = set()
+        for r in range(instruct.n_prompt_variants(task)):
+            p = instruct.get_prompt(task, num_examples=1, rephrase_idx=r)
+            # marker structure identical, wording different
+            assert p.n_protein_slots == base.n_protein_slots
+            assert p.n_ext_slots == base.n_ext_slots
+            assert p.text.count("[ANSWER]") == base.text.count("[ANSWER]")
+            texts.add(p.text)
+        assert len(texts) == 5  # all distinct wordings
+
+    def test_stream_samples_rephrasings(self):
+        import numpy as np
+        from procyon_tpu.data import collators as C
+        from procyon_tpu.data import data_config as DC
+        from procyon_tpu.data import datasets
+        from procyon_tpu.data.text_tokenizer import WordTokenizer
+
+        store = datasets.SyntheticStore(n_proteins=32, n_texts=16)
+        cfg = DC.MultiDatasetConfig(entries=[DC.DatasetEntry(
+            aaseq_type="protein", text_type="go",
+            relations=["process"],
+            tasks=["qa"], splits=["train"], weight=1.0)])
+        ccfg = C.CollatorConfig(max_text_len=128, protein_embed_dim=store.embed_dim,
+                                use_task_def_rephrasings=True)
+        streams, _, _ = DC.build_task_streams(
+            cfg, store=store, collator_cfg=ccfg,
+            tokenizer=WordTokenizer(2048), batch_sizes={"qa": 4},
+            seed=0, synthetic=True)
+        seen = set()
+        for _ in range(20):
+            b = streams["qa"]()
+            assert "rephrase_indicator" in b
+            seen.add(int(b["rephrase_indicator"]))
+        assert len(seen) > 1, seen  # actually samples different variants
+        assert max(seen) <= 4 and min(seen) >= 0
+
+    def test_entity_rephrasings_sampled(self):
+        import numpy as np
+        from procyon_tpu.data import collators as C
+        from procyon_tpu.data import datasets, instruct
+        from procyon_tpu.data.text_tokenizer import WordTokenizer
+
+        store = datasets.SyntheticStore(n_proteins=8, n_texts=4)
+        assert store.text_variant(1, 0) != store.text(1)
+        lib = instruct.TaskLibrary()
+        task = lib.get("go_process_caption")
+        prompt = instruct.get_prompt(task, num_examples=1)
+        tok = WordTokenizer(2048)
+        cfg = C.CollatorConfig(max_text_len=128,
+                               protein_embed_dim=store.embed_dim,
+                               use_entity_rephrasings=True,
+                               entity_rephrase_prob=1.0)
+        coll = C.CaptionCollator(cfg, tok, store, task)
+        base_coll = C.CaptionCollator(
+            C.CollatorConfig(max_text_len=128,
+                             protein_embed_dim=store.embed_dim),
+            tok, store, task)
+        b1 = coll([(0, 1)], prompt)
+        b2 = base_coll([(0, 1)], prompt)
+        # rephrased caption target differs from the canonical one
+        assert not np.array_equal(b1["input_ids"], b2["input_ids"])
