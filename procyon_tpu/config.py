@@ -100,6 +100,9 @@ class TrainArgs:
     eval_steps: int = 0
     keep_last_checkpoints: int = 3
     early_stopping_patience: int = 0
+    # 4-phase MoLoRA expert cycling (trainIT.py lora_specific_training);
+    # requires a 4-expert LoRA decoder config
+    lora_phase_training: bool = False
     # mesh
     mesh_data: int = 1
     mesh_fsdp: int = -1
@@ -184,7 +187,8 @@ def build_loop_config(targs: TrainArgs):
         save_steps=targs.save_steps, eval_steps=targs.eval_steps,
         keep_last_checkpoints=targs.keep_last_checkpoints,
         output_dir=targs.output_dir, skip_frequency=skip,
-        early_stopping_patience=targs.early_stopping_patience)
+        early_stopping_patience=targs.early_stopping_patience,
+        lora_phase_training=targs.lora_phase_training)
 
 
 def build_task_weights(targs: TrainArgs):

@@ -14,7 +14,10 @@ from procyon_tpu.training import train_step as ts
 
 def make_combined_step(cfg: unified.UnifiedConfig, optimizer,
                        weights: ts.TaskWeights = ts.TaskWeights(),
-                       donate: bool = True):
+                       donate: bool = True, expert_override=None):
+    """expert_override: run EVERY task through this LoRA expert index —
+    the reference's joint phase (trainIT.py:898-931 sets group 3 for the
+    all-task step of lora_specific_training)."""
     def step(state, batches):
         """batches: dict with optional keys qa / caption / retrieval / mlm."""
 
@@ -22,6 +25,8 @@ def make_combined_step(cfg: unified.UnifiedConfig, optimizer,
                      if cfg.llama.lora is not None else 1)
 
         def expert(task):
+            if expert_override is not None:
+                return expert_override % max(n_experts, 1)
             return ts.TASK_LORA_EXPERT.get(task, 0) % max(n_experts, 1)
 
         def lf(params):

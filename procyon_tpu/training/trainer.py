@@ -38,6 +38,11 @@ class TrainLoopConfig:
     skip_frequency: Dict[str, int] = dataclasses.field(default_factory=dict)
     early_stopping_patience: int = 0  # 0 = off
     early_stopping_metric: str = "eval/loss"
+    # 4-phase MoLoRA expert cycling (trainIT.py:795-931
+    # lora_specific_training): per global step run qa on expert 0,
+    # retrieval on expert 1, mlm on expert 2 (each its own update), then a
+    # joint all-task update on expert 3. Requires a 4-expert LoRA config.
+    lora_phase_training: bool = False
 
 
 class Trainer:
@@ -65,10 +70,26 @@ class Trainer:
         self.metrics = metrics_logger or MetricsLogger(loop.output_dir)
 
         self.state = ts.init_train_state(params, optimizer)
+        self.joint_step = None
+        phase_tasks = set(task_streams)
+        if loop.lora_phase_training:
+            lora = getattr(cfg.llama, "lora", None)
+            if lora is None or lora.num_experts < 4:
+                raise ValueError(
+                    "lora_phase_training needs a 4-expert LoRA decoder "
+                    "(set use_lora + lora_num_experts>=4); got "
+                    f"{'no LoRA' if lora is None else lora.num_experts}")
+            # phases 1-3 cover qa/retrieval/mlm on their own experts;
+            # caption data enters only through the joint expert-3 phase
+            phase_tasks = {t for t in task_streams
+                           if t in ("qa", "retrieval", "mlm")}
+            from procyon_tpu.training.combined_step import make_combined_step
+            self.joint_step = make_combined_step(
+                cfg, optimizer, weights, donate=False, expert_override=3)
         self.steps = {
             task: ts.make_train_step(cfg, optimizer, task,
                                      getattr(weights, task, 1.0))
-            for task in task_streams
+            for task in phase_tasks
         }
         self.progress = {task: 0 for task in task_streams}
         self.global_step = 0
@@ -111,6 +132,8 @@ class Trainer:
         while self.global_step < loop.max_steps:
             step_metrics = {}
             for task, stream in self.task_streams.items():
+                if task not in self.steps:
+                    continue
                 freq = loop.skip_frequency.get(task, 1)
                 if freq > 1 and self.global_step % freq != 0:
                     continue
@@ -119,6 +142,12 @@ class Trainer:
                 self.progress[task] += 1
                 for k, v in m.items():
                     step_metrics[f"{task}/{k}"] = v
+            if self.joint_step is not None:
+                batches = {task: self.to_device(stream())
+                           for task, stream in self.task_streams.items()}
+                self.state, m = self.joint_step(self.state, batches)
+                for k, v in m.items():
+                    step_metrics[f"joint/{k}"] = v
             self.global_step += 1
 
             if self.global_step % loop.log_steps == 0:

@@ -192,3 +192,93 @@ class TestModelIO:
         o2 = unified.forward(params2, cfg2, batch)
         np.testing.assert_allclose(np.asarray(o1["logits"]),
                                    np.asarray(o2["logits"]), atol=1e-6)
+
+
+class TestLoraPhaseTraining:
+    def _setup(self, phase):
+        import tempfile
+        from procyon_tpu.models.lora import LoRAConfig
+        from procyon_tpu.models import llama, unified
+        from procyon_tpu.training.trainer import Trainer, TrainLoopConfig
+        from procyon_tpu.training.optimizer import (OptimizerConfig,
+                                                    build_optimizer)
+        from procyon_tpu.models import esm2
+
+        cfg = unified.UnifiedConfig(
+            llama=llama.tiny_config(attn_backend="ref", remat=False,
+                                    lora=LoRAConfig(rank=2, num_experts=4,
+                                                    dtype=jnp.float32)),
+            esm=esm2.tiny_config(attn_backend="ref"),
+            protein_embed_dim=32, token_projector_layers=1,
+            token_projector_hidden=32, retrieval_dim=16, dtype=jnp.float32)
+        params = unified.init_params(jax.random.PRNGKey(0), cfg)
+        opt = build_optimizer(OptimizerConfig(lr=1e-3, warmup_steps=0,
+                                              total_steps=10,
+                                              schedule="constant"), params)
+        rng = np.random.default_rng(0)
+        B, L = 2, 24
+
+        def lm_batch():
+            labels = rng.integers(0, cfg.llama.vocab_size, (B, L)).astype(
+                np.int32)
+            labels[:, : L // 2] = -100
+            return {
+                "input_ids": jnp.asarray(
+                    rng.integers(4, cfg.llama.vocab_size, (B, L)),
+                    jnp.int32),
+                "seg_ids": jnp.ones((B, L), jnp.int32),
+                "positions": jnp.broadcast_to(
+                    jnp.arange(L, dtype=jnp.int32), (B, L)),
+                "soft_map": jnp.full((B, L), -1, jnp.int32),
+                "protein_embeds": jnp.asarray(
+                    rng.standard_normal((2, cfg.encoder_out_dim)),
+                    jnp.float32),
+                "labels": jnp.asarray(labels),
+                "ret_pos": jnp.full((B,), L - 1, jnp.int32),
+                "ret_target_pos": jnp.arange(B, dtype=jnp.int32) % 2,
+                "ret_valid": jnp.ones((B,), bool),
+            }
+
+        def mlm_batch():
+            tok = np.full((B, 12), esm2.PAD_IDX, np.int32)
+            tok[:, 0] = esm2.CLS_IDX
+            tok[:, 1:9] = rng.integers(4, 24, (B, 8))
+            lab = np.full((B, 12), -100, np.int32)
+            lab[:, 2] = tok[:, 2]
+            tok2 = tok.copy(); tok2[:, 2] = esm2.MASK_IDX
+            return {"protein_tokens": jnp.asarray(tok2),
+                    "mlm_labels": jnp.asarray(lab)}
+
+        streams = {"qa": lm_batch, "retrieval": lm_batch,
+                   "caption": lm_batch, "mlm": mlm_batch}
+        out = tempfile.mkdtemp()
+        loop = TrainLoopConfig(max_steps=1, log_steps=100, save_steps=0,
+                               output_dir=out, lora_phase_training=phase)
+        tr = Trainer(cfg=cfg, params=params, optimizer=opt, loop=loop,
+                     task_streams=streams)
+        before = jax.tree_util.tree_map(
+            np.asarray, tr.state["params"]["llama"]["layers"]["lora_wq"])
+        tr.train()
+        after = jax.tree_util.tree_map(
+            np.asarray, tr.state["params"]["llama"]["layers"]["lora_wq"])
+        # per-expert change magnitude on the A matrices [E, ...]
+        # stacked-layer leaves are [n_layers, E, r, out]; assert on B:
+        # it is zero-init so AdamW weight decay cannot move unselected
+        # experts (A decays everywhere regardless of expert selection)
+        d = np.abs(after["B"] - before["B"])
+        delta = d.transpose(1, 0, 2, 3).reshape(d.shape[1], -1).max(-1)
+        return delta
+
+    def test_cycling_touches_expert3(self, rng):
+        delta = self._setup(phase=True)
+        # decoder banks: qa phase -> 0, retrieval phase -> 1, joint -> 3.
+        # The MLM phase (expert 2) only exercises the encoder, so the
+        # DECODER bank 2 stays untouched — same as the reference, where
+        # phase 3 data never reaches the text model.
+        assert delta[0] > 0 and delta[1] > 0 and delta[3] > 0, delta
+        assert delta[2] == 0.0, delta
+
+    def test_default_leaves_expert3(self, rng):
+        delta = self._setup(phase=False)
+        assert delta[3] == 0.0, delta     # expert 3 untouched by default
+        assert (delta[:3] > 0).all(), delta
