@@ -38,6 +38,11 @@ class DatasetEntry:
     splits: List[str] = dataclasses.field(default_factory=lambda: ["train"])
     batch_size: Optional[int] = None
     weight: float = 1.0
+    # negative sampling: "random" (uniform masked) or "sim" (similarity-
+    # weighted hard negatives from generated_data/negative_sampling_probs,
+    # dataset.py:204-310); sims_type picks the matrix flavor
+    negative_sampling: str = "random"
+    sims_type: str = "jaccard"
 
 
 @dataclasses.dataclass
@@ -92,8 +97,13 @@ def _dataset_for_entry(entry: DatasetEntry, relation: str, store, data_dir,
         name=name, seed=seed)
     n_prot = max((a for a, _ in ds.true_pairs), default=0) + 1
     n_text = max((t for _, t in ds.true_pairs), default=0) + 1
-    ds.negative_sampler = D.RandomNegativeSampler(
-        n_prot, n_text, ds.true_pairs, num_neg_protein=1)
+    if entry.negative_sampling == "sim":
+        ds.negative_sampler = D.SimNegativeSampler.from_data_dir(
+            data_dir, "protein", entry.sims_type, n_proteins=n_prot,
+            n_texts=n_text, true_pairs=ds.true_pairs, num_neg_protein=1)
+    else:
+        ds.negative_sampler = D.RandomNegativeSampler(
+            n_prot, n_text, ds.true_pairs, num_neg_protein=1)
     return ds
 
 

@@ -207,18 +207,27 @@ class TextTableStore:
 
 def negative_sampling_random_tail(pos_idx: int, num_entities: int,
                                   num_negs: int, true_set: Set[int],
-                                  rng: np.random.Generator) -> np.ndarray:
+                                  rng: np.random.Generator,
+                                  probs: Optional[np.ndarray] = None,
+                                  mask: Optional[np.ndarray] = None
+                                  ) -> np.ndarray:
     """Masked categorical sampling without replacement avoiding known
-    positives (procyon/data/sampling.py:4-41)."""
-    probs = np.ones(num_entities)
-    probs[list(true_set & set(range(num_entities)))] = 0.0
-    probs[pos_idx] = 0.0
-    total = probs.sum()
+    positives (procyon/data/sampling.py:4-41). probs weights candidates
+    (e.g. a similarity-matrix row for hard negatives); mask restricts the
+    candidate set (e.g. GO namespace masks)."""
+    p = (np.ones(num_entities) if probs is None
+         else np.asarray(probs, np.float64).copy())
+    if mask is not None:
+        p = p * np.asarray(mask, np.float64)
+    p[list(true_set & set(range(num_entities)))] = 0.0
+    p[pos_idx] = 0.0
+    p = np.maximum(p, 0.0)
+    total = p.sum()
     if total <= 0:
         return rng.integers(0, num_entities, num_negs)
-    probs /= total
-    return rng.choice(num_entities, size=min(num_negs, int((probs > 0).sum())),
-                      replace=False, p=probs)
+    p /= total
+    return rng.choice(num_entities, size=min(num_negs, int((p > 0).sum())),
+                      replace=False, p=p)
 
 
 class NullNegativeSampler:
@@ -252,6 +261,68 @@ class RandomNegativeSampler:
             self._true_by_protein.get(aaseq_idx, set()), rng) \
             if self.num_neg_text else []
         return list(negs_a), list(negs_t)
+
+
+class SimNegativeSampler(RandomNegativeSampler):
+    """Similarity-weighted hard negatives (dataset.py:204-310
+    negative_sampling_probs): candidate weight = sims row of the positive,
+    optionally gated by a namespace/validity mask row. Similarity matrices
+    follow the reference layout (generated_data/negative_sampling_probs/
+    {protein|go}_sims_{type}.npy, memmap-friendly); pass arrays directly
+    for synthetic/in-memory use."""
+
+    def __init__(self, n_proteins, n_texts, true_pairs,
+                 num_neg_protein=1, num_neg_text=0,
+                 protein_sims: Optional[np.ndarray] = None,
+                 text_sims: Optional[np.ndarray] = None,
+                 protein_mask: Optional[np.ndarray] = None,
+                 text_mask: Optional[np.ndarray] = None):
+        super().__init__(n_proteins, n_texts, true_pairs,
+                         num_neg_protein, num_neg_text)
+        self.protein_sims = protein_sims
+        self.text_sims = text_sims
+        self.protein_mask = protein_mask
+        self.text_mask = text_mask
+
+    @classmethod
+    def from_data_dir(cls, data_dir, kind, sims_type, **kw):
+        """Load reference-layout sims/mask .npy files (mmap) for
+        kind in {"protein", "go"}."""
+        probs_path = os.path.join(
+            data_dir, "generated_data", "negative_sampling_probs",
+            f"{kind}_sims_{sims_type}.npy")
+        mask_path = os.path.join(
+            data_dir, "generated_data", "negative_sampling_masks",
+            f"{kind}_generic_masks.npy")
+        sims = np.load(probs_path, mmap_mode="r") \
+            if os.path.exists(probs_path) else None
+        mask = np.load(mask_path, mmap_mode="r") \
+            if os.path.exists(mask_path) else None
+        key = "protein_sims" if kind == "protein" else "text_sims"
+        mkey = "protein_mask" if kind == "protein" else "text_mask"
+        return cls(**{key: sims, mkey: mask}, **kw)
+
+    def sample(self, aaseq_idx, text_idx, rng):
+        negs_a, negs_t = [], []
+        if self.num_neg_protein:
+            row = None if self.protein_sims is None \
+                else np.asarray(self.protein_sims[aaseq_idx])
+            mrow = None if self.protein_mask is None \
+                else np.asarray(self.protein_mask[aaseq_idx])
+            negs_a = list(negative_sampling_random_tail(
+                aaseq_idx, self.n_proteins, self.num_neg_protein,
+                self._true_by_text.get(text_idx, set()), rng,
+                probs=row, mask=mrow))
+        if self.num_neg_text:
+            row = None if self.text_sims is None \
+                else np.asarray(self.text_sims[text_idx])
+            mrow = None if self.text_mask is None \
+                else np.asarray(self.text_mask[text_idx])
+            negs_t = list(negative_sampling_random_tail(
+                text_idx, self.n_texts, self.num_neg_text,
+                self._true_by_protein.get(aaseq_idx, set()), rng,
+                probs=row, mask=mrow))
+        return negs_a, negs_t
 
 
 # ---------------------------------------------------------------------------

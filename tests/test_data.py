@@ -360,3 +360,41 @@ class TestRephrasings:
         b2 = base_coll([(0, 1)], prompt)
         # rephrased caption target differs from the canonical one
         assert not np.array_equal(b1["input_ids"], b2["input_ids"])
+
+
+class TestSimNegativeSampler:
+    def test_sims_bias_sampling(self):
+        import numpy as np
+        from procyon_tpu.data import datasets as D
+        n = 64
+        # protein 0's similarity row: heavily favors proteins 1 and 2
+        sims = np.full((n, n), 1e-3)
+        sims[5, 1] = sims[5, 2] = 10.0
+        s = D.SimNegativeSampler(n, 8, {(5, 0)}, num_neg_protein=1,
+                                 protein_sims=sims)
+        rng = np.random.default_rng(0)
+        hits = sum(s.sample(5, 0, rng)[0][0] in (1, 2) for _ in range(200))
+        assert hits > 150, hits   # hard negatives dominate
+
+    def test_mask_excludes(self):
+        import numpy as np
+        from procyon_tpu.data import datasets as D
+        n = 16
+        mask = np.zeros((n, n)); mask[:, 8:] = 1.0  # only upper half valid
+        s = D.SimNegativeSampler(n, 4, set(), num_neg_protein=2,
+                                 protein_mask=mask)
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            negs, _ = s.sample(3, 0, rng)
+            assert all(g >= 8 for g in negs), negs
+
+    def test_avoids_true_set_and_self(self):
+        import numpy as np
+        from procyon_tpu.data import datasets as D
+        sims = np.ones((8, 8))
+        s = D.SimNegativeSampler(8, 4, {(1, 0), (2, 0)}, num_neg_protein=3,
+                                 protein_sims=sims)
+        rng = np.random.default_rng(1)
+        for _ in range(30):
+            negs, _ = s.sample(1, 0, rng)
+            assert 1 not in negs and 2 not in negs
