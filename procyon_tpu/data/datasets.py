@@ -153,6 +153,39 @@ class ProCyonDataStore:
         raise NotImplementedError(
             "wrap ProCyonDataStore in TextTableStore(text_type, columns)")
 
+    # -- auxiliary embedding tables (data_utils.py:389-412) ---------------
+    @staticmethod
+    def _load_tensor_file(path):
+        if path.endswith(".pt"):
+            import torch
+
+            t = torch.load(path, map_location="cpu")
+            return t.float().numpy() if hasattr(t, "numpy") else np.asarray(t)
+        return np.load(path)
+
+    def protein_struct_embeddings(self, path: Optional[str] = None):
+        """Structure-model protein embeddings
+        (data_utils.py:389-393 load_protein_struct_embeddings)."""
+        path = path or os.path.join(self.data_dir, "generated_data",
+                                    "aaseq_embeddings",
+                                    f"{self.aaseq_type}_struct.pt")
+        return self._load_tensor_file(path)
+
+    def drug_structure_embeddings(self, path: Optional[str] = None):
+        """Drug structure embeddings for the <|drug|> soft-token bank
+        (data_utils.py:395-399 load_drug_structure_embeddings)."""
+        path = path or os.path.join(self.data_dir, "generated_data",
+                                    "drug_embeddings", "drug_struct.pt")
+        return self._load_tensor_file(path)
+
+    def text_embeddings(self, path: str, text_type: str):
+        """Precomputed text embeddings, length-checked against the text
+        info table (data_utils.py:401-412 load_text_embeddings)."""
+        emb = self._load_tensor_file(path)
+        df, _ = self.load_text_table(text_type, [])
+        assert len(df) == len(emb), (len(df), len(emb))
+        return emb
+
 
 class TextTableStore:
     """Binds a ProCyonDataStore to one text dataset + composed columns."""

@@ -180,3 +180,36 @@ def retrieval_rank_stability(service, *, task_id: str, description: str,
     return {"mean_jaccard": float(np.mean(overlaps)),
             "min_jaccard": float(np.min(overlaps)),
             "n_variants": n_variants}
+
+
+def perturbation_confidence(description: str, query_fn, *,
+                            n_perturbations: int = 10,
+                            drop_prob: float = 0.1, seed=None):
+    """Run query_fn on word-dropout variants of a description and collect
+    per-variant outputs plus score statistics (inference_utils.py:1019-1038
+    desc_perturbation): the per-target mean/std/quantiles over variants give
+    retrieval confidence intervals.
+
+    query_fn(desc) -> 1D score array over targets (or any object; stats are
+    computed only when outputs are numeric arrays of equal shape)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    variants = perturb_description(description, rng, drop_prob=drop_prob,
+                                   n_variants=n_perturbations)
+    outputs = {f"perturb_{i}": query_fn(v)
+               for i, v in enumerate(variants)}
+    result = {"outputs": outputs, "variants": variants}
+    vals = list(outputs.values())
+    try:
+        arr = np.stack([np.asarray(v, np.float64) for v in vals])
+    except Exception:
+        return result
+    if arr.ndim >= 1 and np.issubdtype(arr.dtype, np.number):
+        result["stats"] = {
+            "mean": arr.mean(0),
+            "std": arr.std(0),
+            "q05": np.quantile(arr, 0.05, axis=0),
+            "q95": np.quantile(arr, 0.95, axis=0),
+        }
+    return result

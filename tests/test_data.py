@@ -398,3 +398,20 @@ class TestSimNegativeSampler:
         for _ in range(30):
             negs, _ = s.sample(1, 0, rng)
             assert 1 not in negs and 2 not in negs
+
+
+def test_aux_embedding_loaders(tmp_path):
+    import numpy as np
+    import torch
+    from procyon_tpu.data import datasets as D
+
+    store = D.ProCyonDataStore(data_dir=str(tmp_path))
+    # torch .pt round trip
+    p = tmp_path / "drug_struct.pt"
+    torch.save(torch.arange(12, dtype=torch.float32).reshape(3, 4), str(p))
+    out = store.drug_structure_embeddings(str(p))
+    assert out.shape == (3, 4) and out.dtype == np.float32
+    # npy path
+    q = tmp_path / "prot_struct.npy"
+    np.save(str(q), np.ones((2, 5), np.float32))
+    assert store.protein_struct_embeddings(str(q)).shape == (2, 5)

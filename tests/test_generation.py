@@ -163,3 +163,23 @@ class TestBeam:
         _, scores = generation.generate_beam(params, cfg, batch, gen)
         s = np.asarray(scores)
         assert (np.diff(s, axis=1) <= 1e-5).all()
+
+
+def test_perturbation_confidence():
+    import numpy as np
+    from procyon_tpu.inference import prompts as P
+
+    scores = np.linspace(0, 1, 8)
+
+    def query_fn(desc):
+        # score shifts with description length -> variants vary
+        return scores + 0.01 * len(desc.split())
+
+    out = P.perturbation_confidence(
+        "a disease of the mitochondrial respiratory chain with lactic "
+        "acidosis and muscle weakness", query_fn, n_perturbations=6,
+        drop_prob=0.3, seed=0)
+    assert len(out["outputs"]) == 6
+    assert out["stats"]["mean"].shape == (8,)
+    assert (out["stats"]["q95"] >= out["stats"]["q05"]).all()
+    assert (out["stats"]["std"] > 0).any()   # variants actually differ
