@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from procyon_tpu.ops.activations import gelu_erf_fast
 from procyon_tpu.ops.flash_attention import flash_attention
+from procyon_tpu.ops import quant
 from procyon_tpu.ops.norms import layer_norm
 from procyon_tpu.ops.rotary import (apply_rotary_flat, flat_rotary_tables,
                                     rope_frequencies)
@@ -149,23 +150,24 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
     # delegated to flash_attention(rope=...): fused into the packed kernel
     # as lane rolls on TPU (the XLA x[..., perm] gather costs two HBM
     # relayout copies per projection), applied outside on other backends.
-    q = (h @ lp["attn"]["wq"] + lp["attn"]["bq"]).reshape(
+    q = (quant.mm(h, lp["attn"]["wq"]) + lp["attn"]["bq"]).reshape(
         B, S, cfg.n_heads, hd)
-    k = (h @ lp["attn"]["wk"] + lp["attn"]["bk"]).reshape(
+    k = (quant.mm(h, lp["attn"]["wk"]) + lp["attn"]["bk"]).reshape(
         B, S, cfg.n_heads, hd)
-    v = (h @ lp["attn"]["wv"] + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
+    v = (quant.mm(h, lp["attn"]["wv"])
+         + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
     attn = flash_attention(q, k, v, seg_ids, seg_ids, causal=False,
                            backend=cfg.attn_backend,
                            rope=(cos_g, sin_g, cos_g, sin_g))
     attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
-    x = x + attn @ lp["attn"]["wo"] + lp["attn"]["bo"]
+    x = x + quant.mm(attn, lp["attn"]["wo"]) + lp["attn"]["bo"]
 
     h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                    eps=cfg.norm_eps)
-    h1 = h @ lp["mlp"]["w1"] + lp["mlp"]["b1"]
+    h1 = quant.mm(h, lp["mlp"]["w1"]) + lp["mlp"]["b1"]
     h = jax.nn.gelu(h1, approximate=True) if cfg.gelu_approx \
         else gelu_erf_fast(h1)
-    x = x + h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
+    x = x + quant.mm(h, lp["mlp"]["w2"]) + lp["mlp"]["b2"]
     return x
 
 
@@ -219,4 +221,15 @@ def forward(params, cfg: ESM2Config, tokens, *, seg_ids=None,
                        params["lm_head"]["norm"]["b"], eps=cfg.norm_eps)
         logits = h @ params["embed"].T.astype(h.dtype)
         out["logits"] = logits.astype(jnp.float32) + params["lm_head"]["bias"]
+    return out
+
+
+def quantize_params(params, cfg: ESM2Config):
+    """Weight-only int8 quantization of the encoder projections (the
+    reference's EsmForMaskedLMQuant surface, esm.py:262-315, redesigned:
+    dequant fuses into the matmul instead of out-of-place residual adds).
+    Norms, biases, and the tied embedding/MLM head stay full precision."""
+    out = dict(params)
+    out["layers"] = quant.quantize_tree(
+        params["layers"], keys=("wq", "wk", "wv", "wo", "w1", "w2"))
     return out

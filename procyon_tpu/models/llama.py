@@ -136,11 +136,7 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
     }
 
 
-def _mm(x, w):
-    """Matmul dispatching on int8-quantized weights (ops/quant.py)."""
-    if quant.is_quantized(w):
-        return quant.qmatmul(x, w)
-    return x @ w
+_mm = quant.mm
 
 
 def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,

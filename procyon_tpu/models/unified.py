@@ -271,3 +271,16 @@ def retrieval_query_embedding(params, cfg: UnifiedConfig, batch):
     prot_hidden = out["hidden"][jnp.arange(B), batch["ret_pos"]]
     return projectors.apply(params["projectors"]["lm_projector"],
                             pcfgs["lm_projector"], prot_hidden)
+
+
+def quantize_params(params, cfg: UnifiedConfig):
+    """Weight-only int8 quantization of both towers (decoder + encoder);
+    projectors/contrastive heads stay full precision (they are tiny)."""
+    from procyon_tpu.models import esm2 as _esm2
+    from procyon_tpu.models import llama as _llama
+
+    out = dict(params)
+    out["llama"] = _llama.quantize_params(params["llama"], cfg.llama)
+    if cfg.esm is not None and "esm" in params:
+        out["esm"] = _esm2.quantize_params(params["esm"], cfg.esm)
+    return out

@@ -34,6 +34,13 @@ def qmatmul(x, qw):
     return x @ w
 
 
+def mm(x, w):
+    """Matmul dispatching on int8-quantized weight leaves."""
+    if is_quantized(w):
+        return qmatmul(x, w)
+    return x @ w
+
+
 def is_quantized(node) -> bool:
     return isinstance(node, dict) and set(node.keys()) == {"q", "s"}
 

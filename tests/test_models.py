@@ -334,3 +334,20 @@ class TestQuantization:
             return sum(x.size * x.dtype.itemsize
                        for x in jax.tree_util.tree_leaves(t))
         assert nbytes(qparams["layers"]) < 0.7 * nbytes(params["layers"])
+
+    def test_esm2_quantized_close(self, rng):
+        from procyon_tpu.models import esm2 as E
+        cfg = E.tiny_config(attn_backend="ref")
+        params = E.init_params(jax.random.PRNGKey(0), cfg)
+        qparams = E.quantize_params(params, cfg)
+        tokens = np.full((2, 16), E.PAD_IDX, np.int32)
+        tokens[:, 0] = E.CLS_IDX
+        tokens[:, 1:10] = np.random.default_rng(0).integers(4, 24, (2, 9))
+        tokens[:, 10] = E.EOS_IDX
+        a = np.asarray(E.forward(params, cfg, jnp.asarray(tokens))["hidden"],
+                       np.float32)
+        b = np.asarray(E.forward(qparams, cfg, jnp.asarray(tokens))["hidden"],
+                       np.float32)
+        cos = (a.reshape(-1) @ b.reshape(-1)) / (
+            np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99, cos
