@@ -41,6 +41,9 @@ class ModelArgs:
     drug_embed_dim: int = 512
     # LoRA / MoLoRA (:mlora)
     use_lora: bool = False
+    # ESM prefix tuning (esm.py:42 ESMPrefix): learned post-rotary K/V rows
+    # per encoder layer; base encoder freezes, prefix trains
+    esm_prefix_len: int = 0
     lora_rank: int = 8
     lora_alpha: float = 16.0
     lora_num_experts: int = 1
@@ -149,7 +152,8 @@ def build_model_config(margs: ModelArgs, dargs: Optional[DataArgs] = None):
     if not margs.use_aaseq_embeddings and margs.protein_encoder != "none":
         size = margs.protein_encoder.split("-")[-1]
         ecfg = esm2.esm2_config(size, dtype=_DTYPES[margs.dtype],
-                                attn_backend=margs.attention_backend)
+                                attn_backend=margs.attention_backend,
+                                prefix_len=margs.esm_prefix_len)
     return unified.UnifiedConfig(
         llama=lcfg, esm=ecfg,
         protein_embed_dim=margs.protein_embed_dim,
@@ -223,8 +227,13 @@ def freeze_fn(margs: ModelArgs):
     def frozen(path):
         parts = [str(getattr(p, "key", p)) for p in path]
         top = parts[0] if parts else ""
-        if margs.freeze_protein_encoder and top == "esm":
-            return True
+        if top == "esm":
+            is_prefix = "prefix" in parts
+            if margs.esm_prefix_len and not is_prefix:
+                return True   # prefix tuning: base encoder freezes
+            if margs.freeze_protein_encoder and not (margs.esm_prefix_len
+                                                     and is_prefix):
+                return True
         if top == "llama":
             is_lora = any(p.startswith("lora_") for p in parts)
             if margs.use_lora and not is_lora:

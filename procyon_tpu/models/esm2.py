@@ -53,6 +53,9 @@ class ESM2Config:
     # newer transformers, whose EsmModel stopped passing attention_mask into
     # the embedding layer).
     pad_aware_token_dropout: bool = True
+    # prefix tuning (esm.py:42-130 ESMPrefix): P learned post-rotary K/V
+    # rows prepended to every layer's attention; 0 = off
+    prefix_len: int = 0
     dtype: Any = jnp.bfloat16
     attn_backend: Optional[str] = None
     remat: bool = True
@@ -125,6 +128,12 @@ def init_params(key, cfg: ESM2Config):
         "attn_norm": {"w": ones((L, cfg.dim)), "b": zeros((L, cfg.dim))},
         "mlp_norm": {"w": ones((L, cfg.dim)), "b": zeros((L, cfg.dim))},
     }
+    if cfg.prefix_len:
+        P = cfg.prefix_len
+        layers["prefix"] = {
+            "k": dense(keys[8], (L, P, cfg.n_heads * hd), scale=0.02),
+            "v": dense(keys[9], (L, P, cfg.n_heads * hd), scale=0.02),
+        }
     return {
         "embed": dense(keys[6], (cfg.vocab_size, cfg.dim), scale=0.02),
         "layers": layers,
@@ -156,9 +165,30 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
         B, S, cfg.n_heads, hd)
     v = (quant.mm(h, lp["attn"]["wv"])
          + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
-    attn = flash_attention(q, k, v, seg_ids, seg_ids, causal=False,
+    seg_kv = seg_ids
+    cos_k, sin_k = cos_g, sin_g
+    if cfg.prefix_len:
+        # learned POST-rotary prefix K/V (injected as past_key_values in
+        # the reference, which stores rotated keys): prepend the rows and
+        # give them the identity rotation (cos=1, sin=0) in the k tables
+        P = cfg.prefix_len
+        pk = jnp.broadcast_to(
+            lp["prefix"]["k"].reshape(1, P, cfg.n_heads, hd),
+            (B, P, cfg.n_heads, hd)).astype(k.dtype)
+        pv = jnp.broadcast_to(
+            lp["prefix"]["v"].reshape(1, P, cfg.n_heads, hd),
+            (B, P, cfg.n_heads, hd)).astype(v.dtype)
+        k = jnp.concatenate([pk, k], axis=1)
+        v = jnp.concatenate([pv, v], axis=1)
+        seg_kv = jnp.concatenate(
+            [jnp.ones((B, P), seg_ids.dtype), seg_ids], axis=1)
+        cos_k = jnp.concatenate(
+            [jnp.ones((P,) + cos_g.shape[1:], cos_g.dtype), cos_g], axis=0)
+        sin_k = jnp.concatenate(
+            [jnp.zeros((P,) + sin_g.shape[1:], sin_g.dtype), sin_g], axis=0)
+    attn = flash_attention(q, k, v, seg_ids, seg_kv, causal=False,
                            backend=cfg.attn_backend,
-                           rope=(cos_g, sin_g, cos_g, sin_g))
+                           rope=(cos_g, sin_g, cos_k, sin_k))
     attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
     x = x + quant.mm(attn, lp["attn"]["wo"]) + lp["attn"]["bo"]
 

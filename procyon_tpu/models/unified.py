@@ -206,7 +206,22 @@ def forward(params, cfg: UnifiedConfig, batch, *, retrieval=False,
       ret_valid [B] bool — padding rows
       conflict_mask [B, B*] optional
     """
-    soft_bank = build_soft_bank(params, cfg, batch["protein_embeds"],
+    protein_embeds = batch.get("protein_embeds")
+    if protein_embeds is None:
+        # live-encoder path (ESM_PLM end-to-end, esm.py:504): residue token
+        # rows -> pooled embeddings, chunk-regrouped for long proteins.
+        # num_groups = row count (static upper bound; empty groups pool to
+        # zero rows the soft_map never references).
+        toks = batch["protein_tokens"]
+        protein_embeds = encode_proteins(
+            params, cfg, toks,
+            group_ids=batch.get("protein_group_ids"),
+            num_groups=toks.shape[0]
+            if batch.get("protein_group_ids") is not None else None,
+            row_valid=batch.get("protein_row_valid"))
+        batch = dict(batch)
+        batch["protein_embeds"] = protein_embeds
+    soft_bank = build_soft_bank(params, cfg, protein_embeds,
                                 batch.get("drug_embeds"))
     input_embeds = _inject_soft_tokens(params, cfg, batch["input_ids"],
                                        batch.get("soft_map"), soft_bank)

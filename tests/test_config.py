@@ -181,3 +181,21 @@ class TestBindMixes:
         assert instruct.construct_task_id(
             "protein", "protein", "experiments",
             "retrieval") == "protein_experiments_retrieval"
+
+
+def test_prefix_tuning_freeze_predicate():
+    from procyon_tpu import config as C
+
+    margs = C.ModelArgs(esm_prefix_len=4, freeze_protein_encoder=True)
+    frozen = C.freeze_fn(margs)
+
+    class P:  # jax tree path entry stand-in
+        def __init__(self, key):
+            self.key = key
+
+    assert frozen([P("esm"), P("layers"), P("attn"), P("wq")])
+    assert not frozen([P("esm"), P("layers"), P("prefix"), P("k")])
+    # without prefix tuning the whole encoder freezes
+    margs2 = C.ModelArgs(freeze_protein_encoder=True)
+    frozen2 = C.freeze_fn(margs2)
+    assert frozen2([P("esm"), P("layers"), P("attn"), P("wq")])

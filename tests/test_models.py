@@ -351,3 +351,56 @@ class TestQuantization:
         cos = (a.reshape(-1) @ b.reshape(-1)) / (
             np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.99, cos
+
+    def test_prefix_tuning(self, rng):
+        from procyon_tpu.models import esm2 as E
+        base_cfg = E.tiny_config(attn_backend="ref")
+        pref_cfg = E.tiny_config(attn_backend="ref", prefix_len=4)
+        params = E.init_params(jax.random.PRNGKey(0), pref_cfg)
+        tokens = jnp.asarray([[E.CLS_IDX, 5, 6, 7, E.EOS_IDX]])
+        out_p = E.forward(params, pref_cfg, tokens)["hidden"]
+        # zeroing the prefix V must recover... not exactly base (K rows
+        # still absorb probability mass); instead: prefix changes output
+        base_params = {k: v for k, v in params.items()}
+        base_params["layers"] = {k: v for k, v in params["layers"].items()
+                                 if k != "prefix"}
+        out_b = E.forward(base_params, base_cfg, tokens)["hidden"]
+        assert not np.allclose(np.asarray(out_p), np.asarray(out_b),
+                               atol=1e-5)
+        # padding invariance still holds with a prefix
+        t2 = jnp.pad(tokens, ((0, 0), (0, 3)), constant_values=E.PAD_IDX)
+        o2 = E.forward(params, pref_cfg, t2)["hidden"]
+        np.testing.assert_allclose(np.asarray(out_p),
+                                   np.asarray(o2[:, :5]), atol=1e-4,
+                                   rtol=1e-4)
+        # gradient flows into the prefix params
+        def loss(p):
+            return jnp.sum(E.forward(p, pref_cfg, tokens)["hidden"] ** 2)
+        g = jax.grad(loss)(params)
+        assert np.abs(np.asarray(g["layers"]["prefix"]["k"])).max() > 0
+
+    def test_prefix_rowblock_matches_ref(self, rng):
+        from procyon_tpu.models import esm2 as E
+        cfgs = [E.tiny_config(attn_backend=b, prefix_len=4, n_heads=2,
+                              dim=128, max_seq_len=256)
+                for b in ("ref", "rowblock")]
+        params = E.init_params(jax.random.PRNGKey(0), cfgs[0])
+        tokens = jnp.asarray([[E.CLS_IDX] + [5] * 130 + [E.EOS_IDX]])
+        outs = []
+        import procyon_tpu.models.esm2 as EM
+        orig = EM.flash_attention
+        for cfg in cfgs:
+            if cfg.attn_backend == "rowblock":
+                def wrapped(*a, **kw):
+                    kw["interpret"] = True   # pallas on CPU
+                    return orig(*a, **kw)
+                EM.flash_attention = wrapped
+                try:
+                    outs.append(EM.forward(params, cfg, tokens)["hidden"])
+                finally:
+                    EM.flash_attention = orig
+            else:
+                outs.append(E.forward(params, cfg, tokens)["hidden"])
+        np.testing.assert_allclose(np.asarray(outs[0], np.float32),
+                                   np.asarray(outs[1], np.float32),
+                                   atol=2e-3, rtol=2e-3)
