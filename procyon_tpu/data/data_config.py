@@ -43,6 +43,9 @@ class DatasetEntry:
     # dataset.py:204-310); sims_type picks the matrix flavor
     negative_sampling: str = "random"
     sims_type: str = "jaccard"
+    # versioned text-column subset (registry.TEXT_COLUMN_SUBSETS); 5 = the
+    # released ProCyon-Full configuration
+    subset_version: int = 5
 
 
 @dataclasses.dataclass
@@ -91,9 +94,12 @@ def _dataset_for_entry(entry: DatasetEntry, relation: str, store, data_dir,
         pairs = [(int(r["seq_id"]), int(r["seq_id_2"]))
                  for _, r in df.iterrows()]
         return D.AASeqPairDataset(pairs, store, name=name, seed=seed)
+    from procyon_tpu.data import registry
+
     ds = D.AASeqTextRelationDataset.from_csv(
         data_dir, entry.aaseq_type, entry.text_type,
         None if relation == "all" else [relation], split, store=store,
+        split_method=registry.canonical_split(entry.text_type),
         name=name, seed=seed)
     n_prot = max((a for a, _ in ds.true_pairs), default=0) + 1
     n_text = max((t for _, t in ds.true_pairs), default=0) + 1
@@ -194,8 +200,17 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                                     "caption": C.CaptionCollator}[task]
                         kwargs = {"known_positive_pairs": set()} \
                             if task == "retrieval" else {}
+                    task_store = store
+                    if isinstance(store, D.ProCyonDataStore):
+                        from procyon_tpu.data import registry
+                        task_store = D.TextTableStore(
+                            store, entry.text_type,
+                            registry.column_subset(
+                                task, entry.text_type,
+                                entry.subset_version) or [])
                     collators[task_id] = coll_cls(
-                        collator_cfg, tokenizer, store, template, **kwargs)
+                        collator_cfg, tokenizer, task_store, template,
+                        **kwargs)
 
     streams = {}
     mixers = {}

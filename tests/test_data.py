@@ -415,3 +415,73 @@ def test_aux_embedding_loaders(tmp_path):
     q = tmp_path / "prot_struct.npy"
     np.save(str(q), np.ones((2, 5), np.float32))
     assert store.protein_struct_embeddings(str(q)).shape == (2, 5)
+
+
+class TestRegistry:
+    def test_column_subsets_v5(self):
+        from procyon_tpu.data import registry as R
+        cols = R.column_subset("qa", "go", 5)
+        assert cols and all(isinstance(c, str) for c in cols)
+        # drugbank task variants resolve (drugbank:moa has its own entry
+        # or falls back to the base dataset)
+        assert R.column_subset("caption", "drugbank:moa", 5) is not None
+        assert R.column_subset("qa", "protein", 5) is None  # PPI: no text
+
+    def test_dataset_ids_and_splits(self):
+        from procyon_tpu.data import registry as R
+        assert R.dataset_id("drugbank:moa") == R.dataset_id("drugbank")
+        assert R.dataset_id("go") != R.dataset_id("pfam")
+        assert R.canonical_split("pfam").endswith("pfam_centric")
+        assert R.canonical_split("unknown_ds") == "random_split"
+
+    def test_caption_weights(self):
+        from procyon_tpu.data import registry as R
+        assert R.caption_weight("protein", "go") == 0.5
+        assert R.caption_weight("protein", "nonexistent") == 1.0
+
+    def test_real_path_binds_text_table(self, tmp_path):
+        """build_task_streams on a fabricated DATA_DIR must route text
+        lookups through TextTableStore with registry columns."""
+        import os
+        import numpy as np
+        import pandas as pd
+        from procyon_tpu.data import collators as C
+        from procyon_tpu.data import data_config as DC
+        from procyon_tpu.data import datasets as D
+        from procyon_tpu.data import registry as R
+        from procyon_tpu.data.text_tokenizer import WordTokenizer
+
+        root = str(tmp_path)
+        split = R.canonical_split("go")
+        rel_dir = os.path.join(root, "integrated_data", "v1", "protein_go",
+                               split)
+        os.makedirs(rel_dir)
+        pd.DataFrame([{"seq_id": a, "text_id": a % 4,
+                       "relation": "process", "split": "train"}
+                      for a in range(8)]).to_csv(os.path.join(
+            rel_dir, "protein_go_relations_indexed.unified.csv"),
+            index=False)
+        txt_dir = os.path.join(root, "integrated_data", "v1", "go")
+        os.makedirs(txt_dir)
+        cols = R.column_subset("qa", "go", 5)
+        pd.DataFrame([{c: f"text {i} col {c}" for c in cols}
+                      for i in range(4)]).to_pickle(
+            os.path.join(txt_dir, "go_info_filtered_composed.pkl"))
+        fa_dir = txt_dir.replace("go", "protein")
+        os.makedirs(fa_dir, exist_ok=True)
+        with open(os.path.join(fa_dir, "protein_sequences.fa"), "w") as f:
+            for i in range(8):
+                f.write(f">p{i}\nMKV{'A' * (i + 3)}\n")
+
+        store = D.ProCyonDataStore(data_dir=root)
+        cfg = DC.MultiDatasetConfig(entries=[DC.DatasetEntry(
+            aaseq_type="protein", text_type="go", relations=["process"],
+            tasks=["qa"])])
+        ccfg = C.CollatorConfig(max_text_len=128, protein_embed_dim=8,
+                                use_protein_tokens=True)
+        streams, _, _ = DC.build_task_streams(
+            cfg, store=store, collator_cfg=ccfg,
+            tokenizer=WordTokenizer(2048), batch_sizes={"qa": 2},
+            data_dir=root, synthetic=False)
+        b = streams["qa"]()
+        assert "protein_tokens" in b and b["input_ids"].shape[0] == 2
