@@ -1,0 +1,134 @@
+"""Paged KV cache + continuous-batching decode.
+
+The reference serves one request at a time through a dense per-request
+cache (FastAPI app, procyon/app/main.py; HF past_key_values). This module
+is the TPU-serving redesign: a fixed pool of KV pages shared by all live
+sequences, a host-side page allocator, and a jit decode step over a fixed
+number of slots — so memory scales with the TOKENS actually cached instead
+of n_seqs x max_len, and new requests join mid-flight without recompiling
+(continuous batching).
+
+Layout (all static shapes, jit-friendly):
+  pool k/v : [L, n_pages, page_size, Hkv*D]  — flat lane layout like the
+             packed attention kernels
+  page_table : [slots, max_pages]  int32 (pool page id per logical page)
+  seq_len    : [slots] int32 (tokens cached; 0 = slot empty)
+
+Decode gathers each slot's pages with one XLA gather per layer — HBM
+traffic is proportional to the LIVE context, and the gather indices come
+from the on-device page table (no host sync per step).
+"""
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class PagedConfig:
+    n_layers: int
+    n_kv_heads: int
+    head_dim: int
+    page_size: int = 64
+    n_pages: int = 256
+    max_pages_per_seq: int = 16
+    slots: int = 8
+    dtype: object = jnp.bfloat16
+
+    @property
+    def kv_dim(self):
+        return self.n_kv_heads * self.head_dim
+
+    @property
+    def max_ctx(self):
+        return self.max_pages_per_seq * self.page_size
+
+
+def init_pool(cfg: PagedConfig) -> Dict:
+    return {
+        "k": jnp.zeros((cfg.n_layers, cfg.n_pages, cfg.page_size,
+                        cfg.kv_dim), cfg.dtype),
+        "v": jnp.zeros((cfg.n_layers, cfg.n_pages, cfg.page_size,
+                        cfg.kv_dim), cfg.dtype),
+        "page_table": jnp.zeros((cfg.slots, cfg.max_pages_per_seq),
+                                jnp.int32),
+        "seq_len": jnp.zeros((cfg.slots,), jnp.int32),
+    }
+
+
+class PageAllocator:
+    """Host-side free-list over pool pages. Page 0 is reserved as the null
+    page (page_table entries for unallocated logical pages point at it)."""
+
+    def __init__(self, cfg: PagedConfig):
+        self.cfg = cfg
+        self.free: List[int] = list(range(cfg.n_pages - 1, 0, -1))
+        self.owned: Dict[int, List[int]] = {}
+
+    def pages_for(self, n_tokens: int) -> int:
+        return -(-n_tokens // self.cfg.page_size)
+
+    def can_admit(self, n_tokens: int) -> bool:
+        return len(self.free) >= self.pages_for(n_tokens)
+
+    def allocate(self, slot: int, n_tokens: int) -> List[int]:
+        need = self.pages_for(n_tokens) - len(self.owned.get(slot, []))
+        if need > len(self.free):
+            raise MemoryError(
+                f"paged KV pool exhausted: need {need} pages, "
+                f"{len(self.free)} free")
+        pages = [self.free.pop() for _ in range(max(need, 0))]
+        self.owned.setdefault(slot, []).extend(pages)
+        return self.owned[slot]
+
+    def release(self, slot: int):
+        self.free.extend(reversed(self.owned.pop(slot, [])))
+
+
+def write_tokens(pool: Dict, cfg: PagedConfig, layer_k, layer_v, slot_ids,
+                 start_pos):
+    """Scatter new K/V rows into the pool. layer_k/v [L, B, T, Hkv*D] for B
+    slots writing T tokens each starting at their start_pos. Returns the
+    updated pool (functional). Positions past a slot's page allocation land
+    on the null page (page 0) — callers guarantee allocation first."""
+    L, B, T, KD = layer_k.shape
+    pos = start_pos[:, None] + jnp.arange(T)[None, :]            # [B, T]
+    logical = pos // cfg.page_size                               # [B, T]
+    offset = pos % cfg.page_size
+    table = pool["page_table"][slot_ids]                         # [B, P]
+    page = jnp.take_along_axis(
+        table, jnp.clip(logical, 0, cfg.max_pages_per_seq - 1), axis=1)
+    # flatten scatter indices: [L, B*T] over (page, offset)
+    page_f = jnp.broadcast_to(page[None], (L, B, T)).reshape(L, -1)
+    off_f = jnp.broadcast_to(offset[None], (L, B, T)).reshape(L, -1)
+    l_idx = jnp.broadcast_to(jnp.arange(L)[:, None], (L, B * T))
+    k = pool["k"].at[l_idx, page_f, off_f].set(
+        layer_k.reshape(L, -1, KD))
+    v = pool["v"].at[l_idx, page_f, off_f].set(
+        layer_v.reshape(L, -1, KD))
+    return {**pool, "k": k, "v": v}
+
+
+def gather_kv(pool: Dict, cfg: PagedConfig, slot_ids, layer: Optional[int]
+              = None):
+    """Gather each slot's cached K/V back to dense [L?, B, max_ctx, Hkv*D]
+    plus a validity mask [B, max_ctx]. One XLA gather over the page dim."""
+    table = pool["page_table"][slot_ids]                         # [B, P]
+    k = pool["k"][:, table] if layer is None else pool["k"][layer][table]
+    v = pool["v"][:, table] if layer is None else pool["v"][layer][table]
+    # [L, B, P, page, KD] -> [L, B, max_ctx, KD]
+    if layer is None:
+        L = k.shape[0]
+        B = table.shape[0]
+        k = k.reshape(L, B, cfg.max_ctx, cfg.kv_dim)
+        v = v.reshape(L, B, cfg.max_ctx, cfg.kv_dim)
+    else:
+        B = table.shape[0]
+        k = k.reshape(B, cfg.max_ctx, cfg.kv_dim)
+        v = v.reshape(B, cfg.max_ctx, cfg.kv_dim)
+    lens = pool["seq_len"][slot_ids]
+    valid = jnp.arange(cfg.max_ctx)[None, :] < lens[:, None]
+    return k, v, valid

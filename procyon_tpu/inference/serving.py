@@ -1,0 +1,175 @@
+"""Continuous-batching decode server loop over the paged KV pool.
+
+The reference serves one request per forward (procyon/app/main.py). This is
+the TPU-serving redesign: a fixed number of decode slots share one page
+pool; requests are admitted as slots and pages free up, every live slot
+advances one token per jitted step (one compilation for the whole serving
+lifetime), and finished sequences release their pages immediately.
+
+Greedy or temperature sampling; prompts prefill through the same
+`llama.paged_forward` in per-bucket-length jits.
+"""
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from procyon_tpu.inference import kv_pool
+from procyon_tpu.models import llama
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: List[int]
+    max_new: int = 32
+    eos_id: Optional[int] = None
+
+
+def _bucket(n: int) -> int:
+    b = 16
+    while b < n:
+        b *= 2
+    return b
+
+
+class ContinuousBatcher:
+    def __init__(self, params, cfg, pcfg: kv_pool.PagedConfig, *,
+                 temperature: float = 0.0, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.pcfg = pcfg
+        self.pool = kv_pool.init_pool(pcfg)
+        self.alloc = kv_pool.PageAllocator(pcfg)
+        self.temperature = temperature
+        self.key = jax.random.PRNGKey(seed)
+        self.queue: List[Request] = []
+        self.live: Dict[int, dict] = {}          # slot -> state
+        self.done: Dict[int, List[int]] = {}     # rid -> generated tokens
+        self._next_rid = 0
+        self._slot_ids = jnp.arange(pcfg.slots, dtype=jnp.int32)
+
+        @jax.jit
+        def decode_step(params, pool, tokens, seg):
+            logits, pool = llama.paged_forward(
+                params, cfg, pool, pcfg, self._slot_ids,
+                tokens=tokens[:, None], seg_ids=seg[:, None])
+            return logits[:, -1], pool
+
+        self._decode_step = decode_step
+        self._prefills = {}
+
+    # -- public -------------------------------------------------------------
+    def submit(self, prompt: List[int], max_new: int = 32,
+               eos_id: Optional[int] = None) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.queue.append(Request(rid, list(prompt), max_new, eos_id))
+        return rid
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drive until every submitted request finishes; returns
+        rid -> generated token list."""
+        self._admit()
+        while self.live:
+            self._step()
+            self._admit()
+        return self.done
+
+    # -- internals ----------------------------------------------------------
+    def _free_slots(self):
+        return [s for s in range(self.pcfg.slots) if s not in self.live]
+
+    def _prefill_fn(self, T: int):
+        if T not in self._prefills:
+            cfg, pcfg = self.cfg, self.pcfg
+
+            @jax.jit
+            def prefill(params, pool, tokens, seg, slot):
+                logits, pool = llama.paged_forward(
+                    params, cfg, pool, pcfg, slot, tokens=tokens,
+                    seg_ids=seg)
+                return logits, pool
+
+            self._prefills[T] = prefill
+        return self._prefills[T]
+
+    def _admit(self):
+        while self.queue and self._free_slots():
+            req = self.queue[0]
+            budget = len(req.prompt) + req.max_new
+            if budget > self.pcfg.max_ctx:
+                raise ValueError(
+                    f"request {req.rid} needs {budget} tokens > max_ctx "
+                    f"{self.pcfg.max_ctx}")
+            if not self.alloc.can_admit(budget):
+                return  # wait for pages
+            self.queue.pop(0)
+            slot = self._free_slots()[0]
+            pages = self.alloc.allocate(slot, budget)
+            pt = np.array(self.pool["page_table"])
+            pt[slot, :] = 0
+            pt[slot, :len(pages)] = pages
+            sl = np.array(self.pool["seq_len"])
+            sl[slot] = 0
+            self.pool = {**self.pool, "page_table": jnp.asarray(pt),
+                         "seq_len": jnp.asarray(sl)}
+
+            T = _bucket(len(req.prompt))
+            toks = np.zeros((1, T), np.int32)
+            toks[0, :len(req.prompt)] = req.prompt
+            seg = np.zeros((1, T), np.int32)
+            seg[0, :len(req.prompt)] = 1
+            logits, self.pool = self._prefill_fn(T)(
+                self.params, self.pool, jnp.asarray(toks), jnp.asarray(seg),
+                jnp.asarray([slot], jnp.int32))
+            last = self._sample(
+                np.asarray(logits[0, len(req.prompt) - 1])[None])[0]
+            self.live[slot] = {"req": req, "generated": [int(last)],
+                               "pending": int(last)}
+            self._maybe_finish(slot)
+
+    def _sample(self, logits_np):
+        if self.temperature <= 0:
+            return np.argmax(logits_np, -1)
+        self.key, k = jax.random.split(self.key)
+        return np.asarray(jax.random.categorical(
+            k, jnp.asarray(logits_np) / self.temperature, axis=-1))
+
+    def _step(self):
+        tokens = np.zeros((self.pcfg.slots,), np.int32)
+        seg = np.zeros((self.pcfg.slots,), np.int32)
+        for slot, st in self.live.items():
+            tokens[slot] = st["pending"]
+            seg[slot] = 1
+        logits, self.pool = self._decode_step(
+            self.params, self.pool, jnp.asarray(tokens), jnp.asarray(seg))
+        nxt = self._sample(np.asarray(logits))
+        for slot in list(self.live):
+            st = self.live[slot]
+            tok = int(nxt[slot])
+            st["generated"].append(tok)
+            st["pending"] = tok
+            self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot):
+        st = self.live[slot]
+        req = st["req"]
+        gen = st["generated"]
+        hit_eos = req.eos_id is not None and gen and gen[-1] == req.eos_id
+        if hit_eos or len(gen) >= req.max_new:
+            self.done[req.rid] = gen
+            self.alloc.release(slot)
+            del self.live[slot]
+            # point the dead slot at the null page and reset its length:
+            # idle slots still participate in the fixed-shape decode step,
+            # and their writes must not land on reallocated pages
+            pt = np.array(self.pool["page_table"])
+            pt[slot, :] = 0
+            sl = np.array(self.pool["seq_len"])
+            sl[slot] = 0
+            self.pool = {**self.pool, "page_table": jnp.asarray(pt),
+                         "seq_len": jnp.asarray(sl)}

@@ -295,3 +295,103 @@ def quantize_params(params, cfg: LlamaConfig):
     out["layers"] = quant.quantize_tree(params["layers"])
     out["lm_head"] = quant.quantize(params["lm_head"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Paged-KV serving path (inference/kv_pool.py): decode/prefill over a shared
+# page pool with continuous batching. Gather the live context ONCE before
+# the layer scan, emit each layer's new K/V as scan outputs, write them back
+# with ONE scatter after — so per-step HBM traffic is proportional to the
+# live context, and the step jits once for a fixed slot count.
+# ---------------------------------------------------------------------------
+
+
+def _paged_rot_tables(cfg: LlamaConfig, positions):
+    cos_f, sin_f, perm_q = flat_rotary_tables(
+        cfg.head_dim, cfg.n_heads, cfg.max_seq_len, cfg.rope_theta)
+    if cfg.n_kv_heads == cfg.n_heads:
+        cos_fk, sin_fk, perm_k = cos_f, sin_f, perm_q
+    else:
+        cos_fk, sin_fk, perm_k = flat_rotary_tables(
+            cfg.head_dim, cfg.n_kv_heads, cfg.max_seq_len, cfg.rope_theta)
+    return (cos_f[positions].astype(cfg.dtype),
+            sin_f[positions].astype(cfg.dtype), perm_q,
+            cos_fk[positions].astype(cfg.dtype),
+            sin_fk[positions].astype(cfg.dtype), perm_k)
+
+
+def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
+                  tokens=None, input_embeds=None, seg_ids=None,
+                  lora_expert=0):
+    """Forward T tokens per slot against the paged pool, then append their
+    K/V. T=1 is the decode step; T>1 is (chunked) prefill. Returns
+    (logits [B,T,vocab], new_pool)."""
+    from procyon_tpu.inference import kv_pool
+
+    if input_embeds is None:
+        input_embeds = params["embed"][tokens].astype(cfg.dtype)
+    x = input_embeds.astype(cfg.dtype)
+    B, T, _ = x.shape
+    hd = cfg.head_dim
+    start = pool["seq_len"][slot_ids]                       # [B]
+    positions = start[:, None] + jnp.arange(T)[None, :]     # [B, T]
+    if seg_ids is None:
+        seg_ids = jnp.ones((B, T), jnp.int32)
+    rot = _paged_rot_tables(cfg, positions)
+    cos_q, sin_q, perm_q, cos_k, sin_k, perm_k = rot
+
+    ks, vs, ctx_valid = kv_pool.gather_kv(pool, pcfg, slot_ids)
+    ks = ks.reshape(cfg.n_layers, B, pcfg.max_ctx, cfg.n_kv_heads, hd)
+    vs = vs.reshape(cfg.n_layers, B, pcfg.max_ctx, cfg.n_kv_heads, hd)
+    ctx_seg = ctx_valid.astype(jnp.int32)                   # [B, ctx]
+    ctx_pos = jnp.broadcast_to(
+        jnp.arange(pcfg.max_ctx, dtype=jnp.int32)[None], ctx_seg.shape)
+
+    def scan_body(x, layer_in):
+        lp, k_ctx, v_ctx = layer_in
+        h = rms_norm(x, lp["attn_norm"], eps=cfg.norm_eps)
+        q_flat = _mm(h, lp["attn"]["wq"])
+        v_flat = _mm(h, lp["attn"]["wv"])
+        if cfg.lora is not None:
+            q_flat = lora_mod.apply(lp["lora_wq"], cfg.lora, h, q_flat,
+                                    expert_idx=lora_expert)
+            v_flat = lora_mod.apply(lp["lora_wv"], cfg.lora, h, v_flat,
+                                    expert_idx=lora_expert)
+        q = apply_rotary_flat(q_flat, cos_q, sin_q,
+                              perm_q).reshape(B, T, cfg.n_heads, hd)
+        k_new = apply_rotary_flat(_mm(h, lp["attn"]["wk"]), cos_k, sin_k,
+                                  perm_k).reshape(B, T, cfg.n_kv_heads, hd)
+        v_new = v_flat.reshape(B, T, cfg.n_kv_heads, hd)
+
+        # context + the chunk itself (intra-chunk attention is causal via
+        # the positional comparison below)
+        k_all = jnp.concatenate([k_ctx, k_new.astype(k_ctx.dtype)], axis=1)
+        v_all = jnp.concatenate([v_ctx, v_new.astype(v_ctx.dtype)], axis=1)
+        seg_all = jnp.concatenate([ctx_seg, seg_ids], axis=1)
+        pos_all = jnp.concatenate([ctx_pos, positions], axis=1)
+        if T == 1:
+            attn = _decode_attention_step(q, k_all, v_all, seg_ids,
+                                          seg_all, positions, pos_all)
+        else:
+            attn = flash_attention(q, k_all, v_all, seg_ids, seg_all,
+                                   causal=True, q_positions=positions,
+                                   kv_positions=pos_all,
+                                   backend=cfg.attn_backend)
+        attn = attn.reshape(B, T, cfg.n_heads * hd).astype(x.dtype)
+        x = x + _mm(attn, lp["attn"]["wo"])
+        h = rms_norm(x, lp["mlp_norm"], eps=cfg.norm_eps)
+        gated = jax.nn.silu(_mm(h, lp["mlp"]["w_gate"])) * \
+            _mm(h, lp["mlp"]["w_up"])
+        x = x + _mm(gated, lp["mlp"]["w_down"])
+        kd = cfg.n_kv_heads * hd
+        return x, (k_new.reshape(B, T, kd), v_new.reshape(B, T, kd))
+
+    x, (new_k, new_v) = jax.lax.scan(scan_body, x,
+                                     (params["layers"], ks, vs))
+    x = rms_norm(x, params["final_norm"], eps=cfg.norm_eps)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+
+    pool = kv_pool.write_tokens(pool, pcfg, new_k, new_v, slot_ids, start)
+    n_new = seg_ids.sum(-1).astype(jnp.int32)
+    pool = {**pool, "seq_len": pool["seq_len"].at[slot_ids].add(n_new)}
+    return logits, pool

@@ -192,9 +192,12 @@ def _rowblock_packed_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
     ) for sl in heads]
     if sm_scale != 1.0:   # folded into the q rope tables when fused
         ss = [s * sm_scale for s in ss]
+    # one additive mask bias shared by every head (a select per head costs
+    # a full [bq, Skv] VPU pass each; the bias is computed once)
+    bias = jnp.where(allowed, 0.0, fa.DEFAULT_MASK_VALUE)
     ps, scales = [], []
     for s in ss:
-        s = jnp.where(allowed, s, fa.DEFAULT_MASK_VALUE)
+        s = s + bias
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
