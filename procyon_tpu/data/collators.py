@@ -59,6 +59,18 @@ class CollatorConfig:
     # the canonical text
     use_entity_rephrasings: bool = False
     entity_rephrase_prob: float = 0.5
+    # protein structure soft tokens: each <|protein|> becomes
+    # "<|protein|> <|struct|>" with prob 1-struct_dropout per instruction
+    # (model_unified.py:421-460); struct embeds are per-unique-protein
+    use_protein_struct: bool = False
+    struct_dropout: float = 0.0
+    struct_embed_dim: int = 512
+    # drug soft tokens: descriptions of drug-bearing texts get
+    # "\nDrug: <|drug|>" appended, drug embeds indexed by text id
+    # (inference_utils.py:770-803)
+    use_drug_embeddings: bool = False
+    drug_embed_dim: int = 512
+    max_unique_drugs: int = 0
 
 
 class TextStore:
@@ -86,8 +98,15 @@ def _assemble(prompt_text: str, tokenizer, ext_texts: Sequence[str],
                   List[int]]:
     """Tokenize a template, splicing [EXT] texts and markers.
 
-    Returns (ids, protein_slot_positions, prot_query_pos, answer_pos,
-    label_mask_after) where soft-token positions get placeholder ids.
+    Returns (ids, slots, prot_query_pos, answer_pos, []) where slots is a
+    list of (position, kind) with kind in {"protein", "struct", "drug"} —
+    soft-token positions get placeholder ids; the collator resolves each
+    slot to a soft-bank row by modality.
+
+    [EXT] description texts may themselves contain <|drug|> / <|struct|>
+    markers (the reference appends "\nDrug: <|drug|>" to drug-bearing
+    descriptions, inference_utils.py:770-803) — they are split and slotted
+    too.
     """
     spec = tokenizer.spec
     parts = _MARKER_RE.split(prompt_text)
@@ -103,30 +122,44 @@ def _assemble(prompt_text: str, tokenizer, ext_texts: Sequence[str],
         else 0
 
     ids: List[int] = []
-    protein_positions: List[int] = []
+    slots: List[Tuple[int, str]] = []
     prot_query_pos: Optional[int] = None
     answer_positions: List[int] = []
 
+    _SLOT_IDS = {"<|protein|>": (spec.protein_id, "protein"),
+                 "<|struct|>": (spec.struct_id, "struct"),
+                 "<|drug|>": (spec.drug_id, "drug")}
+
+    def emit_text(text: str, limit: int):
+        """Tokenize description text, honoring embedded soft-token
+        markers; limit applies to the plain-text budget."""
+        if "<|" in text:
+            segs = _MARKER_RE.split(text)
+        else:
+            segs = [text]
+        for seg in segs:
+            if seg in _SLOT_IDS:
+                tok, kind = _SLOT_IDS[seg]
+                slots.append((len(ids), kind))
+                ids.append(tok)
+            elif seg:
+                t_ids = tokenizer.encode(seg)
+                if len(t_ids) > limit > 0:
+                    if crop and rng is not None:
+                        start = int(rng.integers(0,
+                                                 len(t_ids) - limit + 1))
+                        t_ids = t_ids[start:start + limit]
+                    else:
+                        t_ids = t_ids[:limit]
+                ids.extend(t_ids)
+
     for part in parts:
         if part == "[EXT]":
-            text = next(ext_iter, "")
-            t_ids = tokenizer.encode(text)
-            if len(t_ids) > budget > 0:
-                if crop and rng is not None:
-                    start = int(rng.integers(0, len(t_ids) - budget + 1))
-                    t_ids = t_ids[start:start + budget]
-                else:
-                    t_ids = t_ids[:budget]
-            ids.extend(t_ids)
-        elif part == "<|protein|>":
-            protein_positions.append(len(ids))
-            ids.append(spec.protein_id)
-        elif part == "<|struct|>":
-            protein_positions.append(len(ids))
-            ids.append(spec.struct_id)
-        elif part == "<|drug|>":
-            protein_positions.append(len(ids))
-            ids.append(spec.drug_id)
+            emit_text(next(ext_iter, ""), budget)
+        elif part in _SLOT_IDS:
+            tok, kind = _SLOT_IDS[part]
+            slots.append((len(ids), kind))
+            ids.append(tok)
         elif part == "[PROT]":
             prot_query_pos = len(ids)
             ids.append(spec.prot_query_id)
@@ -148,10 +181,15 @@ def _assemble(prompt_text: str, tokenizer, ext_texts: Sequence[str],
             ids.extend(tokenizer.encode(part))
 
     answer_pos = answer_positions[-1] if answer_positions else None
-    return ids, protein_positions, prot_query_pos, answer_pos, []
+    return ids, slots, prot_query_pos, answer_pos, []
 
 
-def _pad_batch(rows: List[Dict], max_len: int, left_pad: bool):
+def _pad_batch(rows: List[Dict], max_len: int, left_pad: bool,
+               bank_offsets=(0, 0, 0)):
+    """rows[b]["soft"] entries are (pos, bank, idx) with bank 0=protein,
+    1=struct, 2=drug; bank_offsets maps each bank into the concatenated
+    soft-bank layout [proteins | structs | drugs]
+    (models/unified.build_soft_bank)."""
     B = len(rows)
     L = max_len
     input_ids = np.zeros((B, L), np.int32)
@@ -181,9 +219,10 @@ def _pad_batch(rows: List[Dict], max_len: int, left_pad: bool):
         input_ids[b, off:off + n] = ids
         seg_ids[b, off:off + n] = 1
         positions[b, off:off + n] = np.arange(n)
-        for pos, soft_idx in row.get("soft", []):
+        for entry in row.get("soft", []):
+            pos, bank, idx = entry
             if pos < L:
-                soft_map[b, off + pos] = soft_idx
+                soft_map[b, off + pos] = bank_offsets[bank] + idx
         if row.get("labels") is not None:
             lab = row["labels"][:L]
             labels[b, off:off + len(lab)] = lab
@@ -265,6 +304,110 @@ class BaseCollator:
             embeds = np.concatenate([embeds, pad], 0)
         return {"protein_embeds": embeds}
 
+    # ---- struct / drug soft-token modalities ---------------------------
+
+    def _n_protein_rows(self, parrays: Dict) -> int:
+        if "protein_embeds" in parrays:
+            return parrays["protein_embeds"].shape[0]
+        return parrays["protein_tokens"].shape[0]
+
+    def _modality_arrays(self, parrays: Dict, unique: _UniqueProteins,
+                         unique_drugs: Optional[_UniqueProteins]) -> Tuple[
+                             Dict, Tuple[int, int, int]]:
+        """struct/drug embedding banks + soft_map bank offsets for the
+        [proteins | structs | drugs] layout (build_soft_bank)."""
+        cfg = self.cfg
+        n_prot = self._n_protein_rows(parrays)
+        out = {}
+        off_struct = 0
+        off_drug = n_prot
+        if cfg.use_protein_struct:
+            se = np.zeros((n_prot, cfg.struct_embed_dim), np.float32)
+            for row, aaseq_idx in enumerate(unique.order):
+                emb = self._struct_embedding(aaseq_idx)
+                if emb is not None:
+                    se[row] = emb
+            out["struct_embeds"] = se
+            off_struct = n_prot
+            off_drug = 2 * n_prot
+        want_drugs = unique_drugs is not None and (
+            unique_drugs.order or (cfg.use_drug_embeddings and
+                                   cfg.max_unique_drugs))
+        if want_drugs:
+            if unique_drugs.order:
+                de = np.stack([self._drug_embedding(d)
+                               for d in unique_drugs.order])
+            else:
+                de = np.zeros((0, cfg.drug_embed_dim), np.float32)
+            if cfg.max_unique_drugs and de.shape[0] < cfg.max_unique_drugs:
+                pad = np.zeros((cfg.max_unique_drugs - de.shape[0],
+                                de.shape[1]), de.dtype)
+                de = np.concatenate([de, pad], 0)
+            out["drug_embeds"] = de
+        return out, (0, off_struct, off_drug)
+
+    def _struct_embedding(self, aaseq_idx: int):
+        fn = getattr(self.store, "struct_embedding", None)
+        return fn(aaseq_idx) if fn is not None else None
+
+    def _drug_embedding(self, drug_idx: int):
+        return self.store.drug_embedding(drug_idx)
+
+    def _has_drug(self, text_idx: int) -> bool:
+        if not self.cfg.use_drug_embeddings:
+            return False
+        fn = getattr(self.store, "has_drug", None)
+        if fn is not None:
+            return bool(fn(text_idx))
+        return hasattr(self.store, "drug_embedding")
+
+    def _struct_prompt(self, prompt_text: str) -> str:
+        """With prob 1-struct_dropout, every <|protein|> slot gains a
+        trailing <|struct|> token (model_unified.py:421-437)."""
+        if self.cfg.use_protein_struct and \
+                self.rng.random() >= self.cfg.struct_dropout:
+            return prompt_text.replace("<|protein|>",
+                                       "<|protein|> <|struct|>")
+        return prompt_text
+
+    def _with_drug_marker(self, text: str, text_idx: int,
+                          drug_slot_ids: List[int]) -> str:
+        """Drug-bearing descriptions get "\\nDrug: <|drug|>" appended and
+        the drug id recorded in slot order (inference_utils.py:770-803;
+        drug id == the drugbank text id)."""
+        if self._has_drug(text_idx):
+            drug_slot_ids.append(text_idx)
+            return text + "\nDrug: <|drug|>"
+        return text
+
+    def _resolve_slots(self, slots, aaseq_slot_ids: Sequence[int],
+                       drug_slot_ids: Sequence[int],
+                       unique: _UniqueProteins,
+                       unique_drugs: _UniqueProteins) -> List[Tuple]:
+        """Typed slots -> (pos, bank, idx) rows. Struct slots bind to the
+        most recent protein slot's bank row (the reference injects
+        "<|protein|> <|struct|>" pairs and indexes struct embeds by the
+        same unique aaseq, model_unified.py:440-460)."""
+        soft = []
+        ai = iter(aaseq_slot_ids)
+        di = iter(drug_slot_ids)
+        last_prot = None
+        for pos, kind in slots:
+            if kind == "protein":
+                nxt = next(ai, None)
+                if nxt is None:
+                    continue
+                last_prot = unique.add(nxt)
+                soft.append((pos, 0, last_prot))
+            elif kind == "struct":
+                if last_prot is not None:
+                    soft.append((pos, 1, last_prot))
+            else:
+                d = next(di, None)
+                if d is not None:
+                    soft.append((pos, 2, unique_drugs.add(d)))
+        return soft
+
     def _prompt_exts(self, prompt: Prompt, query_text: Optional[str]):
         """ICL example description texts + the query description."""
         texts = [self.store.text(t) for t in prompt.example_text_ids]
@@ -282,28 +425,37 @@ class QACollator(BaseCollator):
     def __call__(self, samples, prompt: Prompt) -> Dict:
         spec = self.tokenizer.spec
         unique = _UniqueProteins()
+        unique_drugs = _UniqueProteins()
         rows = []
         yes_no = []
         for aaseq_idx, text_idx, positive in samples:
             answer = " yes" if positive else " no"
-            exts = self._prompt_exts(prompt, self._instance_text(text_idx))
-            ids, prot_pos, _, ans_pos, _ = _assemble(
-                prompt.text, self.tokenizer, exts, answer,
-                self.cfg.max_text_len, self.cfg.crop_texts, self.rng,
-                context_texts=self._contexts(prompt, text_idx))
-            soft = []
+            drug_ids: List[int] = []
+            icl = [self._with_drug_marker(self.store.text(t), t, drug_ids)
+                   for t in prompt.example_text_ids]
+            exts = icl + [self._with_drug_marker(
+                self._instance_text(text_idx), text_idx, drug_ids)]
+            ids, slots, _, ans_pos, _ = _assemble(
+                self._struct_prompt(prompt.text), self.tokenizer, exts,
+                answer, self.cfg.max_text_len, self.cfg.crop_texts,
+                self.rng, context_texts=self._contexts(prompt, text_idx))
             # ICL example proteins then the query protein, in slot order
             slot_aaseqs = list(prompt.example_aaseq_ids) + [aaseq_idx]
-            for pos, a_idx in zip(prot_pos, slot_aaseqs):
-                soft.append((pos, unique.add(a_idx)))
+            soft = self._resolve_slots(slots, slot_aaseqs, drug_ids,
+                                       unique, unique_drugs)
             labels = np.full((len(ids),), -100, np.int32)
             if ans_pos is not None:
                 labels[ans_pos + 1:] = ids[ans_pos + 1:]
             rows.append({"ids": ids, "soft": soft, "labels": labels,
                          "answer_pos": ans_pos})
             yes_no.append(1 if positive else 0)
-        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
-        batch.update(self._protein_arrays(unique))
+        parrays = self._protein_arrays(unique)
+        marrays, offsets = self._modality_arrays(parrays, unique,
+                                                 unique_drugs)
+        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad,
+                           offsets)
+        batch.update(parrays)
+        batch.update(marrays)
         batch["qa_labels"] = np.asarray(yes_no, np.int32)
         # 0-d arrays (np.isscalar(np.int32(x)) is True!) so they survive
         # scalar-filtering in host->device batch conversion
@@ -333,20 +485,26 @@ class RetrievalCollator(BaseCollator):
         dataset.py:844-956); when given, the model scores against them
         instead of in-batch negatives."""
         unique = _UniqueProteins()
+        unique_drugs = _UniqueProteins()
         rows = []
         target_pos = []
         text_ids = []
         aaseq_ids = []
         neg_pos = [] if negatives is not None else None
         for si, (aaseq_idx, text_idx) in enumerate(samples):
-            exts = self._prompt_exts(prompt, self._instance_text(text_idx))
-            ids, prot_pos, prot_query, _, _ = _assemble(
+            drug_ids: List[int] = []
+            icl = [self._with_drug_marker(self.store.text(t), t, drug_ids)
+                   for t in prompt.example_text_ids]
+            exts = icl + [self._with_drug_marker(
+                self._instance_text(text_idx), text_idx, drug_ids)]
+            # no struct injection: the reference skips struct tokens for
+            # retrieval during training (model_unified.py:511-512)
+            ids, slots, prot_query, _, _ = _assemble(
                 prompt.text, self.tokenizer, exts, None,
                 self.cfg.max_text_len, self.cfg.crop_texts, self.rng,
                 context_texts=self._contexts(prompt, text_idx))
-            soft = []
-            for pos, a_idx in zip(prot_pos, prompt.example_aaseq_ids):
-                soft.append((pos, unique.add(a_idx)))
+            soft = self._resolve_slots(slots, prompt.example_aaseq_ids,
+                                       drug_ids, unique, unique_drugs)
             rows.append({"ids": ids, "soft": soft, "labels": None,
                          "ret_pos": prot_query})
             target_pos.append(unique.add(aaseq_idx))
@@ -354,9 +512,14 @@ class RetrievalCollator(BaseCollator):
             aaseq_ids.append(aaseq_idx)
             if neg_pos is not None:
                 neg_pos.append([unique.add(n) for n in negatives[si]])
-        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
+        parrays = self._protein_arrays(unique)
+        marrays, offsets = self._modality_arrays(parrays, unique,
+                                                 unique_drugs)
+        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad,
+                           offsets)
         del batch["labels"]
-        batch.update(self._protein_arrays(unique))
+        batch.update(parrays)
+        batch.update(marrays)
         B = len(samples)
         batch["ret_target_pos"] = np.asarray(target_pos, np.int32)
         batch["ret_valid"] = np.ones((B,), bool)
@@ -385,24 +548,29 @@ class CaptionCollator(BaseCollator):
                  ) -> Dict:
         spec = self.tokenizer.spec
         unique = _UniqueProteins()
+        unique_drugs = _UniqueProteins()
         rows = []
         # the final [EXT] in a caption template is the target text; split
         # the template at "Output: [ANSWER] [EXT]" tail
         for aaseq_idx, text_idx in samples:
             caption = self._instance_text(text_idx)
-            # ICL exts fill earlier [EXT]s; the last is the caption target
-            icl_exts = [self.store.text(t) for t in prompt.example_text_ids]
+            # ICL exts fill earlier [EXT]s; the last is the caption target.
+            # drug markers only on ICL descriptions — the generated caption
+            # must stay pure text
+            drug_ids: List[int] = []
+            icl_exts = [self._with_drug_marker(self.store.text(t), t,
+                                               drug_ids)
+                        for t in prompt.example_text_ids]
             exts = icl_exts + ([""] if for_generation else [caption])
-            ids, prot_pos, _, ans_pos, _ = _assemble(
-                prompt.text, self.tokenizer, exts, None,
-                self.cfg.max_text_len, self.cfg.crop_texts, self.rng,
+            ids, slots, _, ans_pos, _ = _assemble(
+                self._struct_prompt(prompt.text), self.tokenizer, exts,
+                None, self.cfg.max_text_len, self.cfg.crop_texts, self.rng,
                 context_texts=self._contexts(prompt, text_idx))
             if not for_generation:
                 ids = ids + [spec.eos_id]
-            soft = []
             slot_aaseqs = list(prompt.example_aaseq_ids) + [aaseq_idx]
-            for pos, a_idx in zip(prot_pos, slot_aaseqs):
-                soft.append((pos, unique.add(a_idx)))
+            soft = self._resolve_slots(slots, slot_aaseqs, drug_ids,
+                                       unique, unique_drugs)
             labels = None
             if not for_generation and ans_pos is not None:
                 labels = np.full((len(ids),), -100, np.int32)
@@ -410,8 +578,12 @@ class CaptionCollator(BaseCollator):
             rows.append({"ids": ids, "soft": soft, "labels": labels,
                          "answer_pos": ans_pos})
         left_pad = self.cfg.left_pad or for_generation
-        batch = _pad_batch(rows, self.cfg.max_text_len, left_pad)
-        batch.update(self._protein_arrays(unique))
+        parrays = self._protein_arrays(unique)
+        marrays, offsets = self._modality_arrays(parrays, unique,
+                                                 unique_drugs)
+        batch = _pad_batch(rows, self.cfg.max_text_len, left_pad, offsets)
+        batch.update(parrays)
+        batch.update(marrays)
         if for_generation:
             del batch["labels"]
         batch["reference_indices"] = {
@@ -433,20 +605,25 @@ class PPIQACollator(BaseCollator):
         yes_no = []
         for a1, a2, positive in samples:
             answer = " yes" if positive else " no"
-            ids, prot_pos, _, ans_pos, _ = _assemble(
-                prompt.text, self.tokenizer, [], answer,
-                self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
+            ids, slots, _, ans_pos, _ = _assemble(
+                self._struct_prompt(prompt.text), self.tokenizer, [],
+                answer, self.cfg.max_text_len, self.cfg.crop_texts,
+                self.rng)
             slot_aaseqs = list(prompt.example_aaseq_ids) + [a1, a2]
-            soft = [(pos, unique.add(a))
-                    for pos, a in zip(prot_pos, slot_aaseqs)]
+            soft = self._resolve_slots(slots, slot_aaseqs, [], unique,
+                                       _UniqueProteins())
             labels = np.full((len(ids),), -100, np.int32)
             if ans_pos is not None:
                 labels[ans_pos + 1:] = ids[ans_pos + 1:]
             rows.append({"ids": ids, "soft": soft, "labels": labels,
                          "answer_pos": ans_pos})
             yes_no.append(1 if positive else 0)
-        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
-        batch.update(self._protein_arrays(unique))
+        parrays = self._protein_arrays(unique)
+        marrays, offsets = self._modality_arrays(parrays, unique, None)
+        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad,
+                           offsets)
+        batch.update(parrays)
+        batch.update(marrays)
         batch["qa_labels"] = np.asarray(yes_no, np.int32)
         return batch
 
@@ -461,19 +638,23 @@ class PPIRetrievalCollator(BaseCollator):
         target_pos = []
         pair_ids = []
         for a1, a2 in samples:
-            ids, prot_pos, prot_query, _, _ = _assemble(
+            ids, slots, prot_query, _, _ = _assemble(
                 prompt.text, self.tokenizer, [], None,
                 self.cfg.max_text_len, self.cfg.crop_texts, self.rng)
             slot_aaseqs = list(prompt.example_aaseq_ids) + [a1]
-            soft = [(pos, unique.add(a))
-                    for pos, a in zip(prot_pos, slot_aaseqs)]
+            soft = self._resolve_slots(slots, slot_aaseqs, [], unique,
+                                       _UniqueProteins())
             rows.append({"ids": ids, "soft": soft, "labels": None,
                          "ret_pos": prot_query})
             target_pos.append(unique.add(a2))
             pair_ids.append((a1, a2))
-        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad)
+        parrays = self._protein_arrays(unique)
+        marrays, offsets = self._modality_arrays(parrays, unique, None)
+        batch = _pad_batch(rows, self.cfg.max_text_len, self.cfg.left_pad,
+                           offsets)
         del batch["labels"]
-        batch.update(self._protein_arrays(unique))
+        batch.update(parrays)
+        batch.update(marrays)
         B = len(samples)
         batch["ret_target_pos"] = np.asarray(target_pos, np.int32)
         batch["ret_valid"] = np.ones((B,), bool)

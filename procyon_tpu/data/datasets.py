@@ -35,10 +35,12 @@ class SyntheticStore:
     AA = "LAGVSERTIDPKQNFYMHWC"
 
     def __init__(self, n_proteins=64, n_texts=64, embed_dim=64, seed=0,
-                 min_len=20, max_len=60):
+                 min_len=20, max_len=60, struct_dim=16, drug_dim=16):
         self.n_proteins = n_proteins
         self.n_texts = n_texts
         self.embed_dim = embed_dim
+        self.struct_dim = struct_dim
+        self.drug_dim = drug_dim
         rng = np.random.default_rng(seed)
         self._lens = rng.integers(min_len, max_len, n_proteins)
         self._embeds = rng.standard_normal(
@@ -70,6 +72,21 @@ class SyntheticStore:
             (f"record {idx}: pathway p{idx % 7}; function f{idx % 11}"),
         ]
         return forms[variant % len(forms)]
+
+    # struct/drug modality fixtures (gearnet & drug-structure analogues,
+    # model_unified.py:269-297)
+    def struct_embedding(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng(7_000_003 + idx % self.n_proteins)
+        return rng.standard_normal(self.struct_dim).astype(np.float32)
+
+    def drug_embedding(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng(9_000_017 + idx % self.n_texts)
+        return rng.standard_normal(self.drug_dim).astype(np.float32)
+
+    def has_drug(self, text_idx: int) -> bool:
+        # every other text id carries a drug record (DRUGMASK analogue,
+        # inference_utils.py:770-781)
+        return text_idx % 2 == 0
 
 
 class ProCyonDataStore:
@@ -186,6 +203,38 @@ class ProCyonDataStore:
         assert len(df) == len(emb), (len(df), len(emb))
         return emb
 
+    # -- per-index struct/drug accessors for the collator soft banks
+    # (model_unified.py:269-297 frozen nn.Embedding tables)
+    def struct_embedding(self, idx: int,
+                         path: Optional[str] = None) -> Optional[np.ndarray]:
+        if not hasattr(self, "_struct_table"):
+            try:
+                self._struct_table = self.protein_struct_embeddings(path)
+            except (FileNotFoundError, OSError):
+                self._struct_table = None
+        if self._struct_table is None or idx >= len(self._struct_table):
+            return None
+        return np.asarray(self._struct_table[idx], np.float32)
+
+    def drug_embedding(self, idx: int,
+                       path: Optional[str] = None) -> np.ndarray:
+        if not hasattr(self, "_drug_table"):
+            self._drug_table = self.drug_structure_embeddings(path)
+        return np.asarray(self._drug_table[idx], np.float32)
+
+    def has_drug(self, text_idx: int) -> bool:
+        """DRUGMASK analogue (inference_utils.py:770-781): a text id has a
+        drug record when the drug table has a finite, non-zero row."""
+        if not hasattr(self, "_drug_table"):
+            try:
+                self._drug_table = self.drug_structure_embeddings()
+            except (FileNotFoundError, OSError):
+                self._drug_table = None
+        if self._drug_table is None or text_idx >= len(self._drug_table):
+            return False
+        row = self._drug_table[text_idx]
+        return bool(np.isfinite(row).all() and np.abs(row).sum() > 0)
+
 
 class TextTableStore:
     """Binds a ProCyonDataStore to one text dataset + composed columns."""
@@ -208,6 +257,15 @@ class TextTableStore:
 
     def protein_embedding(self, idx):
         return self.base.protein_embedding(idx)
+
+    def struct_embedding(self, idx):
+        return self.base.struct_embedding(idx)
+
+    def drug_embedding(self, idx):
+        return self.base.drug_embedding(idx)
+
+    def has_drug(self, text_idx):
+        return self.base.has_drug(text_idx)
 
     def text(self, idx: int) -> str:
         df, cols = self.base.load_text_table(self.text_type, self.columns)

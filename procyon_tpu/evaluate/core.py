@@ -28,7 +28,9 @@ class EvalArgs:
     use_bertscore: bool = False
 
 
-# model zoo: task -> {model_name: constructor(ctx) -> model}
+# model zoo: task -> {model_name: constructor(ctx, ds) -> model}
+# ds is the current dataset entry (the reference constructs a fresh model
+# wrapper per (task, model, dataset) iteration, framework/core.py:202-240).
 MODEL_ZOO: Dict[str, Dict[str, Callable]] = {
     "retrieval": {},
     "qa": {},
@@ -40,27 +42,83 @@ def register_model(task: str, name: str, constructor: Callable):
     MODEL_ZOO[task][name] = constructor
 
 
+def _procyon_ctx(ctx, ds):
+    """Shared pieces for the ProCyon wrappers: ctx["procyon"] carries
+    params/cfg/tokenizer/store (loaded once); ds carries the per-dataset
+    instruct task JSON (framework/core.py:68-110 registers the ProCyon
+    wrappers as first-class zoo entries)."""
+    p = ctx["procyon"]
+    task_json = ds.get("task_json") or ctx.get("task_json")
+    if task_json is None:
+        raise KeyError(
+            "procyon eval needs a task_json (instruct task dict) on the "
+            "dataset entry or model context")
+    store = ds.get("store") or p.get("store")
+    return p, task_json, store
+
+
 def _default_zoo():
     from procyon_tpu.evaluate.baselines import (
         KNNQAModel, KNNRetrievalModel, MLPRetrievalModel, RandomQAModel,
-        RandomRetrievalModel)
+        RandomRetrievalModel, ScoreMatrixRetrievalModel)
+    from procyon_tpu.evaluate.procyon_models import (
+        ProcyonCaptionEval, ProcyonQAEval, ProcyonRetrievalEval)
 
-    if "random" not in MODEL_ZOO["retrieval"]:
-        register_model("retrieval", "random",
-                       lambda ctx: RandomRetrievalModel())
-        register_model("qa", "random", lambda ctx: RandomQAModel())
-        register_model(
-            "retrieval", "knn",
-            lambda ctx: KNNRetrievalModel(ctx["protein_embeddings"],
-                                          ctx["train_relations"]))
-        register_model(
-            "qa", "knn",
-            lambda ctx: KNNQAModel(ctx["protein_embeddings"],
-                                   ctx["train_relations"]))
-        register_model(
-            "retrieval", "mlp",
-            lambda ctx: MLPRetrievalModel(ctx["protein_embeddings"],
-                                          ctx["train_relations"]))
+    if "random" in MODEL_ZOO["retrieval"]:
+        return
+    register_model("retrieval", "random",
+                   lambda ctx, ds: RandomRetrievalModel())
+    register_model("qa", "random", lambda ctx, ds: RandomQAModel())
+    def _train_rel(ctx, ds):
+        # per-dataset train relations when the loader attached them
+        # (the reference builds kNN per dataset, knn.py:43-127)
+        return ds.get("train_relations") or ctx["train_relations"]
+
+    register_model(
+        "retrieval", "knn",
+        lambda ctx, ds: KNNRetrievalModel(ctx["protein_embeddings"],
+                                          _train_rel(ctx, ds)))
+    register_model(
+        "qa", "knn",
+        lambda ctx, ds: KNNQAModel(ctx["protein_embeddings"],
+                                   _train_rel(ctx, ds)))
+    register_model(
+        "retrieval", "mlp",
+        lambda ctx, ds: MLPRetrievalModel(ctx["protein_embeddings"],
+                                          _train_rel(ctx, ds)))
+    # BLAST bit-score retrieval over a precomputed matrix (blast.py:26-88)
+    register_model(
+        "retrieval", "blast",
+        lambda ctx, ds: ScoreMatrixRetrievalModel(
+            ctx["blast_scores"]["matrix"],
+            ctx["blast_scores"]["query_ids"],
+            ctx["blast_scores"]["target_ids"]))
+
+    def _ret(ctx, ds):
+        p, task_json, store = _procyon_ctx(ctx, ds)
+        return ProcyonRetrievalEval(
+            p["params"], p["cfg"], p["tokenizer"], store, task_json,
+            batch_size=p.get("batch_size", 16),
+            target_cache_path=p.get("target_cache_path"),
+            collator_cfg=p.get("collator_cfg"))
+
+    def _qa(ctx, ds):
+        p, task_json, store = _procyon_ctx(ctx, ds)
+        return ProcyonQAEval(p["params"], p["cfg"], p["tokenizer"], store,
+                             task_json, batch_size=p.get("batch_size", 16),
+                             collator_cfg=p.get("collator_cfg"))
+
+    def _cap(ctx, ds):
+        p, task_json, store = _procyon_ctx(ctx, ds)
+        return ProcyonCaptionEval(p["params"], p["cfg"], p["tokenizer"],
+                                  store, task_json,
+                                  batch_size=p.get("batch_size", 8),
+                                  gen=p.get("generation_config"),
+                                  collator_cfg=p.get("collator_cfg"))
+
+    register_model("retrieval", "procyon", _ret)
+    register_model("qa", "procyon", _qa)
+    register_model("caption", "procyon", _cap)
 
 
 def run_evaluation(args: EvalArgs, datasets: Dict[str, Dict], *,
@@ -85,7 +143,7 @@ def run_evaluation(args: EvalArgs, datasets: Dict[str, Dict], *,
             ctor = MODEL_ZOO[task].get(model_name)
             if ctor is None:
                 continue
-            model = ctor(ctx)
+            model = ctor(ctx, ds)
             if task == "retrieval":
                 metrics = ret.run_retrieval_eval(
                     model, ds, all_protein_ids=ds["all_protein_ids"],

@@ -57,25 +57,62 @@ def build_eval_dataset(*, eval_relations, train_relations,
 def load_datasets_for_eval(data_dir: str, entries: Sequence[Dict], *,
                            store=None, split: str = "test",
                            train_split: str = "train",
-                           split_method: str = "random_split") -> Dict:
+                           split_method: str = "random_split",
+                           task_library=None,
+                           subset_version: int = 5) -> Dict:
     """entries: [{aaseq_type, text_type, relation, tasks: [...]}].
-    Returns {dataset_name: run_evaluation entry}."""
+    Returns {dataset_name: run_evaluation entry}.
+
+    Each entry also carries what the ProCyon zoo wrappers need
+    (framework/core.py:202-240 builds a wrapper per dataset):
+      task_json — the instruct task dict for the (dataset, task) pair
+      store     — a TextTableStore bound to the dataset's composed columns
+      text_type — for bookkeeping/TSV naming
+    """
+    from procyon_tpu.data import instruct, registry
+
+    base_store = store or D.ProCyonDataStore(data_dir)
+    lib = task_library or instruct.TaskLibrary()
     out = {}
     for e in entries:
+        aaseq_type = e.get("aaseq_type", "protein")
+        relation = e.get("relation", "all")
         ds_eval = D.AASeqTextRelationDataset.from_csv(
-            data_dir, e.get("aaseq_type", "protein"), e["text_type"],
+            data_dir, aaseq_type, e["text_type"],
             e.get("relation") and [e["relation"]], split,
-            split_method=split_method, store=store)
+            split_method=split_method, store=base_store)
         ds_train = D.AASeqTextRelationDataset.from_csv(
-            data_dir, e.get("aaseq_type", "protein"), e["text_type"],
+            data_dir, aaseq_type, e["text_type"],
             e.get("relation") and [e["relation"]], train_split,
-            split_method=split_method, store=store)
+            split_method=split_method, store=base_store)
         eval_rel = [(r.aaseq_idx, r.text_idx) for r in ds_eval.relations]
         train_rel = [(r.aaseq_idx, r.text_idx) for r in ds_train.relations]
         all_ids = sorted({a for a, _ in eval_rel + train_rel})
         for task in e.get("tasks", ["retrieval", "qa"]):
-            name = f"{e['text_type']}_{e.get('relation', 'all')}_{task}"
-            out[name] = build_eval_dataset(
+            name = f"{e['text_type']}_{relation}_{task}"
+            cols = registry.column_subset(task, e["text_type"],
+                                          subset_version) or []
+            tstore = D.TextTableStore(
+                base_store if isinstance(base_store, D.ProCyonDataStore)
+                else getattr(base_store, "base", base_store),
+                e["text_type"], cols) \
+                if isinstance(base_store, D.ProCyonDataStore) else base_store
+            references = None
+            if task == "caption":
+                references = {}
+                for a, t in eval_rel:
+                    references.setdefault(a, []).append(tstore.text(t))
+            entry = build_eval_dataset(
                 eval_relations=eval_rel, train_relations=train_rel,
-                all_protein_ids=all_ids, task=task)
+                all_protein_ids=all_ids, task=task, references=references)
+            try:
+                entry["task_json"] = lib.get(instruct.construct_task_id(
+                    aaseq_type, e["text_type"].split(":")[0], relation,
+                    task))
+            except (KeyError, FileNotFoundError):
+                entry["task_json"] = None
+            entry["store"] = tstore
+            entry["text_type"] = e["text_type"]
+            entry["train_relations"] = train_rel
+            out[name] = entry
     return out

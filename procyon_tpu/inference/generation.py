@@ -146,8 +146,9 @@ def generate_beam(params, cfg: unified.UnifiedConfig, batch,
     beam_batch = {k: tile(v) if hasattr(v, "ndim") and v.ndim >= 1
                   and v.shape[0] == B else v
                   for k, v in batch.items()
-                  if k not in ("protein_embeds", "drug_embeds")}
-    for k in ("protein_embeds", "drug_embeds"):
+                  if k not in ("protein_embeds", "drug_embeds",
+                               "struct_embeds")}
+    for k in ("protein_embeds", "drug_embeds", "struct_embeds"):
         if k in batch and batch[k] is not None:
             beam_batch[k] = batch[k]
 

@@ -45,8 +45,20 @@ class UnifiedConfig:
     token_projector_hidden: int = 2560
     retrieval_dim: int = 1024
     retrieval_projector_layers: int = 1
+    # separate lm/shared projector shapes (ModelArgs.num_layers_lm_projector /
+    # num_layers_shared_projector, training_args_IT.py:540-558; ProCyon-Full
+    # uses 3 layers x 2560 hidden for both, configs/llama3-full.yml:47-50).
+    # None / 0 falls back to retrieval_projector_layers (backward compat).
+    lm_projector_layers: Optional[int] = None
+    lm_projector_hidden: int = 0
+    shared_projector_layers: Optional[int] = None
+    shared_projector_hidden: int = 0
     use_drug_embeddings: bool = False
     drug_embed_dim: int = 512
+    # protein structure soft tokens (ModelArgs.use_protein_struct,
+    # training_args_IT.py:347; gearnet embeddings, model_unified.py:270-284)
+    use_protein_struct: bool = False
+    struct_embed_dim: int = 512
     protein_pooling: str = "mean"
     # which decoder layer's hidden state feeds retrieval; -1 = last
     # (ModelArgs.ret_token_access, training_args_IT.py:173)
@@ -79,6 +91,8 @@ def _proj_cfg(cfg, in_dim, out_dim, n_layers, hidden):
 def projector_configs(cfg: UnifiedConfig):
     d_llm = cfg.llama.dim
     d_enc = cfg.encoder_out_dim
+    lm_layers = cfg.lm_projector_layers or cfg.retrieval_projector_layers
+    sh_layers = cfg.shared_projector_layers or cfg.retrieval_projector_layers
     out = {
         "token_projector": _proj_cfg(cfg, d_enc, d_llm,
                                      cfg.token_projector_layers,
@@ -86,10 +100,14 @@ def projector_configs(cfg: UnifiedConfig):
         # retrieval: LLM-side and protein-side into the shared space
         # (model_unified.py:576-588 aaseq_lm_projector / aaseq_shared_projector)
         "lm_projector": _proj_cfg(cfg, d_llm, cfg.retrieval_dim,
-                                  cfg.retrieval_projector_layers, 0),
+                                  lm_layers, cfg.lm_projector_hidden),
         "shared_projector": _proj_cfg(cfg, d_enc, cfg.retrieval_dim,
-                                      cfg.retrieval_projector_layers, 0),
+                                      sh_layers, cfg.shared_projector_hidden),
     }
+    if cfg.use_protein_struct:
+        out["struct_projector"] = _proj_cfg(cfg, cfg.struct_embed_dim, d_llm,
+                                            cfg.token_projector_layers,
+                                            cfg.token_projector_hidden)
     if cfg.use_drug_embeddings:
         out["drug_projector"] = _proj_cfg(cfg, cfg.drug_embed_dim, d_llm,
                                           cfg.token_projector_layers,
@@ -173,22 +191,29 @@ def _inject_soft_tokens(params, cfg, input_ids, soft_map, soft_bank):
 
 
 def build_soft_bank(params, cfg: UnifiedConfig, protein_embeds,
-                    drug_embeds=None):
+                    drug_embeds=None, struct_embeds=None):
     """Project modality embeddings into LLM token space -> one bank.
 
-    protein rows occupy [0, U); drug rows (if any) [U, U+Ud). Collators index
-    soft_map against this layout.
+    Fixed row layout the collators index soft_map against
+    (data/collators.py docstring):
+      protein rows [0, U); struct rows [U, U+Us); drug rows [U+Us, U+Us+Ud).
+    Struct embeddings are per-protein gearnet vectors routed through the
+    prot_structure token projector (model_unified.py:270-284); drug rows go
+    through the drug projector (:286-297).
     """
     pcfgs = projector_configs(cfg)
-    bank = projectors.apply(params["projectors"]["token_projector"],
-                            pcfgs["token_projector"],
-                            protein_embeds.astype(cfg.dtype))
+    banks = [projectors.apply(params["projectors"]["token_projector"],
+                              pcfgs["token_projector"],
+                              protein_embeds.astype(cfg.dtype))]
+    if struct_embeds is not None:
+        banks.append(projectors.apply(
+            params["projectors"]["struct_projector"],
+            pcfgs["struct_projector"], struct_embeds.astype(cfg.dtype)))
     if drug_embeds is not None:
-        dbank = projectors.apply(params["projectors"]["drug_projector"],
-                                 pcfgs["drug_projector"],
-                                 drug_embeds.astype(cfg.dtype))
-        bank = jnp.concatenate([bank, dbank], axis=0)
-    return bank
+        banks.append(projectors.apply(
+            params["projectors"]["drug_projector"],
+            pcfgs["drug_projector"], drug_embeds.astype(cfg.dtype)))
+    return banks[0] if len(banks) == 1 else jnp.concatenate(banks, axis=0)
 
 
 def forward(params, cfg: UnifiedConfig, batch, *, retrieval=False,
@@ -222,7 +247,8 @@ def forward(params, cfg: UnifiedConfig, batch, *, retrieval=False,
         batch = dict(batch)
         batch["protein_embeds"] = protein_embeds
     soft_bank = build_soft_bank(params, cfg, protein_embeds,
-                                batch.get("drug_embeds"))
+                                drug_embeds=batch.get("drug_embeds"),
+                                struct_embeds=batch.get("struct_embeds"))
     input_embeds = _inject_soft_tokens(params, cfg, batch["input_ids"],
                                        batch.get("soft_map"), soft_bank)
     out = llama.forward(params["llama"], cfg.llama,

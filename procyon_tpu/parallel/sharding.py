@@ -105,9 +105,10 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
 
 
 # batch entries that are shared banks/scalars, not per-example rows
-_REPLICATED_BATCH_KEYS = {"protein_embeds", "drug_embeds", "protein_tokens",
-                          "protein_group_ids", "protein_row_valid",
-                          "yes_token", "no_token", "loss_weight"}
+_REPLICATED_BATCH_KEYS = {"protein_embeds", "drug_embeds", "struct_embeds",
+                          "protein_tokens", "protein_group_ids",
+                          "protein_row_valid", "yes_token", "no_token",
+                          "loss_weight"}
 
 
 def shard_batch(batch: Any, mesh: Mesh):

@@ -1,0 +1,137 @@
+"""Real-data (DATA_DIR-layout) eval framework path (VERDICT round-1
+Missing #2): load_datasets_for_eval over a fabricated DATA_DIR fixture,
+then run_evaluation with the ProCyon zoo entry + knn/random end-to-end.
+
+Reference: evaluate/framework/core.py:119-240 + utils.py:163-242.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+pd = pytest.importorskip("pandas")
+
+import jax
+import jax.numpy as jnp
+
+from procyon_tpu.data import registry as R
+from procyon_tpu.data.text_tokenizer import load_tokenizer
+from procyon_tpu.models import llama, unified
+
+
+N_PROTEINS = 12
+N_TEXTS = 4
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("datadir"))
+    rel_dir = os.path.join(root, "integrated_data", "v1", "protein_go",
+                           "random_split")
+    os.makedirs(rel_dir)
+    rows = []
+    for a in range(N_PROTEINS):
+        rows.append({"seq_id": a, "text_id": a % N_TEXTS,
+                     "relation": "process",
+                     "split": "train" if a % 2 == 0 else "test"})
+    pd.DataFrame(rows).to_csv(os.path.join(
+        rel_dir, "protein_go_relations_indexed.unified.csv"), index=False)
+
+    txt_dir = os.path.join(root, "integrated_data", "v1", "go")
+    os.makedirs(txt_dir)
+    cols = R.column_subset("qa", "go", 5)
+    pd.DataFrame([{c: f"go text {i} col {c}" for c in cols}
+                  for i in range(N_TEXTS)]).to_pickle(
+        os.path.join(txt_dir, "go_info_filtered_composed.pkl"))
+
+    fa_dir = os.path.join(root, "integrated_data", "v1", "protein")
+    os.makedirs(fa_dir)
+    with open(os.path.join(fa_dir, "protein_sequences.fa"), "w") as f:
+        for i in range(N_PROTEINS):
+            f.write(f">p{i}\nMKV{'A' * (i + 3)}\n")
+
+    emb_dir = os.path.join(root, "generated_data", "aaseq_embeddings")
+    os.makedirs(emb_dir)
+    rng = np.random.default_rng(0)
+    np.save(os.path.join(emb_dir, "protein_embeds.npy"),
+            rng.standard_normal((N_PROTEINS, 32)).astype(np.float32))
+    return root
+
+
+def _tiny_procyon():
+    cfg = unified.UnifiedConfig(
+        llama=llama.LlamaConfig(vocab_size=4096, dim=64, n_layers=2,
+                                n_heads=4, n_kv_heads=2, intermediate=128,
+                                max_seq_len=512, dtype=jnp.float32,
+                                attn_backend="ref", remat=False),
+        esm=None, protein_embed_dim=32, token_projector_layers=2,
+        token_projector_hidden=32, retrieval_dim=16, dtype=jnp.float32)
+    return unified.init_params(jax.random.PRNGKey(0), cfg), cfg
+
+
+class TestRealDataEval:
+    def test_load_datasets_for_eval(self, data_dir):
+        from procyon_tpu.data.datasets import ProCyonDataStore
+        from procyon_tpu.evaluate.data_loading import load_datasets_for_eval
+
+        store = ProCyonDataStore(
+            data_dir, embedding_file=os.path.join(
+                data_dir, "generated_data", "aaseq_embeddings",
+                "protein_embeds.npy"))
+        datasets = load_datasets_for_eval(
+            data_dir,
+            [{"text_type": "go", "relation": "process",
+              "tasks": ["retrieval", "qa", "caption"]}],
+            store=store)
+        assert set(datasets) == {"go_process_retrieval", "go_process_qa",
+                                 "go_process_caption"}
+        ret = datasets["go_process_retrieval"]
+        assert len(ret["eval_relations"]) == N_PROTEINS // 2
+        assert ret["task_json"] is not None
+        assert "Definition" in ret["task_json"]
+        # TextTableStore bound to registry columns
+        assert "go text 1" in ret["store"].text(1)
+        cap = datasets["go_process_caption"]
+        assert cap["references"] and all(cap["references"].values())
+
+    def test_run_evaluation_procyon_and_baselines(self, data_dir, tmp_path):
+        from procyon_tpu.data.datasets import ProCyonDataStore
+        from procyon_tpu.evaluate import core
+        from procyon_tpu.evaluate.data_loading import load_datasets_for_eval
+
+        store = ProCyonDataStore(
+            data_dir, embedding_file=os.path.join(
+                data_dir, "generated_data", "aaseq_embeddings",
+                "protein_embeds.npy"))
+        datasets = load_datasets_for_eval(
+            data_dir, [{"text_type": "go", "relation": "process",
+                        "tasks": ["retrieval", "qa"]}], store=store)
+        params, cfg = _tiny_procyon()
+        ctx = {
+            "protein_embeddings": {
+                i: store.protein_embedding(i) for i in range(N_PROTEINS)},
+            "train_relations": [],
+            "procyon": {"params": params, "cfg": cfg,
+                        "tokenizer": load_tokenizer(vocab_size=4096),
+                        "store": store, "batch_size": 4},
+        }
+        args = core.EvalArgs(tasks=("retrieval", "qa"),
+                             models=("procyon", "knn", "random"),
+                             output_dir=str(tmp_path / "out"),
+                             cache_dir=None)
+        results = core.run_evaluation(args, datasets, model_context=ctx)
+        combos = {(r["task"], r["model"]) for r in results}
+        assert ("retrieval", "procyon") in combos
+        assert ("qa", "procyon") in combos
+        assert ("retrieval", "knn") in combos
+        for r in results:
+            if r["task"] == "retrieval":
+                assert 0.0 <= r["metrics"]["auprc"] <= 1.0
+            if r["task"] == "qa":
+                assert 0.0 <= r["metrics"]["accuracy"] <= 1.0
+        # incremental TSVs written per (task, model, dataset)
+        tsvs = [f for _, _, fs in os.walk(tmp_path / "out") for f in fs
+                if f.endswith(".tsv")]
+        assert tsvs
