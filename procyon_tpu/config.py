@@ -74,6 +74,11 @@ class DataArgs:
     caption_batch_size: int = 8
     mlm_batch_size: int = 8
     synthetic: bool = False
+    # held-out split for mid-train eval (_run_eval, trainIT.py:1556-1654)
+    eval_split: str = "val"
+    eval_batches: int = 8
+    # cap on the all-protein target sweep during mid-train retrieval eval
+    eval_max_target_proteins: int = 4096
 
 
 @dataclasses.dataclass
@@ -103,6 +108,9 @@ class TrainArgs:
     eval_steps: int = 0
     keep_last_checkpoints: int = 3
     early_stopping_patience: int = 0
+    # DeepSpeed gradient_accumulation_steps equivalent
+    # (configs/deepspeed/full_train_ds.json): N micro-batches per update
+    gradient_accumulation_steps: int = 1
     # 4-phase MoLoRA expert cycling (trainIT.py lora_specific_training);
     # requires a 4-expert LoRA decoder config
     lora_phase_training: bool = False
@@ -192,6 +200,7 @@ def build_loop_config(targs: TrainArgs):
         keep_last_checkpoints=targs.keep_last_checkpoints,
         output_dir=targs.output_dir, skip_frequency=skip,
         early_stopping_patience=targs.early_stopping_patience,
+        accumulation_steps=targs.gradient_accumulation_steps,
         lora_phase_training=targs.lora_phase_training)
 
 
@@ -204,9 +213,18 @@ def build_task_weights(targs: TrainArgs):
                        mlm=targs.mlm_loss_weight)
 
 
-def build_collator_config(margs: ModelArgs, dargs: DataArgs):
+def build_collator_config(margs: ModelArgs, dargs: DataArgs,
+                          targs: Optional[TrainArgs] = None):
     from procyon_tpu.data.collators import CollatorConfig
 
+    # gradient accumulation stacks batches on a leading axis, so the
+    # unique-protein bank must be a fixed size: batch rows can reference at
+    # most (num_examples + 2) proteins each (ICL + query + target)
+    max_unique = 0
+    if targs is not None and targs.gradient_accumulation_steps > 1:
+        max_bs = max(dargs.qa_batch_size, dargs.retrieval_batch_size,
+                     dargs.caption_batch_size)
+        max_unique = max_bs * (dargs.num_examples + 2)
     return CollatorConfig(
         max_text_len=dargs.max_text_len,
         max_protein_len=margs.max_protein_len,
@@ -214,6 +232,7 @@ def build_collator_config(margs: ModelArgs, dargs: DataArgs):
         use_protein_tokens=not margs.use_aaseq_embeddings,
         protein_embed_dim=margs.protein_embed_dim,
         long_protein_strategy=margs.long_protein_strategy,
+        max_unique_proteins=max_unique,
         crop_texts=dargs.use_text_crop_sampling,
         use_task_def_rephrasings=dargs.use_task_def_rephrasings,
         use_entity_rephrasings=dargs.use_entity_rephrasings,

@@ -114,26 +114,67 @@ TASK_LORA_EXPERT = {"qa": 0, "retrieval": 1, "caption": 2, "mlm": 2}
 
 
 def make_train_step(cfg: unified.UnifiedConfig, optimizer, task: str,
-                    weight: float = 1.0, donate: bool = True):
-    """Build a jittable train step for one task family."""
+                    weight: float = 1.0, donate: bool = True,
+                    accumulation_steps: int = 1):
+    """Build a jittable train step for one task family.
+
+    accumulation_steps > 1 enables micro-batching (the reference's
+    DeepSpeed gradient accumulation, configs/deepspeed/full_train_ds.json):
+    the step then takes a batch pytree whose leaves carry a leading [N, ...]
+    micro-batch axis, scans the fwd/bwd over it (each micro-batch's
+    activations are freed before the next — fixed memory), averages the
+    grads, and applies ONE optimizer update.
+    """
     loss_fn = _LOSS_FNS[task]
     n_experts = (cfg.llama.lora.num_experts
                  if cfg.llama.lora is not None else 1)
     expert = TASK_LORA_EXPERT.get(task, 0) % max(n_experts, 1)
 
-    def step(state, batch):
-        def lf(params):
-            return loss_fn(params, cfg, batch, weight, lora_expert=expert)
+    def grad_of(params, batch):
+        return jax.value_and_grad(
+            lambda p: loss_fn(p, cfg, batch, weight, lora_expert=expert),
+            has_aux=True)(params)
 
-        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
-            state["params"])
-        new_state = _apply_updates(state, grads, optimizer)
-        metrics = dict(metrics)
-        metrics["loss"] = loss
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+    if accumulation_steps <= 1:
+        def step(state, batch):
+            (loss, metrics), grads = grad_of(state["params"], batch)
+            new_state = _apply_updates(state, grads, optimizer)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+    else:
+        def step(state, batches):
+            params = state["params"]
+
+            def micro(acc, batch):
+                (loss, metrics), grads = grad_of(params, batch)
+                acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+                return acc, (loss, metrics)
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            acc, (losses, mstack) = jax.lax.scan(micro, zeros, batches)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / accumulation_steps).astype(p.dtype),
+                acc, params)
+            new_state = _apply_updates(state, grads, optimizer)
+            metrics = {k: jnp.mean(v) for k, v in mstack.items()}
+            metrics["loss"] = jnp.mean(losses)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def stack_microbatches(batches):
+    """Host-side: list of collator batches -> one pytree with a leading
+    micro-batch axis for the accumulating train step. reference_indices
+    (host bookkeeping) is dropped."""
+    import numpy as np
+
+    keys = [k for k in batches[0] if k != "reference_indices"]
+    return {k: np.stack([np.asarray(b[k]) for b in batches]) for k in keys}
 
 
 def make_eval_step(cfg: unified.UnifiedConfig, task: str):

@@ -38,6 +38,10 @@ class TrainLoopConfig:
     skip_frequency: Dict[str, int] = dataclasses.field(default_factory=dict)
     early_stopping_patience: int = 0  # 0 = off
     early_stopping_metric: str = "eval/loss"
+    # micro-batch gradient accumulation (DeepSpeed
+    # gradient_accumulation_steps semantics, full_train_ds.json): each task
+    # step consumes N stream batches and applies one averaged update
+    accumulation_steps: int = 1
     # 4-phase MoLoRA expert cycling (trainIT.py:795-931
     # lora_specific_training): per global step run qa on expert 0,
     # retrieval on expert 1, mlm on expert 2 (each its own update), then a
@@ -87,8 +91,9 @@ class Trainer:
             self.joint_step = make_combined_step(
                 cfg, optimizer, weights, donate=False, expert_override=3)
         self.steps = {
-            task: ts.make_train_step(cfg, optimizer, task,
-                                     getattr(weights, task, 1.0))
+            task: ts.make_train_step(
+                cfg, optimizer, task, getattr(weights, task, 1.0),
+                accumulation_steps=loop.accumulation_steps)
             for task in phase_tasks
         }
         self.progress = {task: 0 for task in task_streams}
@@ -137,7 +142,11 @@ class Trainer:
                 freq = loop.skip_frequency.get(task, 1)
                 if freq > 1 and self.global_step % freq != 0:
                     continue
-                batch = self.to_device(stream())
+                if loop.accumulation_steps > 1:
+                    batch = self.to_device(ts.stack_microbatches(
+                        [stream() for _ in range(loop.accumulation_steps)]))
+                else:
+                    batch = self.to_device(stream())
                 self.state, m = self.steps[task](self.state, batch)
                 self.progress[task] += 1
                 for k, v in m.items():

@@ -67,7 +67,7 @@ def main():
     ocfg = cfg_mod.build_optimizer_config(targs)
     loop = cfg_mod.build_loop_config(targs)
     weights = cfg_mod.build_task_weights(targs)
-    ccfg = cfg_mod.build_collator_config(margs, dargs)
+    ccfg = cfg_mod.build_collator_config(margs, dargs, targs)
 
     # exact resume: rebuild streams at the checkpointed position
     resume_states = None
@@ -115,26 +115,40 @@ def main():
         targs.output_dir, use_wandb=targs.use_wandb,
         wandb_project=targs.wandb_project)
 
-    # eval_on_the_fly (trainIT.py:725-748 _run_eval equivalent): held-out
-    # batches scored with the per-task eval steps
+    # eval_on_the_fly (trainIT.py:725-748 + _run_eval :1556-1654): VAL-split
+    # streams, all-protein retrieval AUROC/AUPRC, QA/caption val losses
     eval_fn = None
     if targs.eval_steps:
-        from procyon_tpu.training.train_step import make_eval_step
+        import dataclasses as _dc
 
-        eval_batches = {t: [to_device(streams[t]()) for _ in range(2)]
-                        for t in streams}
-        eval_steps_fns = {t: make_eval_step(ucfg, t) for t in streams}
+        from procyon_tpu.training.evaluation import build_midtrain_eval
 
-        def eval_fn(params):
-            out = {}
-            losses = []
-            for t, batches in eval_batches.items():
-                ms = [eval_steps_fns[t](params, b) for b in batches]
-                loss = float(np.mean([float(m["loss"]) for m in ms]))
-                out[f"{t}_loss"] = loss
-                losses.append(loss)
-            out["loss"] = float(np.mean(losses))
-            return out
+        val_mix = data_config.MultiDatasetConfig(entries=[
+            _dc.replace(e, splits=[dargs.eval_split])
+            for e in mix.entries])
+        val_streams, _, _ = data_config.build_task_streams(
+            val_mix, store=store, tokenizer=tokenizer, collator_cfg=ccfg,
+            batch_sizes={"qa": dargs.qa_batch_size,
+                         "retrieval": dargs.retrieval_batch_size,
+                         "caption": dargs.caption_batch_size},
+            data_dir=dargs.data_dir, synthetic=dargs.synthetic,
+            seed=targs.seed + 1)
+        val_streams = {t: s for t, s in val_streams.items() if t in streams}
+        if dargs.synthetic:
+            all_ids = list(range(getattr(store, "n_proteins", 128)))
+        else:
+            # the full protein set (ALL_PROTEINS_FILE semantics,
+            # model_utils.py:44-60), capped for eval cost
+            all_ids = sorted({
+                r.aaseq_idx
+                for t, m in mixers.items()
+                for ds in m.datasets.values()
+                for r in getattr(ds, "relations", [])})
+        all_ids = all_ids[:dargs.eval_max_target_proteins]
+        eval_fn = build_midtrain_eval(
+            ucfg, val_streams=val_streams, store=store,
+            all_protein_ids=all_ids, n_batches=dargs.eval_batches,
+            to_device=to_device)
 
     def run():
         nonlocal params
