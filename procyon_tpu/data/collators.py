@@ -59,6 +59,10 @@ class CollatorConfig:
     # the canonical text
     use_entity_rephrasings: bool = False
     entity_rephrase_prob: float = 0.5
+    # sample ICL demonstrations from the task's example pool per batch
+    # instead of always the first N (sample_demonstrations_for_prompts,
+    # instruct_constructor.py:368)
+    sample_icl_examples: bool = False
     # protein structure soft tokens: each <|protein|> becomes
     # "<|protein|> <|struct|>" with prob 1-struct_dropout per instruction
     # (model_unified.py:421-460); struct embeds are per-unique-protein
@@ -534,6 +538,15 @@ class RetrievalCollator(BaseCollator):
                         (aaseq_ids[j], text_ids[i]) in self.known_pairs:
                     mask[i, j] = 0.0
         batch["conflict_mask"] = mask
+        # dataset-tagged text ids for the in-graph global mask under
+        # explicit collectives (compute_conflict_matrix semantics,
+        # model_utils.py:135-150; DATASET_ID offsets keep ids unique
+        # across datasets)
+        from procyon_tpu.data import registry
+
+        ds_id = max(registry.dataset_id(self.text_type), 0)
+        batch["conflict_ids"] = np.asarray(
+            [ds_id * 10_000_000 + t for t in text_ids], np.int64)
         if neg_pos is not None:
             batch["ret_negative_pos"] = np.asarray(neg_pos, np.int32)
         batch["reference_indices"] = {"text": text_ids, "aaseq": aaseq_ids}
@@ -665,5 +678,10 @@ class PPIRetrievalCollator(BaseCollator):
                 if i != j and (pair_ids[i][0], pair_ids[j][1]) in known:
                     mask[i, j] = 0.0
         batch["conflict_mask"] = mask
+        from procyon_tpu.data import registry
+
+        ds_id = max(registry.dataset_id(self.text_type or "string"), 0)
+        batch["conflict_ids"] = np.asarray(
+            [ds_id * 10_000_000 + a2 for _, a2 in pair_ids], np.int64)
         batch["reference_indices"] = {"pairs": pair_ids}
         return batch

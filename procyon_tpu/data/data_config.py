@@ -160,6 +160,7 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
     per_task_datasets: Dict[str, Dict[str, object]] = {}
     per_task_weights: Dict[str, Dict[str, float]] = {}
     prompts: Dict[str, object] = {}
+    prompt_meta: Dict[str, tuple] = {}
     collators: Dict[str, object] = {}
 
     for entry in cfg.entries:
@@ -180,6 +181,7 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                     per_task_weights.setdefault(task, {})[key] = entry.weight
                 if task_id not in prompts:
                     ppi = _is_ppi(entry)
+                    prompt_meta[task_id] = (template, ppi, entry.aaseq_type)
                     n_var = (instruct.n_prompt_variants(template)
                              if collator_cfg.use_task_def_rephrasings
                              else 1)
@@ -239,7 +241,14 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                 variants = prompts[task_id]
                 ridx = int(rng.integers(0, len(variants))) \
                     if len(variants) > 1 else 0
-                prompt = variants[ridx]
+                if collator_cfg.sample_icl_examples:
+                    template_, ppi_, atype_ = prompt_meta[task_id]
+                    prompt = instruct.get_prompt(
+                        template_, num_examples=collator_cfg.num_examples,
+                        is_ppi=ppi_, aaseq_type=atype_,
+                        rephrase_idx=ridx or None, rng=rng)
+                else:
+                    prompt = variants[ridx]
                 coll = collators[task_id]
                 items = [ds[i] for i in idxs]
                 is_pair = "aaseq_idx_2" in items[0]

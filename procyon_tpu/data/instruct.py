@@ -131,11 +131,22 @@ def _caption_examples(examples, n, aaseq):
 def get_prompt(task: Dict, *, num_examples: Optional[int] = None,
                is_ppi: bool = False, aaseq_type: Optional[str] = "protein",
                open_definition: bool = False,
-               rephrase_idx: Optional[int] = None) -> Prompt:
+               rephrase_idx: Optional[int] = None, rng=None) -> Prompt:
     """rephrase_idx: None/0 = canonical Definition; i >= 1 selects
     task["Rephrasings"][i-1] (task-def rephrasings,
-    it_collator.py:392-418) — same slots, alternative wording."""
+    it_collator.py:392-418) — same slots, alternative wording.
+
+    rng: optional np.random.Generator — SAMPLE the ICL demonstrations from
+    the task's example pool instead of always taking the first N
+    (sample_demonstrations_for_prompts, instruct_constructor.py:368)."""
     aaseq = aaseq_prompt_name(aaseq_type)
+    if rng is not None:
+        task = dict(task)
+        for key in ("Positive Examples", "Negative Examples"):
+            pool = task.get(key) or []
+            if len(pool) > 1:
+                order = rng.permutation(len(pool))
+                task[key] = [pool[i] for i in order]
     template = None
     if rephrase_idx:
         variants = task.get("Rephrasings") or []

@@ -53,18 +53,25 @@ def calc_caption_metrics(predictions: Dict[int, str],
         out["rouge_l_ci_low"] = lo
         out["rouge_l_ci_high"] = hi
     if use_bertscore:
+        # missing optional dependency degrades loudly-but-gracefully; any
+        # OTHER failure propagates (a parity metric must not silently NaN)
         try:
             from bert_score import score as bert_score
+        except ImportError:
+            import logging
 
-            hyps, refs_list = [], []
-            for ent, hyp in predictions.items():
-                if ent in references:
-                    hyps.append(hyp)
-                    refs_list.append(references[ent])
-            _, _, f1 = bert_score(hyps, refs_list, lang="en-sci")
-            out["bertscore_f1"] = float(f1.mean())
-        except Exception:
+            logging.getLogger("procyon_tpu.evaluate").warning(
+                "bert_score is not installed - bertscore_f1 reported as "
+                "NaN (install bert-score for caption parity metrics)")
             out["bertscore_f1"] = float("nan")
+            return out
+        hyps, refs_list = [], []
+        for ent, hyp in predictions.items():
+            if ent in references:
+                hyps.append(hyp)
+                refs_list.append(references[ent])
+        _, _, f1 = bert_score(hyps, refs_list, lang="en-sci")
+        out["bertscore_f1"] = float(f1.mean())
     return out
 
 

@@ -49,10 +49,11 @@ def get_target_set(all_protein_ids: Sequence[int],
     every positive target from the eval relations (reference :86-113)."""
     if cfg.target_subset is not None:
         targets = list(dict.fromkeys(cfg.target_subset))
-        needed = {a for a, _ in eval_relations}
-        for a in needed:
-            if a not in set(targets):
+        have = set(targets)
+        for a in {a for a, _ in eval_relations}:
+            if a not in have:
                 targets.append(a)
+                have.add(a)
         return targets
     return list(all_protein_ids)
 

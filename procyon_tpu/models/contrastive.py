@@ -43,7 +43,7 @@ def _normalize(x):
 
 
 def info_nce_in_batch(params, cfg: InfoNCEConfig, seq_embeds, text_embeds,
-                      *, valid=None, conflict_mask=None,
+                      *, valid=None, conflict_mask=None, conflict_ids=None,
                       axis_name: Optional[str] = None):
     """Symmetric in-batch InfoNCE.
 
@@ -53,9 +53,15 @@ def info_nce_in_batch(params, cfg: InfoNCEConfig, seq_embeds, text_embeds,
       negatives for others.
     conflict_mask: [N, N] (local x global after gather) multiplicative mask, 1
       = usable negative, 0 = known-positive collision to exclude
-      (model_unified.py:615-693's dataset-id conflict mask).  When axis_name
-      is set, callers must build the mask against the GLOBAL gathered batch,
-      i.e. shape [N_local, N_global].
+      (model_unified.py:615-693's dataset-id conflict mask). HOST-BUILT and
+      local-only: it is an error under axis_name (a local [N, N] mask
+      cannot cover the gathered columns) - pass conflict_ids instead.
+    conflict_ids: [N] int, dataset-tagged text ids. The global conflict
+      mask is built IN-GRAPH: ids are all-gathered alongside the embeddings
+      and column j is masked for row i when ids collide off-diagonal (the
+      reference all-gathers ID vectors exactly for this,
+      model_unified.py:615-630 + compute_conflict_matrix,
+      model_utils.py:135-150). Works with or without axis_name.
     Returns (loss, metrics dict).
     """
     temp = jnp.clip(jnp.exp(params["log_temp"]), cfg.min_temperature,
@@ -67,6 +73,11 @@ def info_nce_in_batch(params, cfg: InfoNCEConfig, seq_embeds, text_embeds,
         valid = jnp.ones((n_local,), bool)
 
     if axis_name is not None:
+        if conflict_mask is not None:
+            raise ValueError(
+                "conflict_mask is a local [N, N] host-built mask and "
+                "cannot be used with axis_name (the gathered batch has "
+                "N_global columns); pass conflict_ids instead")
         z_s_all = jax.lax.all_gather(z_s, axis_name, tiled=True)
         z_t_all = jax.lax.all_gather(z_t, axis_name, tiled=True)
         valid_all = jax.lax.all_gather(valid, axis_name, tiled=True)
@@ -74,6 +85,14 @@ def info_nce_in_batch(params, cfg: InfoNCEConfig, seq_embeds, text_embeds,
     else:
         z_s_all, z_t_all, valid_all = z_s, z_t, valid
         offset = 0
+
+    if conflict_ids is not None:
+        ids_all = jax.lax.all_gather(conflict_ids, axis_name, tiled=True) \
+            if axis_name is not None else conflict_ids
+        id_conflict = conflict_ids[:, None] == ids_all[None, :]  # [N, Ng]
+        id_mask = jnp.where(id_conflict, 0.0, 1.0)
+        conflict_mask = id_mask if conflict_mask is None \
+            else conflict_mask * id_mask
 
     # scores: local rows vs global columns
     logits_s2t = (z_s @ z_t_all.T) / temp  # [N_local, N_global]

@@ -281,7 +281,9 @@ def forward(params, cfg: UnifiedConfig, batch, *, retrieval=False,
             loss, metrics = contrastive.info_nce_in_batch(
                 params["contrastive"], cfg.contrastive, targets, query,
                 valid=batch.get("ret_valid"),
-                conflict_mask=batch.get("conflict_mask"),
+                conflict_mask=None if axis_name is not None
+                else batch.get("conflict_mask"),
+                conflict_ids=batch.get("conflict_ids"),
                 axis_name=axis_name)
         result.update({"retrieval_loss": loss, "retrieval_metrics": metrics,
                        "query_embeds": query, "target_embeds": targets})

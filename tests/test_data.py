@@ -485,3 +485,36 @@ class TestRegistry:
             data_dir=root, synthetic=False)
         b = streams["qa"]()
         assert "protein_tokens" in b and b["input_ids"].shape[0] == 2
+
+
+class TestICLDemonstrationSampling:
+    """sample_demonstrations_for_prompts equivalent
+    (instruct_constructor.py:368): rng-driven demonstration choice."""
+
+    def test_rng_samples_different_examples(self):
+        import numpy as np
+        from procyon_tpu.data import instruct
+
+        lib = instruct.TaskLibrary()
+        task = lib.get("go_process_qa")
+        base = instruct.get_prompt(task, num_examples=1)
+        seen = set()
+        for seed in range(12):
+            p = instruct.get_prompt(task, num_examples=1,
+                                    rng=np.random.default_rng(seed))
+            # prompt structure is preserved; only the demonstration differs
+            assert p.n_ext_slots == base.n_ext_slots
+            assert p.n_protein_slots == base.n_protein_slots
+            seen.add(tuple(p.example_text_ids))
+        if len(task.get("Positive Examples", [])) > 1:
+            assert len(seen) > 1, "rng never changed the sampled examples"
+
+    def test_no_rng_is_deterministic_first_n(self):
+        from procyon_tpu.data import instruct
+
+        lib = instruct.TaskLibrary()
+        task = lib.get("go_process_qa")
+        a = instruct.get_prompt(task, num_examples=1)
+        b = instruct.get_prompt(task, num_examples=1)
+        assert a.text == b.text
+        assert a.example_text_ids == b.example_text_ids

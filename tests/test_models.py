@@ -201,6 +201,49 @@ class TestContrastive:
         np.testing.assert_allclose(float(loss_single), float(loss_sharded),
                                    atol=1e-5)
 
+    def test_conflict_ids_sharded_matches_single(self, rng):
+        """In-graph id-collision mask under shard_map == single-device
+        (VERDICT round-1 item #9: the [B, B] host mask was wrong for the
+        explicit-collective path; conflict_ids is the fix)."""
+        import jax.experimental.shard_map as shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+        cfg = contrastive.InfoNCEConfig()
+        params = contrastive.init_params(cfg)
+        devs = np.array(jax.devices()[:4])
+        mesh = Mesh(devs, ("data",))
+        z_s = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        z_t = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        # rows 0/5/9 share a text id -> mutual negatives must be masked
+        ids = jnp.asarray(
+            [7, 1, 2, 3, 4, 7, 6, 8, 9, 7, 10, 11, 12, 13, 14, 15])
+
+        loss_single, _ = contrastive.info_nce_in_batch(
+            params, cfg, z_s, z_t, conflict_ids=ids)
+
+        def sharded_loss(z_s, z_t, ids):
+            loss, _ = contrastive.info_nce_in_batch(
+                params, cfg, z_s, z_t, conflict_ids=ids, axis_name="data")
+            return jax.lax.pmean(loss, "data")
+
+        f = shard_map.shard_map(
+            sharded_loss, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")), out_specs=P())
+        loss_sharded = f(z_s, z_t, ids)
+        np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                                   atol=1e-5)
+        # the mask must matter: distinct ids give a different loss
+        loss_nomask, _ = contrastive.info_nce_in_batch(params, cfg, z_s, z_t)
+        assert abs(float(loss_single) - float(loss_nomask)) > 1e-7
+
+    def test_local_conflict_mask_rejected_under_axis(self, rng):
+        cfg = contrastive.InfoNCEConfig()
+        params = contrastive.init_params(cfg)
+        z = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+        with pytest.raises(ValueError, match="conflict_ids instead"):
+            contrastive.info_nce_in_batch(
+                params, cfg, z, z, conflict_mask=jnp.ones((4, 4)),
+                axis_name="data")
+
 
 class TestLoRA:
     def test_zero_at_init(self, rng):
