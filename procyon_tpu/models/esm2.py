@@ -59,6 +59,9 @@ class ESM2Config:
     dtype: Any = jnp.bfloat16
     attn_backend: Optional[str] = None
     remat: bool = True
+    # int8 matmul mode for quantized params: "dequant" = weight-only bf16
+    # dot; "w8a8" = s8 x s8 MXU dot (2x compute; inference/serving paths)
+    quant_mode: str = "dequant"
 
     @property
     def head_dim(self):
@@ -159,11 +162,11 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
     # delegated to flash_attention(rope=...): fused into the packed kernel
     # as lane rolls on TPU (the XLA x[..., perm] gather costs two HBM
     # relayout copies per projection), applied outside on other backends.
-    q = (quant.mm(h, lp["attn"]["wq"]) + lp["attn"]["bq"]).reshape(
+    q = (quant.mm(h, lp["attn"]["wq"], cfg.quant_mode) + lp["attn"]["bq"]).reshape(
         B, S, cfg.n_heads, hd)
-    k = (quant.mm(h, lp["attn"]["wk"]) + lp["attn"]["bk"]).reshape(
+    k = (quant.mm(h, lp["attn"]["wk"], cfg.quant_mode) + lp["attn"]["bk"]).reshape(
         B, S, cfg.n_heads, hd)
-    v = (quant.mm(h, lp["attn"]["wv"])
+    v = (quant.mm(h, lp["attn"]["wv"], cfg.quant_mode)
          + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
     seg_kv = seg_ids
     cos_k, sin_k = cos_g, sin_g
@@ -190,14 +193,14 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
                            backend=cfg.attn_backend,
                            rope=(cos_g, sin_g, cos_k, sin_k))
     attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
-    x = x + quant.mm(attn, lp["attn"]["wo"]) + lp["attn"]["bo"]
+    x = x + quant.mm(attn, lp["attn"]["wo"], cfg.quant_mode) + lp["attn"]["bo"]
 
     h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                    eps=cfg.norm_eps)
-    h1 = quant.mm(h, lp["mlp"]["w1"]) + lp["mlp"]["b1"]
+    h1 = quant.mm(h, lp["mlp"]["w1"], cfg.quant_mode) + lp["mlp"]["b1"]
     h = jax.nn.gelu(h1, approximate=True) if cfg.gelu_approx \
         else gelu_erf_fast(h1)
-    x = x + quant.mm(h, lp["mlp"]["w2"]) + lp["mlp"]["b2"]
+    x = x + quant.mm(h, lp["mlp"]["w2"], cfg.quant_mode) + lp["mlp"]["b2"]
     return x
 
 

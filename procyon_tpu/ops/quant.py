@@ -34,10 +34,39 @@ def qmatmul(x, qw):
     return x @ w
 
 
-def mm(x, w):
-    """Matmul dispatching on int8-quantized weight leaves."""
+def qmatmul_w8a8(x, qw):
+    """Full-int8 matmul on the MXU: dynamic symmetric per-row activation
+    quantization x per-output-channel weight scales.
+
+    The v5e MXU runs s8 x s8 -> s32 at 2x the bf16 rate (394 vs 197
+    TOPS), so compute-bound paths (the all-protein embedding sweep,
+    prefill) nearly double; weight-only dequant (qmatmul) keeps the dot in
+    bf16 and only saves bandwidth. The rescale is one f32 row-scale times
+    one col-scale, fused by XLA into the dot's epilogue.
+    """
+    import jax
+
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, qw["q"],
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    # sx: [..., 1]; qw["s"]: [1, out] -> broadcast over the batch dims
+    scale = sx * qw["s"].reshape((1,) * (x.ndim - 1) + (-1,))
+    return (acc.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+def mm(x, w, mode: str = "dequant"):
+    """Matmul dispatching on int8-quantized weight leaves.
+
+    mode: "dequant" = weight-only (bf16 dot, bandwidth savings);
+          "w8a8"    = int8 MXU dot (compute doubling; inference paths).
+    """
     if is_quantized(w):
-        return qmatmul(x, w)
+        return qmatmul_w8a8(x, w) if mode == "w8a8" else qmatmul(x, w)
     return x @ w
 
 
