@@ -124,20 +124,16 @@ def generate(params, cfg: unified.UnifiedConfig, batch,
 # ---------------------------------------------------------------------------
 
 
-def generate_beam(params, cfg: unified.UnifiedConfig, batch,
-                  gen: GenerationConfig):
-    """Diverse (grouped) beam search (model_unified.py:701-858).
-
-    Beams live as an expanded batch dim [B*beam]; per decode step each group
-    g picks tokens maximizing logprob - diversity_penalty * count(token in
-    groups < g at this step). Cache rows are gathered on reorder.
-    Returns tokens [B, beam, max_new_tokens] ranked by final score.
-    """
+def beam_init(params, cfg: unified.UnifiedConfig, batch,
+              gen: GenerationConfig):
+    """Prefill + beam-state init for diverse beam search. Returns the state
+    tuple `beam_step` consumes. Split out so serving/bench drivers can step
+    the loop from the host (one jit variant, no fori_loop recompile per
+    generation length over the remote tunnel)."""
     B, L = batch["input_ids"].shape
     beam = gen.beam_size
     n_groups = max(beam // gen.beam_group_size, 1)
     gsz = beam // n_groups
-    V = cfg.llama.vocab_size
     max_len = L + gen.max_new_tokens
 
     def tile(x):
@@ -164,67 +160,88 @@ def generate_beam(params, cfg: unified.UnifiedConfig, batch,
     scores0 = jnp.where(
         (jnp.arange(beam) % gsz) == 0, 0.0, -1e30)
     scores0 = jnp.broadcast_to(scores0, (B, beam))
-
-    def body(t, state):
-        tokens, cache, logp, pos, scores, done = state
-        # logp [B*beam, V] -> [B, beam, V]
-        logp = logp.reshape(B, beam, V)
-        new_tokens = jnp.zeros((B, beam), jnp.int32)
-        new_parent = jnp.zeros((B, beam), jnp.int32)
-        new_scores = jnp.zeros((B, beam), jnp.float32)
-        used = jnp.zeros((B, V), jnp.float32)  # token counts from prior groups
-
-        for g in range(n_groups):
-            sl = slice(g * gsz, (g + 1) * gsz)
-            g_scores = scores[:, sl]  # [B, gsz]
-            g_logp = logp[:, sl]      # [B, gsz, V]
-            g_done = done[:, sl]
-            # finished beams: force EOS continuation with zero added score
-            cont = jnp.where(g_done[..., None], -1e30, g_logp)
-            cont = cont.at[:, :, gen.eos_token_id].set(
-                jnp.where(g_done, 0.0, cont[:, :, gen.eos_token_id]))
-            penalized = cont - gen.diversity_penalty * used[:, None, :]
-            total = g_scores[..., None] + penalized  # [B, gsz, V]
-            flat = total.reshape(B, gsz * V)
-            top_scores, top_idx = jax.lax.top_k(flat, gsz)
-            parent = top_idx // V + g * gsz  # [B, gsz]
-            token = top_idx % V
-            new_tokens = new_tokens.at[:, sl].set(token)
-            new_parent = new_parent.at[:, sl].set(parent)
-            new_scores = new_scores.at[:, sl].set(top_scores)
-            used = used + jax.nn.one_hot(token, V).sum(axis=1)
-
-        # reorder beam state by parent (gather over cache rows)
-        flat_parent = (new_parent
-                       + jnp.arange(B)[:, None] * beam).reshape(-1)
-        tokens = tokens.reshape(B * beam, -1)[flat_parent].reshape(
-            B, beam, -1)
-        done = jnp.take_along_axis(done, new_parent, axis=1)
-        tokens = tokens.at[:, :, t].set(
-            jnp.where(done, gen.pad_token_id, new_tokens))
-        done = done | (new_tokens == gen.eos_token_id)
-
-        cache = {
-            "k": cache["k"][:, flat_parent],
-            "v": cache["v"][:, flat_parent],
-            "seg": cache["seg"][flat_parent],
-            "pos": cache["pos"][flat_parent],
-            "length": cache["length"],
-        }
-        step_tok = jnp.where(done.reshape(-1), gen.pad_token_id,
-                             new_tokens.reshape(-1))
-        new_logits, cache = _decode_fn(
-            params, cfg, step_tok[:, None], pos, seg_live, cache)
-        logp_next = jax.nn.log_softmax(new_logits.astype(jnp.float32))
-        return (tokens, cache, logp_next, pos + 1,
-                new_scores, done)
-
     tokens0 = jnp.full((B, beam, gen.max_new_tokens), gen.pad_token_id,
                        jnp.int32)
     done0 = jnp.zeros((B, beam), bool)
-    state = (tokens0, cache, logits0, next_pos, scores0, done0)
-    state = jax.lax.fori_loop(0, gen.max_new_tokens, body, state)
-    tokens, _, _, _, scores, _ = state
+    return (tokens0, cache, logits0, next_pos, scores0, done0, seg_live)
+
+
+def beam_step(params, cfg: unified.UnifiedConfig, gen: GenerationConfig,
+              state, t):
+    """One diverse-beam decode step (model_unified.py:769-858): grouped
+    top-k with Hamming diversity penalty, parent-gather cache reorder, one
+    1-token forward. t may be a traced scalar."""
+    tokens, cache, logp, pos, scores, done, seg_live = state
+    B, beam = scores.shape
+    n_groups = max(beam // gen.beam_group_size, 1)
+    gsz = beam // n_groups
+    V = cfg.llama.vocab_size
+    # logp [B*beam, V] -> [B, beam, V]
+    logp = logp.reshape(B, beam, V)
+    new_tokens = jnp.zeros((B, beam), jnp.int32)
+    new_parent = jnp.zeros((B, beam), jnp.int32)
+    new_scores = jnp.zeros((B, beam), jnp.float32)
+    used = jnp.zeros((B, V), jnp.float32)  # token counts from prior groups
+
+    for g in range(n_groups):
+        sl = slice(g * gsz, (g + 1) * gsz)
+        g_scores = scores[:, sl]  # [B, gsz]
+        g_logp = logp[:, sl]      # [B, gsz, V]
+        g_done = done[:, sl]
+        # finished beams: force EOS continuation with zero added score
+        cont = jnp.where(g_done[..., None], -1e30, g_logp)
+        cont = cont.at[:, :, gen.eos_token_id].set(
+            jnp.where(g_done, 0.0, cont[:, :, gen.eos_token_id]))
+        penalized = cont - gen.diversity_penalty * used[:, None, :]
+        total = g_scores[..., None] + penalized  # [B, gsz, V]
+        flat = total.reshape(B, gsz * V)
+        top_scores, top_idx = jax.lax.top_k(flat, gsz)
+        parent = top_idx // V + g * gsz  # [B, gsz]
+        token = top_idx % V
+        new_tokens = new_tokens.at[:, sl].set(token)
+        new_parent = new_parent.at[:, sl].set(parent)
+        new_scores = new_scores.at[:, sl].set(top_scores)
+        used = used + jax.nn.one_hot(token, V).sum(axis=1)
+
+    # reorder beam state by parent (gather over cache rows)
+    flat_parent = (new_parent
+                   + jnp.arange(B)[:, None] * beam).reshape(-1)
+    tokens = tokens.reshape(B * beam, -1)[flat_parent].reshape(
+        B, beam, -1)
+    done = jnp.take_along_axis(done, new_parent, axis=1)
+    tokens = tokens.at[:, :, t].set(
+        jnp.where(done, gen.pad_token_id, new_tokens))
+    done = done | (new_tokens == gen.eos_token_id)
+
+    cache = {
+        "k": cache["k"][:, flat_parent],
+        "v": cache["v"][:, flat_parent],
+        "seg": cache["seg"][flat_parent],
+        "pos": cache["pos"][flat_parent],
+        "length": cache["length"],
+    }
+    step_tok = jnp.where(done.reshape(-1), gen.pad_token_id,
+                         new_tokens.reshape(-1))
+    new_logits, cache = _decode_fn(
+        params, cfg, step_tok[:, None], pos, seg_live, cache)
+    logp_next = jax.nn.log_softmax(new_logits.astype(jnp.float32))
+    return (tokens, cache, logp_next, pos + 1, new_scores, done, seg_live)
+
+
+def generate_beam(params, cfg: unified.UnifiedConfig, batch,
+                  gen: GenerationConfig):
+    """Diverse (grouped) beam search (model_unified.py:701-858).
+
+    Beams live as an expanded batch dim [B*beam]; per decode step each group
+    g picks tokens maximizing logprob - diversity_penalty * count(token in
+    groups < g at this step). Cache rows are gathered on reorder.
+    Returns tokens [B, beam, max_new_tokens] ranked by final score.
+    """
+    state = beam_init(params, cfg, batch, gen)
+    state = jax.lax.fori_loop(
+        0, gen.max_new_tokens,
+        lambda t, s: beam_step(params, cfg, gen, s, t), state)
+    tokens, _, _, _, scores, _, _ = state
     order = jnp.argsort(-scores, axis=1)
     tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
     return tokens, jnp.take_along_axis(scores, order, axis=1)

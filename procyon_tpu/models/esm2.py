@@ -162,12 +162,46 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
     # delegated to flash_attention(rope=...): fused into the packed kernel
     # as lane rolls on TPU (the XLA x[..., perm] gather costs two HBM
     # relayout copies per projection), applied outside on other backends.
-    q = (quant.mm(h, lp["attn"]["wq"], cfg.quant_mode) + lp["attn"]["bq"]).reshape(
-        B, S, cfg.n_heads, hd)
-    k = (quant.mm(h, lp["attn"]["wk"], cfg.quant_mode) + lp["attn"]["bk"]).reshape(
-        B, S, cfg.n_heads, hd)
-    v = (quant.mm(h, lp["attn"]["wv"], cfg.quant_mode)
-         + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
+    HD = cfg.n_heads * hd
+    if "wqkv" in lp["attn"]:
+        # serving layout (fuse_qkv_params): ONE [d, 3*H*D] projection —
+        # one MXU dot + (in w8a8 mode) one activation-quant pass instead
+        # of three
+        qkv = quant.mm(h, lp["attn"]["wqkv"], cfg.quant_mode) \
+            + lp["attn"]["bqkv"]
+        if (cfg.attn_backend == "rowblock" and not cfg.prefix_len
+                and S % 128 == 0 and HD % 128 == 0 and 128 % hd == 0):
+            # zero-copy fusion: the packed kernel reads q/k/v as
+            # lane-offset blocks of the [B, S, 3*H*D] projection output
+            # (XLA slicing would cost one HBM relayout copy per tensor)
+            from procyon_tpu.ops import attention_rowblock as rb
+
+            cos_g, sin_g = rot
+            attn = rb.rowblock_packed_qkv_fwd(
+                qkv, seg_ids, positions, (False, 1.0 / hd ** 0.5, False,
+                                          None),
+                n_heads=cfg.n_heads, head_dim=hd,
+                rope=(cos_g, sin_g, cos_g, sin_g))
+            x = x + quant.mm(attn, lp["attn"]["wo"], cfg.quant_mode) \
+                + lp["attn"]["bo"]
+            h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
+                           eps=cfg.norm_eps)
+            h1 = quant.mm(h, lp["mlp"]["w1"], cfg.quant_mode) \
+                + lp["mlp"]["b1"]
+            h = jax.nn.gelu(h1, approximate=True) if cfg.gelu_approx \
+                else gelu_erf_fast(h1)
+            return x + quant.mm(h, lp["mlp"]["w2"], cfg.quant_mode) \
+                + lp["mlp"]["b2"]
+        q = qkv[..., :HD].reshape(B, S, cfg.n_heads, hd)
+        k = qkv[..., HD:2 * HD].reshape(B, S, cfg.n_heads, hd)
+        v = qkv[..., 2 * HD:].reshape(B, S, cfg.n_heads, hd)
+    else:
+        q = (quant.mm(h, lp["attn"]["wq"], cfg.quant_mode)
+             + lp["attn"]["bq"]).reshape(B, S, cfg.n_heads, hd)
+        k = (quant.mm(h, lp["attn"]["wk"], cfg.quant_mode)
+             + lp["attn"]["bk"]).reshape(B, S, cfg.n_heads, hd)
+        v = (quant.mm(h, lp["attn"]["wv"], cfg.quant_mode)
+             + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
     seg_kv = seg_ids
     cos_k, sin_k = cos_g, sin_g
     if cfg.prefix_len:
@@ -266,3 +300,25 @@ def quantize_params(params, cfg: ESM2Config):
     out["layers"] = quant.quantize_tree(
         params["layers"], keys=("wq", "wk", "wv", "wo", "w1", "w2"))
     return out
+
+
+def fuse_qkv_params(params):
+    """Serving transform: concatenate the q/k/v projections into one
+    [L, d, 3*H*D] weight (wqkv) + [L, 3*H*D] bias so _block issues one MXU
+    dot (and one activation-quant pass under w8a8) per layer instead of
+    three. Works on bf16 or int8-quantized trees; the training layout is
+    untouched (HF-parity converters keep separate q/k/v)."""
+    layers = dict(params["layers"])
+    attn = dict(layers["attn"])
+    ws = [attn.pop(n) for n in ("wq", "wk", "wv")]
+    if quant.is_quantized(ws[0]):
+        attn["wqkv"] = {
+            "q": jnp.concatenate([w["q"] for w in ws], axis=-1),
+            "s": jnp.concatenate([w["s"] for w in ws], axis=-1),
+        }
+    else:
+        attn["wqkv"] = jnp.concatenate(ws, axis=-1)
+    attn["bqkv"] = jnp.concatenate(
+        [attn.pop(n) for n in ("bq", "bk", "bv")], axis=-1)
+    layers["attn"] = attn
+    return {**params, "layers": layers}

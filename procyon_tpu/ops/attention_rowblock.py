@@ -213,6 +213,71 @@ def _rowblock_packed_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def rowblock_packed_qkv_fwd(qkv, seg, positions, cfg, *, n_heads, head_dim,
+                            rope=None):
+    """Attention over a PACKED [B, S, 3*H*D] qkv projection output.
+
+    The q/k/v views never materialize: the kernel's BlockSpec index maps
+    read lane-offset blocks of the same array (q at lane block h, k at
+    H*D//lanes + h, v at 2*H*D//lanes + h), so the fused [d, 3*H*D] QKV
+    matmul feeds attention with ZERO relayout copies — slicing the packed
+    output in XLA costs one HBM copy per tensor (measured: fused-QKV was
+    net slower without this). Bidirectional, Hq == Hkv, inference (no lse).
+    """
+    causal, sm_scale, interpret, _ = cfg
+    B, Sq, three_hd = qkv.shape
+    H, D = n_heads, head_dim
+    HD = H * D
+    assert three_hd == 3 * HD and HD % 128 == 0 and 128 % D == 0
+    Skv = Sq
+    lanes = 256 if HD % 256 == 0 else 128
+    hpb = lanes // D
+    nb = HD // lanes                      # lane blocks per tensor
+    block_q = 128
+    for cand in (512, 256, 128):
+        if Sq % cand == 0:
+            block_q = cand
+            break
+
+    kernel = functools.partial(_rowblock_packed_kernel, causal=causal,
+                               sm_scale=sm_scale, head_dim=D,
+                               fused_rope=rope is not None)
+    in_specs = [
+        pl.BlockSpec((1, block_q, lanes), lambda b, h, i: (b, i, h)),
+        pl.BlockSpec((1, Skv, lanes), lambda b, h, i: (b, 0, h + nb)),
+        pl.BlockSpec((1, Skv, lanes), lambda b, h, i: (b, 0, h + 2 * nb)),
+        fa._q_specs(block_q),
+        fa._kv_specs(Skv),
+        fa._q_specs(block_q),
+        fa._kv_specs(Skv),
+    ]
+    args = [qkv, qkv, qkv, fa._lane_bcast(seg), fa._sublane_bcast(seg),
+            fa._lane_bcast(positions), fa._sublane_bcast(positions)]
+    if rope is not None:
+        rope = (rope[0] * sm_scale, rope[1] * sm_scale, rope[2], rope[3])
+        kernel = functools.partial(_rowblock_packed_kernel, causal=causal,
+                                   sm_scale=1.0, head_dim=D,
+                                   fused_rope=True)
+        cos_q, sin_q, cos_k, sin_k = (t.astype(qkv.dtype) for t in rope)
+        in_specs += [
+            pl.BlockSpec((block_q, lanes), lambda b, h, i: (i, h)),
+            pl.BlockSpec((block_q, lanes), lambda b, h, i: (i, h)),
+            pl.BlockSpec((Skv, lanes), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Skv, lanes), lambda b, h, i: (0, h)),
+        ]
+        args += [cos_q, sin_q, cos_k, sin_k]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nb, Sq // block_q),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, lanes),
+                               lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, HD), qkv.dtype),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
 def rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, rope=None):
     """q/k/v [B, S, H, D] -> attention out [B, S, H, D], no transposes.
     Preconditions: Hq == Hkv, (H*D) % 128 == 0, 128 % D == 0.

@@ -1,0 +1,129 @@
+"""Flagship caption (diverse-beam) decode benchmark — tracked workload #3
+(BASELINE.md: ProCyon-Full caption bulk decode, scripts/caption_bulk.py
+path). Measures output caption tokens/sec/chip on a >=6B-param Llama-class
+decoder with beam search (beam 10, group 2, diversity 0.8 — the reference's
+pinned generation settings, caption_bulk.py:121-132).
+
+Drives generation.beam_step from the host (one jit variant; the fori_loop
+whole-program compile takes many minutes over the remote tunnel) and uses
+two-point timing to cancel prefill + RTT.
+"""
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--prompt_len", type=int, default=128)
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--beam_group_size", type=int, default=2)
+    p.add_argument("--gen_small", type=int, default=16)
+    p.add_argument("--gen_big", type=int, default=48)
+    p.add_argument("--dim", type=int, default=4096)
+    p.add_argument("--layers", type=int, default=34)  # ~6.3B at dim 4096
+    p.add_argument("--quant", action="store_true", default=True)
+    p.add_argument("--no-quant", dest="quant", action="store_false")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from procyon_tpu.inference import generation
+    from procyon_tpu.models import llama, unified
+
+    cfg = unified.UnifiedConfig(
+        llama=llama.LlamaConfig(
+            vocab_size=32000, dim=args.dim, n_layers=args.layers,
+            n_heads=args.dim // 128, n_kv_heads=max(args.dim // 512, 1),
+            intermediate=int(args.dim * 2.6875),
+            max_seq_len=args.prompt_len + args.gen_big + 32,
+            dtype=jnp.bfloat16),
+        esm=None, protein_embed_dim=64, token_projector_layers=1,
+        token_projector_hidden=64, retrieval_dim=64, dtype=jnp.bfloat16)
+    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(
+        jax.eval_shape(lambda: unified.init_params(
+            jax.random.PRNGKey(0), cfg)["llama"])))
+    wtag = "bf16"
+    if args.quant:
+        from procyon_tpu.models.llama import quantize_params
+
+        def build():
+            p_ = unified.init_params(jax.random.PRNGKey(0), cfg)
+            p_ = dict(p_)
+            p_["llama"] = quantize_params(p_["llama"], cfg.llama)
+            return p_
+
+        shapes = jax.eval_shape(build)
+
+        @jax.jit
+        def materialize():
+            return jax.tree_util.tree_map(
+                lambda sd: jnp.full(sd.shape, 1, sd.dtype)
+                if sd.dtype == jnp.int8 else jnp.full(
+                    sd.shape, 0.01, sd.dtype), shapes)
+
+        params = materialize()
+        wtag = "int8"
+    else:
+        params = unified.init_params(jax.random.PRNGKey(0), cfg)
+
+    B, L = args.batch, args.prompt_len
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(4, cfg.llama.vocab_size, (B, L)), jnp.int32),
+        "seg_ids": jnp.ones((B, L), jnp.int32),
+        "positions": jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32),
+                                      (B, L)),
+        "soft_map": jnp.full((B, L), -1, jnp.int32),
+        "protein_embeds": jnp.zeros((1, 64), jnp.float32),
+    }
+    gen = generation.GenerationConfig(
+        max_new_tokens=args.gen_big + 8, method="beam",
+        beam_size=args.beam_size, beam_group_size=args.beam_group_size,
+        diversity_penalty=0.8, eos_token_id=2, pad_token_id=0)
+
+    @jax.jit
+    def init(params, batch):
+        return generation.beam_init(params, cfg, batch, gen)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(params, state, t):
+        return generation.beam_step(params, cfg, gen, state, t)
+
+    def run(n):
+        state = init(params, batch)
+        t0 = time.perf_counter()
+        for t in range(n):
+            state = step(params, state, jnp.int32(t))
+        float(jnp.sum(state[4]))  # scores sync
+        return time.perf_counter() - t0
+
+    run(2)
+    t_small = min(run(args.gen_small) for _ in range(2))
+    t_big = min(run(args.gen_big) for _ in range(2))
+    per_step = (t_big - t_small) / (args.gen_big - args.gen_small)
+    # caption tokens/sec = finished caption tokens (one beam survives per
+    # prompt) per second; beam_tokens/sec counts all beams' decode work
+    print(json.dumps({
+        "metric": "caption_decode_tokens_per_sec_chip",
+        "value": round(args.batch / per_step, 2),
+        "unit": f"caption tok/s (B{args.batch} x beam{args.beam_size}, "
+                f"~{n_params/1e9:.1f}B params, {wtag}, diverse beam)",
+        "beam_tokens_per_sec": round(
+            args.batch * args.beam_size / per_step, 1),
+        "per_step_ms": round(per_step * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,11 +56,20 @@ def main():
     print(f"w8a8: {B/dt8:.1f} proteins/sec ({dt8*1e3:.1f} ms) "
           f"cos_min={cos.min():.5f} cos_mean={cos.mean():.5f}", flush=True)
 
-    cfgwo = cfg  # weight-only via same quantized params, dequant mode
-    f_wo = embed_with(cfgwo)
-    dtwo = time_fn(f_wo, qp, toks)
-    print(f"int8 weight-only: {B/dtwo:.1f} proteins/sec "
-          f"({dtwo*1e3:.1f} ms)", flush=True)
+    qpf = esm2.fuse_qkv_params(qp)
+    f_w8f = embed_with(cfg8)
+    dt8f = time_fn(f_w8f, qpf, toks)
+    e_w8f = np.asarray(f_w8f(qpf, toks), np.float32)
+    cosf = (e_bf16 * e_w8f).sum(1) / (
+        np.linalg.norm(e_bf16, axis=1) * np.linalg.norm(e_w8f, axis=1))
+    print(f"w8a8+fused-qkv: {B/dt8f:.1f} proteins/sec ({dt8f*1e3:.1f} ms) "
+          f"cos_min={cosf.min():.5f}", flush=True)
+
+    pf = esm2.fuse_qkv_params(params)
+    f_bf = embed_with(cfg)
+    dtbf = time_fn(f_bf, pf, toks)
+    print(f"bf16+fused-qkv: {B/dtbf:.1f} proteins/sec "
+          f"({dtbf*1e3:.1f} ms)", flush=True)
 
 
 if __name__ == "__main__":

@@ -149,3 +149,40 @@ def test_rowblock_packed_causal(rng):
                           backend="rowblock", interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_rowblock_packed_qkv_zero_copy(rng):
+    """Packed-[B,S,3HD] entry (fused QKV projection feeds the kernel via
+    lane-offset BlockSpecs, no q/k/v slicing) == reference, with and
+    without fused rotary."""
+    import importlib
+
+    from procyon_tpu.ops import attention_rowblock as rb
+    from procyon_tpu.ops.rotary import flat_rotary_tables
+
+    fa_mod = importlib.import_module("procyon_tpu.ops.flash_attention")
+    B, S, H, D = 2, 128, 4, 32
+    HD = H * D
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * HD)), jnp.float32)
+    seg = jnp.asarray((rng.random((B, S)) > 0.15).astype(np.int32))
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    q = qkv[..., :HD].reshape(B, S, H, D)
+    k = qkv[..., HD:2 * HD].reshape(B, S, H, D)
+    v = qkv[..., 2 * HD:].reshape(B, S, H, D)
+
+    out = rb.rowblock_packed_qkv_fwd(
+        qkv, seg, pos, (False, 1.0 / D ** 0.5, True, None),
+        n_heads=H, head_dim=D)
+    ref = fa_mod.mha_reference(q, k, v, seg, seg)
+    np.testing.assert_allclose(np.asarray(out.reshape(B, S, H, D)),
+                               np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    cos_f, sin_f, _ = flat_rotary_tables(D, H, S)
+    rope = (cos_f[:S].astype(jnp.float32), sin_f[:S].astype(jnp.float32),
+            cos_f[:S].astype(jnp.float32), sin_f[:S].astype(jnp.float32))
+    out_r = rb.rowblock_packed_qkv_fwd(
+        qkv, seg, pos, (False, 1.0 / D ** 0.5, True, None),
+        n_heads=H, head_dim=D, rope=rope)
+    ref_r = flash_attention(q, k, v, seg, seg, backend="ref", rope=rope)
+    np.testing.assert_allclose(np.asarray(out_r.reshape(B, S, H, D)),
+                               np.asarray(ref_r), atol=2e-5, rtol=2e-5)
