@@ -184,6 +184,22 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
                 rope=(cos_g, sin_g, cos_g, sin_g))
             x = x + quant.mm(attn, lp["attn"]["wo"], cfg.quant_mode) \
                 + lp["attn"]["bo"]
+            if (cfg.quant_mode == "w8a8"
+                    and quant.is_quantized(lp["mlp"]["w1"])
+                    and (B * S) % 512 == 0 and cfg.ffn_dim % 512 == 0):
+                # fused LN+int8-MLP kernel: the [B*S, 4d] hidden never
+                # leaves VMEM (ops/fused_mlp.py; profiled ~1.6 ms/layer of
+                # gelu+quant VPU + HBM round-trip eliminated)
+                from procyon_tpu.ops.fused_mlp import fused_ln_mlp_int8
+
+                mlp = fused_ln_mlp_int8(
+                    x.reshape(B * S, cfg.dim),
+                    lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
+                    lp["mlp"]["w1"]["q"], lp["mlp"]["w1"]["s"],
+                    lp["mlp"]["b1"],
+                    lp["mlp"]["w2"]["q"], lp["mlp"]["w2"]["s"],
+                    lp["mlp"]["b2"], eps=cfg.norm_eps)
+                return x + mlp.reshape(B, S, cfg.dim)
             h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                            eps=cfg.norm_eps)
             h1 = quant.mm(h, lp["mlp"]["w1"], cfg.quant_mode) \

@@ -43,6 +43,11 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     max_seq_len: int = 2048
     dtype: Any = jnp.bfloat16
+    # int8 matmul mode for quantized params: "dequant" = weight-only bf16
+    # dot (right for bandwidth-bound decode); "w8a8" = s8xs8 MXU dot
+    # (2x compute for the prefill/teacher-forcing path). Decode steps
+    # (S == 1) always use weight-only regardless.
+    quant_mode: str = "dequant"
     # attention backend override for tests ("ref" forces the jnp path)
     attn_backend: Optional[str] = None
     remat: bool = True
@@ -170,8 +175,9 @@ def _block(x, lp, seg_ids, positions, rot, cfg: LlamaConfig,
     cos_q, sin_q, perm_q, cos_k, sin_k, perm_k = rot
 
     h = rms_norm(x, lp["attn_norm"], eps=cfg.norm_eps)
-    q_flat = _mm(h, lp["attn"]["wq"])
-    v_flat = _mm(h, lp["attn"]["wv"])
+    mode = cfg.quant_mode if S > 1 else "dequant"
+    q_flat = _mm(h, lp["attn"]["wq"], mode)
+    v_flat = _mm(h, lp["attn"]["wv"], mode)
     if cfg.lora is not None:
         q_flat = lora_mod.apply(lp["lora_wq"], cfg.lora, h, q_flat,
                                 expert_idx=lora_expert)
@@ -180,7 +186,7 @@ def _block(x, lp, seg_ids, positions, rot, cfg: LlamaConfig,
     # rotate_half rotary on flat projection outputs (ops/rotary.py)
     q = apply_rotary_flat(q_flat, cos_q, sin_q,
                           perm_q).reshape(B, S, cfg.n_heads, hd)
-    k = apply_rotary_flat(_mm(h, lp["attn"]["wk"]), cos_k, sin_k,
+    k = apply_rotary_flat(_mm(h, lp["attn"]["wk"], mode), cos_k, sin_k,
                           perm_k).reshape(B, S, cfg.n_kv_heads, hd)
     v = v_flat.reshape(B, S, cfg.n_kv_heads, hd)
 
@@ -208,11 +214,12 @@ def _block(x, lp, seg_ids, positions, rot, cfg: LlamaConfig,
                                backend=cfg.attn_backend)
         new_kv = (k, v)
     attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
-    x = x + _mm(attn, lp["attn"]["wo"])
+    x = x + _mm(attn, lp["attn"]["wo"], mode)
 
     h = rms_norm(x, lp["mlp_norm"], eps=cfg.norm_eps)
-    gated = jax.nn.silu(_mm(h, lp["mlp"]["w_gate"])) * _mm(h, lp["mlp"]["w_up"])
-    x = x + _mm(gated, lp["mlp"]["w_down"])
+    gated = jax.nn.silu(_mm(h, lp["mlp"]["w_gate"], mode)) * \
+        _mm(h, lp["mlp"]["w_up"], mode)
+    x = x + _mm(gated, lp["mlp"]["w_down"], mode)
     return x, new_kv
 
 
@@ -288,12 +295,21 @@ def forward(params, cfg: LlamaConfig, *, input_embeds=None, tokens=None,
     return out
 
 
-def quantize_params(params, cfg: LlamaConfig):
-    """Weight-only int8 quantization of the decoder (ops/quant.py). LoRA
-    banks, norms, and the embedding table stay in the original dtype."""
+def quantize_params(params, cfg: LlamaConfig, *, bits: int = 8,
+                    group: int = 128):
+    """Weight-only quantization of the decoder (ops/quant.py). LoRA banks,
+    norms, and the embedding table stay in the original dtype.
+
+    bits=8: per-channel int8 (half the bf16 bytes); bits=4: group-wise
+    packed int4 (quarter — the NF4-equivalent, SURVEY.md §2.3 item 4,
+    fitting 8B + KV on one 16 GB chip)."""
     out = dict(params)
-    out["layers"] = quant.quantize_tree(params["layers"])
-    out["lm_head"] = quant.quantize(params["lm_head"])
+    if bits == 4:
+        out["layers"] = quant.quantize_tree4(params["layers"], group=group)
+        out["lm_head"] = quant.quantize4(params["lm_head"], group=group)
+    else:
+        out["layers"] = quant.quantize_tree(params["layers"])
+        out["lm_head"] = quant.quantize(params["lm_head"])
     return out
 
 

@@ -1,0 +1,144 @@
+"""Fused LayerNorm -> int8 W1 -> GELU -> int8 W2 MLP kernel (TPU Pallas).
+
+Why: profiling the W8A8 ESM2-650M embed showed the MLP's elementwise
+traffic dominating — the [B*S, 4d] hidden round-trips HBM between the up-
+and down-projections (~840 MB/layer at B64 S512), and the gelu+quantize
+pass alone cost ~1.6 ms/layer of VPU time. This kernel tiles the hidden
+dimension so the intermediate NEVER leaves VMEM: per (m, n) grid step it
+computes gelu(LN(x)@W1[:, n-tile]) quantized per row, multiplies by
+W2[n-tile, :], and accumulates into an f32 VMEM scratch; the result is
+written once.
+
+Numerics: both matmuls run s8 x s8 -> s32 on the MXU (2x bf16 rate on
+v5e); activations are dynamically quantized per row (x once per m-block
+after the in-kernel LayerNorm, the gelu output per (row, n-tile) — exact
+algebra, the only error is int8 rounding). GELU is the same tanh-composed
+polynomial erf as ops/activations.gelu_erf_fast.
+
+Replaces, for quantized serving, the reference MLP (HF EsmLayer
+intermediate/output dense pair; procyon/model/esm.py:262-315 quant path).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from procyon_tpu.ops.activations import erf_approx
+
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+            s2_ref, b2_ref, o_ref, acc_ref, xq_ref, sx_ref, *, eps,
+            n_steps, sub_tiles):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _prep():
+        xf = x_ref[...].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        cx = xf - mean
+        var = jnp.mean(cx * cx, axis=-1, keepdims=True)
+        h = cx * jax.lax.rsqrt(var + eps) * lnw_ref[...] + lnb_ref[...]
+        amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        xq_ref[...] = jnp.clip(jnp.round(h / sx), -127, 127).astype(
+            jnp.int8)
+        sx_ref[...] = jnp.broadcast_to(sx, sx_ref.shape)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # the hidden tile is processed as `sub_tiles` independent
+    # dot1 -> gelu/quant -> dot2 chains: with no data dependency between
+    # sub-tiles, Mosaic's scheduler overlaps one sub-tile's VPU
+    # (gelu + requantize) with the next one's MXU dots — the VPU pass is
+    # otherwise serial with the matmuls and dominates
+    xq = xq_ref[...]
+    sx = sx_ref[...][:, :1]                            # [bm, 1]
+    bn = w1_ref.shape[1]
+    sub = bn // sub_tiles
+    acc1s = []
+    for t in range(sub_tiles):
+        sl = slice(t * sub, (t + 1) * sub)
+        acc1s.append(jax.lax.dot_general(
+            xq, w1_ref[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32))         # [bm, sub]
+    gqs, sgs = [], []
+    for t in range(sub_tiles):
+        sl = slice(t * sub, (t + 1) * sub)
+        h1 = acc1s[t].astype(jnp.float32) * (sx * s1_ref[:, sl]) \
+            + b1_ref[:, sl]
+        g = 0.5 * h1 * (1.0 + erf_approx(h1 * _INV_SQRT2))
+        gmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
+        sg = jnp.maximum(gmax, 1e-8) * (1.0 / 127.0)
+        gqs.append(jnp.clip(jnp.round(g / sg), -127, 127).astype(jnp.int8))
+        sgs.append(sg)
+    total = None
+    for t in range(sub_tiles):
+        sl = slice(t * sub, (t + 1) * sub)
+        acc2 = jax.lax.dot_general(
+            gqs[t], w2_ref[sl, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)          # [bm, d]
+        part = acc2.astype(jnp.float32) * (sgs[t] * s2_ref[...])
+        total = part if total is None else total + part
+    acc_ref[...] += total
+
+    @pl.when(n == n_steps - 1)
+    def _emit():
+        o_ref[...] = (acc_ref[...] + b2_ref[...]).astype(o_ref.dtype)
+
+
+def fused_ln_mlp_int8(x, ln_w, ln_b, w1q, s1, b1, w2q, s2, b2, *,
+                      eps=1e-5, block_m=512, block_n=1024, sub_tiles=2,
+                      interpret=False):
+    """x [M, d] -> LayerNorm -> gelu-MLP with int8 weights -> [M, d].
+
+    w1q int8 [d, H], s1 f32 [1, H]; w2q int8 [H, d], s2 f32 [1, d];
+    b1 [H], b2 [d], ln_w/ln_b [d]. Caller adds the residual.
+    Requires M % block_m == 0 and H % block_n == 0.
+    """
+    M, d = x.shape
+    H = w1q.shape[1]
+    if H % block_n:
+        block_n = H // (H // block_n + 1) if H > block_n else H
+        while H % block_n:
+            block_n //= 2
+    assert M % block_m == 0 and H % block_n == 0, (M, H, block_n)
+    while block_n % (sub_tiles * 128):
+        sub_tiles //= 2
+    n_steps = H // block_n
+    kernel = functools.partial(_kernel, eps=eps, n_steps=n_steps,
+                               sub_tiles=max(sub_tiles, 1))
+
+    def row2d(a):
+        return a.reshape(1, -1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(M // block_m, n_steps),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda m, n: (m, 0)),
+            pl.BlockSpec((1, d), lambda m, n: (0, 0)),
+            pl.BlockSpec((1, d), lambda m, n: (0, 0)),
+            pl.BlockSpec((d, block_n), lambda m, n: (0, n)),
+            pl.BlockSpec((1, block_n), lambda m, n: (0, n)),
+            pl.BlockSpec((1, block_n), lambda m, n: (0, n)),
+            pl.BlockSpec((block_n, d), lambda m, n: (n, 0)),
+            pl.BlockSpec((1, d), lambda m, n: (0, 0)),
+            pl.BlockSpec((1, d), lambda m, n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda m, n: (m, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, d), jnp.float32),
+            pltpu.VMEM((block_m, d), jnp.int8),
+            pltpu.VMEM((block_m, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, row2d(ln_w), row2d(ln_b), w1q, s1.reshape(1, H),
+      row2d(b1), w2q, s2.reshape(1, d), row2d(b2))
+    return out

@@ -11,6 +11,7 @@ Quantized tensors are {"q": int8 [..., in, out], "s": f32 [..., 1, out]}.
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 
@@ -64,14 +65,89 @@ def mm(x, w, mode: str = "dequant"):
 
     mode: "dequant" = weight-only (bf16 dot, bandwidth savings);
           "w8a8"    = int8 MXU dot (compute doubling; inference paths).
+    int4 leaves are always weight-only (their win is bandwidth).
     """
     if is_quantized(w):
         return qmatmul_w8a8(x, w) if mode == "w8a8" else qmatmul(x, w)
+    if is_quantized4(w):
+        return qmatmul4(x, w)
     return x @ w
 
 
 def is_quantized(node) -> bool:
     return isinstance(node, dict) and set(node.keys()) == {"q", "s"}
+
+
+# ---------------------------------------------------------------------------
+# int4 weight-only quantization (the NF4/QLoRA replacement, SURVEY.md §2.3
+# item 4): group-wise symmetric 4-bit, two nibbles packed per int8 byte
+# along the contraction axis. Halves weight HBM traffic vs int8 — the
+# decode lever to fit 8B + KV on one 16 GB chip with headroom.
+# ---------------------------------------------------------------------------
+
+
+def quantize4(w, group: int = 128):
+    """[..., in, out] -> {"p": int8 [..., in/2, out] packed nibbles,
+    "s": f32 [..., in/group, 1, out] group scales}.
+    Group-wise scaling recovers most of the accuracy a flat 15-level grid
+    loses (bitsandbytes NF4 plays the same role in the reference,
+    esm.py:444-449)."""
+    wf = w.astype(jnp.float32)
+    *lead, k, n = wf.shape
+    assert k % group == 0 and group % 2 == 0, (k, group)
+    gshape = (*lead, k // group, group, n)
+    wg = wf.reshape(gshape)
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(*lead, k, n)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+    # group size is derivable (k / s.shape[-3]) — no non-array leaf in the
+    # pytree (ints would become traced scalars under jit)
+    return {"p": packed, "s": scale}
+
+
+def dequantize4(qw, dtype=jnp.bfloat16):
+    p = qw["p"]
+    *lead, k2, n = p.shape
+    k = k2 * 2
+    group = k // qw["s"].shape[-3]
+    lo = (((p & 0x0F) ^ 8) - 8).astype(jnp.int8)     # sign-extend nibble
+    hi = jax.lax.shift_right_arithmetic(p, jnp.int8(4))
+    q = jnp.stack([lo, hi], axis=-2)                  # [..., k/2, 2, n]
+    q = q.reshape(*lead, k, n)
+    wg = q.reshape(*lead, k // group, group, n).astype(jnp.float32)
+    return (wg * qw["s"]).reshape(*lead, k, n).astype(dtype)
+
+
+def qmatmul4(x, qw):
+    """x @ dequant4(qw); the unpack + group rescale fuses into the dot's
+    weight-operand read under XLA (weight-streaming decode reads half the
+    bytes of int8)."""
+    return x @ dequantize4(qw, x.dtype)
+
+
+def is_quantized4(node) -> bool:
+    return isinstance(node, dict) and set(node.keys()) == {"p", "s"}
+
+
+def quantize_tree4(params: Dict, *, keys=("wq", "wk", "wv", "wo", "w_gate",
+                                          "w_up", "w_down", "lm_head"),
+                   group: int = 128) -> Dict:
+    """int4 variant of quantize_tree (leaves whose contraction dim is not
+    group-divisible fall back to int8)."""
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        if name in keys and hasattr(node, "ndim") and node.ndim >= 2:
+            if node.shape[-2] % group == 0:
+                return quantize4(node, group=group)
+            return quantize(node)
+        return node
+
+    return walk(params)
 
 
 def quantize_tree(params: Dict, *, keys=("wq", "wk", "wv", "wo", "w_gate",

@@ -30,6 +30,8 @@ def main():
     p.add_argument("--layers", type=int, default=16)
     p.add_argument("--quant", action="store_true",
                    help="int8 weight-only quantization (ops/quant.py)")
+    p.add_argument("--bits", type=int, default=8, choices=(4, 8),
+                   help="weight quantization width (4 = packed int4)")
     args = p.parse_args()
     if args.dim < 128 or args.dim % 128:
         p.error(f"--dim must be a multiple of 128 (head_dim=128), "
@@ -61,7 +63,8 @@ def main():
         def build():
             p = unified.init_params(jax.random.PRNGKey(0), cfg)
             p = dict(p)
-            p["llama"] = quantize_params(p["llama"], cfg.llama)
+            p["llama"] = quantize_params(p["llama"], cfg.llama,
+                                         bits=args.bits)
             return p
 
         shapes = jax.eval_shape(build)
@@ -79,7 +82,7 @@ def main():
                                                       sd.dtype), shapes)
 
         params = materialize()
-        wtag = "int8"
+        wtag = f"int{args.bits}"
     else:
         params = unified.init_params(jax.random.PRNGKey(0), cfg)
         n_params = sum(np.prod(x.shape)

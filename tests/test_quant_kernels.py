@@ -1,0 +1,131 @@
+"""int8-W8A8 / int4 quantization + fused LN-MLP kernel correctness
+(serving path for the headline embedding benchmark)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from procyon_tpu.models import esm2
+from procyon_tpu.ops import quant
+from procyon_tpu.ops.activations import gelu_erf_fast
+from procyon_tpu.ops.fused_mlp import fused_ln_mlp_int8
+from procyon_tpu.ops.norms import layer_norm
+
+
+class TestW8A8:
+    def test_matches_dequant_within_int8_rounding(self, rng):
+        x = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((64, 48)), jnp.float32)
+        qw = quant.quantize(w)
+        ref = np.asarray(quant.qmatmul(x, qw))
+        got = np.asarray(quant.qmatmul_w8a8(x, qw))
+        cos = (ref * got).sum() / (np.linalg.norm(ref)
+                                   * np.linalg.norm(got))
+        assert cos > 0.9995
+
+    def test_esm2_w8a8_embedding_quality(self, rng):
+        cfg = esm2.tiny_config(dim=64, n_layers=2, n_heads=4)
+        params = esm2.init_params(jax.random.PRNGKey(0), cfg)
+        toks = np.full((2, 64), esm2.PAD_IDX, np.int32)
+        for i in range(2):
+            n = rng.integers(30, 60)
+            toks[i, 0] = esm2.CLS_IDX
+            toks[i, 1:n + 1] = rng.integers(4, 24, n)
+            toks[i, n + 1] = esm2.EOS_IDX
+        toks = jnp.asarray(toks)
+        ref = np.asarray(esm2.forward(params, cfg, toks)["hidden"])
+        qp = esm2.quantize_params(params, cfg)
+        cfg8 = dataclasses.replace(cfg, quant_mode="w8a8")
+        got = np.asarray(esm2.forward(qp, cfg8, toks)["hidden"])
+        cos = (ref * got).sum() / (np.linalg.norm(ref)
+                                   * np.linalg.norm(got))
+        assert cos > 0.999
+
+    def test_fuse_qkv_is_exact(self, rng):
+        cfg = esm2.tiny_config(dim=64, n_layers=2, n_heads=4)
+        params = esm2.init_params(jax.random.PRNGKey(1), cfg)
+        toks = jnp.asarray(rng.integers(4, 24, (2, 32)), jnp.int32)
+        a = esm2.forward(params, cfg, toks)["hidden"]
+        b = esm2.forward(esm2.fuse_qkv_params(params), cfg, toks)["hidden"]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        qp = esm2.quantize_params(params, cfg)
+        cfg8 = dataclasses.replace(cfg, quant_mode="w8a8")
+        c = esm2.forward(qp, cfg8, toks)["hidden"]
+        d = esm2.forward(esm2.fuse_qkv_params(qp), cfg8, toks)["hidden"]
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+class TestFusedMLPKernel:
+    @pytest.mark.parametrize("block_n,sub_tiles", [(512, 2), (256, 2),
+                                                   (512, 4)])
+    def test_matches_dequant_reference(self, rng, block_n, sub_tiles):
+        M, d, H = 256, 256, 1024
+        x = jnp.asarray(rng.standard_normal((M, d)), jnp.float32)
+        lnw = jnp.asarray(rng.standard_normal(d) * 0.1 + 1, jnp.float32)
+        lnb = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((d, H)) / np.sqrt(d),
+                         jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(H) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((H, d)) / np.sqrt(H),
+                         jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(d) * 0.05, jnp.float32)
+        q1, q2 = quant.quantize(w1), quant.quantize(w2)
+        out = fused_ln_mlp_int8(
+            x, lnw, lnb, q1["q"], q1["s"], b1, q2["q"], q2["s"], b2,
+            block_m=128, block_n=block_n, sub_tiles=sub_tiles,
+            interpret=True)
+        h = layer_norm(x, lnw, lnb)
+        ref = gelu_erf_fast(
+            h @ quant.dequantize(q1, jnp.float32) + b1) @ \
+            quant.dequantize(q2, jnp.float32) + b2
+        cos = float(jnp.sum(out * ref)
+                    / (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
+        assert cos > 0.999
+
+
+class TestInt4:
+    def test_pack_unpack_exact_for_representable(self, rng):
+        """int4-representable weights survive the pack/unpack round trip
+        bit-exactly."""
+        g = 64
+        s = rng.uniform(0.01, 0.2, (4, 1, 32)).astype(np.float32)
+        q = rng.integers(-7, 8, (4 * g, 32)).astype(np.float32)
+        w = jnp.asarray(q * np.repeat(s[:, 0], g, axis=0))
+        q4 = quant.quantize4(w, group=g)
+        wd = quant.dequantize4(q4, jnp.float32)
+        np.testing.assert_allclose(np.asarray(wd), np.asarray(w),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_mm_dispatch_and_memory(self, rng):
+        w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+        q4 = quant.quantize4(w)
+        assert q4["p"].shape == (128, 128) and q4["p"].dtype == jnp.int8
+        x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+        y = np.asarray(quant.mm(x, q4))
+        ref = np.asarray(x @ w)
+        cos = (y * ref).sum() / (np.linalg.norm(y) * np.linalg.norm(ref))
+        assert cos > 0.98  # int4 RTN tolerance on gaussian weights
+
+    def test_stacked_layers(self, rng):
+        ws = jnp.asarray(rng.standard_normal((3, 256, 128)), jnp.float32)
+        q4s = quant.quantize4(ws)
+        per_layer = quant.dequantize4(quant.quantize4(ws[1]), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(quant.dequantize4(q4s, jnp.float32)[1]),
+            np.asarray(per_layer), atol=1e-6)
+
+    def test_llama_int4_tree(self, rng):
+        from procyon_tpu.models import llama
+
+        cfg = llama.tiny_config(dim=128, n_heads=4, n_kv_heads=2,
+                                intermediate=256)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        q4 = llama.quantize_params(params, cfg, bits=4, group=64)
+        assert quant.is_quantized4(q4["layers"]["attn"]["wq"])
+        assert quant.is_quantized4(q4["lm_head"])
+        toks = jnp.asarray(np.arange(16).reshape(1, 16) % 256)
+        out = llama.forward(q4, cfg, tokens=toks)
+        assert np.isfinite(np.asarray(out["logits"])).all()
