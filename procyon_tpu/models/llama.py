@@ -166,6 +166,38 @@ def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
     return out.reshape(B, 1, Hq, D).astype(q.dtype)
 
 
+def _paged_attention_with_self(q, k_new, v_new, k_pool_l, v_pool_l, table,
+                               lens, cfg: LlamaConfig):
+    """Decode attention = paged kernel over the cached context, merged
+    with the in-flight token's own k/v by log-sum-exp (the kernel returns
+    per-head lse; the self term is a rank-1 softmax correction).
+
+    q [B, Hq, D]; k_new/v_new [B, Hkv, D]; pools [n_pages, page, Hkv*D].
+    Returns [B, Hq, D]."""
+    import math
+
+    from procyon_tpu.ops.paged_attention import paged_decode_attention
+
+    B, Hq, D = q.shape
+    Hkv = k_new.shape[1]
+    group = Hq // Hkv
+    out_ctx, lse = paged_decode_attention(
+        q.reshape(B, Hq * D), k_pool_l, v_pool_l, table, lens,
+        n_kv_heads=Hkv, head_dim=D,
+        interpret=cfg.attn_backend == "interpret")
+    qg = q.reshape(B, Hkv, group, D).astype(jnp.float32)
+    s_self = jnp.einsum("bhgd,bhd->bhg", qg,
+                        k_new.astype(jnp.float32)) / math.sqrt(D)
+    s_self = s_self.reshape(B, Hq)
+    m = jnp.maximum(lse, s_self)
+    w_ctx = jnp.exp(lse - m)
+    w_self = jnp.exp(s_self - m)
+    v_self = jnp.repeat(v_new.astype(jnp.float32), group, axis=1)  # [B,Hq,D]
+    out = (w_ctx[..., None] * out_ctx.reshape(B, Hq, D).astype(jnp.float32)
+           + w_self[..., None] * v_self) / (w_ctx + w_self)[..., None]
+    return out.astype(q.dtype)
+
+
 def _block(x, lp, seg_ids, positions, rot, cfg: LlamaConfig,
            cache_k=None, cache_v=None, cache_seg=None, cache_pos=None,
            cache_len=None, lora_expert=0):
@@ -356,12 +388,24 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     rot = _paged_rot_tables(cfg, positions)
     cos_q, sin_q, perm_q, cos_k, sin_k, perm_k = rot
 
-    ks, vs, ctx_valid = kv_pool.gather_kv(pool, pcfg, slot_ids)
-    ks = ks.reshape(cfg.n_layers, B, pcfg.max_ctx, cfg.n_kv_heads, hd)
-    vs = vs.reshape(cfg.n_layers, B, pcfg.max_ctx, cfg.n_kv_heads, hd)
-    ctx_seg = ctx_valid.astype(jnp.int32)                   # [B, ctx]
-    ctx_pos = jnp.broadcast_to(
-        jnp.arange(pcfg.max_ctx, dtype=jnp.int32)[None], ctx_seg.shape)
+    # one-token decode walks the page table inside a Pallas kernel
+    # (ops/paged_attention.py): pages are read once, never copied into a
+    # dense context buffer. Chunked prefill (T > 1) and the reference CPU
+    # backend keep the gather + flash path.
+    use_paged_kernel = (T == 1 and cfg.attn_backend != "ref"
+                        and hd % 128 == 0)
+    if use_paged_kernel:
+        table = pool["page_table"][slot_ids]                # [B, P]
+        lens = pool["seq_len"][slot_ids]
+        layer_ctx = (params["layers"], pool["k"], pool["v"])
+    else:
+        ks, vs, ctx_valid = kv_pool.gather_kv(pool, pcfg, slot_ids)
+        ks = ks.reshape(cfg.n_layers, B, pcfg.max_ctx, cfg.n_kv_heads, hd)
+        vs = vs.reshape(cfg.n_layers, B, pcfg.max_ctx, cfg.n_kv_heads, hd)
+        ctx_seg = ctx_valid.astype(jnp.int32)               # [B, ctx]
+        ctx_pos = jnp.broadcast_to(
+            jnp.arange(pcfg.max_ctx, dtype=jnp.int32)[None], ctx_seg.shape)
+        layer_ctx = (params["layers"], ks, vs)
 
     def scan_body(x, layer_in):
         lp, k_ctx, v_ctx = layer_in
@@ -379,20 +423,28 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
                                   perm_k).reshape(B, T, cfg.n_kv_heads, hd)
         v_new = v_flat.reshape(B, T, cfg.n_kv_heads, hd)
 
-        # context + the chunk itself (intra-chunk attention is causal via
-        # the positional comparison below)
-        k_all = jnp.concatenate([k_ctx, k_new.astype(k_ctx.dtype)], axis=1)
-        v_all = jnp.concatenate([v_ctx, v_new.astype(v_ctx.dtype)], axis=1)
-        seg_all = jnp.concatenate([ctx_seg, seg_ids], axis=1)
-        pos_all = jnp.concatenate([ctx_pos, positions], axis=1)
-        if T == 1:
-            attn = _decode_attention_step(q, k_all, v_all, seg_ids,
-                                          seg_all, positions, pos_all)
+        if use_paged_kernel:
+            # k_ctx/v_ctx are this layer's raw page pools here
+            attn = _paged_attention_with_self(
+                q[:, 0], k_new[:, 0], v_new[:, 0], k_ctx, v_ctx,
+                table, lens, cfg)[:, None]
         else:
-            attn = flash_attention(q, k_all, v_all, seg_ids, seg_all,
-                                   causal=True, q_positions=positions,
-                                   kv_positions=pos_all,
-                                   backend=cfg.attn_backend)
+            # context + the chunk itself (intra-chunk attention is causal
+            # via the positional comparison below)
+            k_all = jnp.concatenate([k_ctx, k_new.astype(k_ctx.dtype)],
+                                    axis=1)
+            v_all = jnp.concatenate([v_ctx, v_new.astype(v_ctx.dtype)],
+                                    axis=1)
+            seg_all = jnp.concatenate([ctx_seg, seg_ids], axis=1)
+            pos_all = jnp.concatenate([ctx_pos, positions], axis=1)
+            if T == 1:
+                attn = _decode_attention_step(q, k_all, v_all, seg_ids,
+                                              seg_all, positions, pos_all)
+            else:
+                attn = flash_attention(q, k_all, v_all, seg_ids, seg_all,
+                                       causal=True, q_positions=positions,
+                                       kv_positions=pos_all,
+                                       backend=cfg.attn_backend)
         attn = attn.reshape(B, T, cfg.n_heads * hd).astype(x.dtype)
         x = x + _mm(attn, lp["attn"]["wo"])
         h = rms_norm(x, lp["mlp_norm"], eps=cfg.norm_eps)
@@ -402,8 +454,7 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
         kd = cfg.n_kv_heads * hd
         return x, (k_new.reshape(B, T, kd), v_new.reshape(B, T, kd))
 
-    x, (new_k, new_v) = jax.lax.scan(scan_body, x,
-                                     (params["layers"], ks, vs))
+    x, (new_k, new_v) = jax.lax.scan(scan_body, x, layer_ctx)
     x = rms_norm(x, params["final_norm"], eps=cfg.norm_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
 

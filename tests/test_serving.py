@@ -128,3 +128,68 @@ class TestContinuousBatching:
         b.submit(list(range(4, 10)), max_new=8)
         with pytest.raises(ValueError):
             b.run()
+
+
+class TestPagedKernelDecode:
+    """The Pallas page-table decode kernel (ops/paged_attention.py) must
+    equal the gather+dense decode path exactly (VERDICT round-1 item #8:
+    replace the plain-jnp pool gather on the decode hot path)."""
+
+    def test_kernel_matches_gather_path(self):
+        import dataclasses
+
+        cfg = L.tiny_config(attn_backend="ref", remat=False, dim=256,
+                            n_heads=4, n_kv_heads=2, intermediate=512,
+                            vocab_size=512)
+        params = L.init_params(jax.random.PRNGKey(2), cfg)
+        pcfg = _pcfg(cfg)
+        B, T = 2, 6
+        tokens = (jnp.arange(B * T).reshape(B, T) * 11) % cfg.vocab_size
+
+        def run(decode_cfg):
+            pool = KP.init_pool(pcfg)
+            alloc = KP.PageAllocator(pcfg)
+            slots = np.array([0, 2])
+            pt = np.array(pool["page_table"])
+            for s in slots:
+                pages = alloc.allocate(int(s), T + 4)
+                pt[s, :len(pages)] = pages
+            pool = {**pool, "page_table": jnp.asarray(pt)}
+            logits, pool = L.paged_forward(params, cfg, pool, pcfg,
+                                           jnp.asarray(slots),
+                                           tokens=tokens[:, :4])
+            outs = [logits[:, -1]]
+            for t in range(4, T):
+                logits, pool = L.paged_forward(
+                    params, decode_cfg, pool, pcfg, jnp.asarray(slots),
+                    tokens=tokens[:, t:t + 1])
+                outs.append(logits[:, 0])
+            return np.stack([np.asarray(o) for o in outs])
+
+        ref = run(cfg)                               # gather + dense
+        kern = run(dataclasses.replace(cfg, attn_backend="interpret"))
+        np.testing.assert_allclose(kern, ref, atol=2e-4, rtol=2e-4)
+
+    def test_kernel_lane_gate(self):
+        # group*head_dim not 128-divisible -> gather fallback (no crash)
+        import dataclasses
+
+        cfg = L.tiny_config(attn_backend="ref", remat=False)
+        params = L.init_params(jax.random.PRNGKey(0), cfg)
+        pcfg = _pcfg(cfg)
+        pool = KP.init_pool(pcfg)
+        alloc = KP.PageAllocator(pcfg)
+        pt = np.array(pool["page_table"])
+        pages = alloc.allocate(0, 8)
+        pt[0, :len(pages)] = pages
+        pool = {**pool, "page_table": jnp.asarray(pt)}
+        logits, pool = L.paged_forward(params, cfg, pool, pcfg,
+                                       jnp.asarray([0]),
+                                       tokens=jnp.asarray([[5, 6]]))
+        # decode step with the kernel-enabled backend: lane gate (32
+        # lanes per group) forces the gather path silently
+        dcfg = dataclasses.replace(cfg, attn_backend="interpret")
+        logits, pool = L.paged_forward(params, dcfg, pool, pcfg,
+                                       jnp.asarray([0]),
+                                       tokens=jnp.asarray([[7]]))
+        assert np.isfinite(np.asarray(logits)).all()
