@@ -71,7 +71,7 @@ def _rowblock_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
     if lse_ref is not None:
         lse = m + jnp.log(l_safe)
         lse = jnp.where(row_masked | (l == 0.0), fa.DEFAULT_MASK_VALUE, lse)
-        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, fa.NUM_LANES))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, fa.LSE_LANES))
 
 
 def rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True):
@@ -117,12 +117,12 @@ def rowblock_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True):
         in_specs=in_specs,
         out_specs=[
             o_spec,
-            pl.BlockSpec((1, 1, block_q, fa.NUM_LANES),
+            pl.BlockSpec((1, 1, block_q, fa.LSE_LANES),
                          lambda b, h, i: (b, h, i, 0)),
         ],
         out_shape=[
             o_shape,
-            jax.ShapeDtypeStruct((B, Hq, Sq, fa.NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Sq, fa.LSE_LANES), jnp.float32),
         ],
         interpret=interpret,
     )(*args)

@@ -21,11 +21,12 @@ iff seg_q[i] == seg_kv[j] != 0 (and pos_q[i] >= pos_kv[j] when causal).
 Fully-masked query rows produce zeros.
 
 TPU layout notes (Mosaic requires the last two block dims to be divisible by
-(8, 128) or equal the array dims): segment ids / positions enter the kernels
-broadcast to [B, S, 128] (q side, lanes) / [B, 8, S] (kv side, sublanes); the
-logsumexp is emitted lane-broadcast [B, H, Sq, 128] and immediately sliced
-back to a compact [B, H, Sq] residual so training does not hold 128x-inflated
-per-layer residuals in HBM.
+(8, 128) or equal the array dims): per-row scalars (segment ids, positions,
+logsumexp, delta) enter the kernels as cheap 8-lane broadcasts [*, S, 8]
+(read as [bq, 1] columns) or sublane broadcasts [*, 8, S] (read as [1, bk]
+rows). The dkv backward kernel works in transposed score space ([bk, bq])
+so its q-row scalars broadcast from [8, Sq] rows; the forward emits the
+logsumexp 8-lane-broadcast and slices it to a compact [B, H, Sq] residual.
 
 On non-TPU backends the public entry point falls back to `mha_reference`
 (identical semantics) so the full model runs on the 8-device CPU test mesh.
@@ -38,10 +39,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -1e30
 NUM_LANES = 128
 NUM_SUBLANES = 8
+# q-side per-row scalars (segment ids, positions, lse, delta) travel as
+# 8-lane broadcasts: Mosaic accepts a block whose last dim equals the
+# array dim, and 8 lanes cost 1/16th the HBM traffic of a 128-lane
+# broadcast (these arrays are re-read once per head)
+LSE_LANES = 8
 BLOCK = 128  # q and kv block size; sequence dims are padded to multiples
 
 
@@ -96,11 +103,11 @@ def mha_reference(q, k, v, seg_q=None, seg_kv=None, *, causal=False,
 # ---------------------------------------------------------------------------
 
 
-def _block_mask(seg_q_tile, seg_k_row, qpos_tile, kpos_row, causal):
-    """seg_q_tile/qpos_tile [bq, 128] lane-broadcast; *_row [1, bk]."""
-    allowed = (seg_q_tile == seg_k_row) & (seg_q_tile > 0)
+def _block_mask(seg_q_col, seg_k_row, qpos_col, kpos_row, causal):
+    """seg_q_col/qpos_col [bq, 1]; *_row [1, bk] -> [bq, bk] bool."""
+    allowed = (seg_q_col == seg_k_row) & (seg_q_col > 0)
     if causal:
-        allowed = allowed & (qpos_tile >= kpos_row)
+        allowed = allowed & (qpos_col >= kpos_row)
     return allowed
 
 
@@ -111,15 +118,14 @@ def _block_mask(seg_q_tile, seg_k_row, qpos_tile, kpos_row, causal):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
                 o_ref, lse_ref=None, *, causal, sm_scale, num_kv_blocks,
-                bounded):
+                bounded, block_k):
     iq = pl.program_id(2)
     block_q = q_ref.shape[2]
-    block_k = BLOCK
     D = q_ref.shape[3]
 
     q = q_ref[0, 0]  # [bq, D] native dtype: keep MXU on the bf16 path
-    seg_q = sq_ref[0]     # [bq, 128]
-    qpos = qp_ref[0]      # [bq, 128]
+    seg_q = sq_ref[0][:, :1]   # [bq, 1]
+    qpos = qp_ref[0][:, :1]
 
     if causal and bounded:
         hi = _cdiv((iq + 1) * block_q, block_k)
@@ -165,12 +171,94 @@ def _fwd_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
     lse = m_i + jnp.log(l_safe)
     lse = jnp.where(row_masked | (l_i == 0.0), DEFAULT_MASK_VALUE,
                     lse)  # [bq, 1]
-    lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, NUM_LANES))
+    lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, LSE_LANES))
+
+
+def _fwd_kernel_twophase(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
+                         kp_ref, o_ref, lse_ref, s_buf, *, causal, sm_scale,
+                         num_kv_blocks, bounded, block_k):
+    """Two-phase forward: phase 1 stages masked scores into a VMEM scratch
+    row while tracking only the running row max; phase 2 does one exp +
+    sum + PV pass over the staged row. Eliminates the online-softmax
+    per-block accumulator rescale ([bq, D] multiply + alpha exp + m/l
+    bookkeeping) that makes the one-pass kernel VPU-bound. Causal-interior
+    kv blocks (entirely below the diagonal under bounded positions) skip
+    the causal compare; all blocks keep the segment mask.
+
+    Scores are staged in base-2 space (log2(e) folded into sm_scale) so
+    the per-element exponential is a bare exp2 — jnp.exp lowers to
+    exp2(x * log2e), costing an extra full-tile multiply. exp2(c*s - c*m)
+    == exp(s - m) exactly; the emitted lse converts back to natural log."""
+    iq = pl.program_id(2)
+    block_q = q_ref.shape[2]
+    D = q_ref.shape[3]
+    scale2 = sm_scale * 1.4426950408889634  # sm_scale * log2(e)
+
+    q = q_ref[0, 0]
+    seg_q = sq_ref[0][:, :1]   # [bq, 1]
+    qpos = qp_ref[0][:, :1]
+
+    if causal and bounded:
+        hi = _cdiv((iq + 1) * block_q, block_k)
+        hi_interior = (iq * block_q) // block_k
+    else:
+        hi = num_kv_blocks
+        hi_interior = 0
+
+    def score_block(j, m_i, with_causal):
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        seg_k = skv_ref[0, :1, pl.ds(j * block_k, block_k)]
+        s = jax.lax.dot_general(
+            q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale2
+        allowed = (seg_q == seg_k) & (seg_q > 0)
+        if with_causal:
+            kpos = kp_ref[0, :1, pl.ds(j * block_k, block_k)]
+            allowed = allowed & (qpos >= kpos)
+        s = jnp.where(allowed, s, DEFAULT_MASK_VALUE)
+        s_buf[:, pl.ds(j * block_k, block_k)] = s
+        return jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+
+    m0 = jnp.full((block_q, 1), DEFAULT_MASK_VALUE, jnp.float32)
+    m_i = jax.lax.fori_loop(
+        0, hi_interior, lambda j, m: score_block(j, m, False), m0)
+    m_i = jax.lax.fori_loop(
+        hi_interior, hi, lambda j, m: score_block(j, m, causal), m_i)
+
+    row_masked = m_i <= DEFAULT_MASK_VALUE * 0.5
+    m_safe = jnp.where(row_masked, 0.0, m_i)
+
+    def pv_block(j, carry):
+        acc, l_i = carry
+        p = jnp.exp2(s_buf[:, pl.ds(j * block_k, block_k)] - m_safe)
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        l_i = l_i + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc + jax.lax.dot_general(
+            p.astype(vb.dtype), vb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, l_i
+
+    acc0 = jnp.zeros((block_q, D), jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, l_i = jax.lax.fori_loop(0, hi, pv_block, (acc0, l0))
+
+    dead = row_masked | (l_i == 0.0)
+    l_safe = jnp.where(dead, 1.0, l_i)
+    out = jnp.where(dead, 0.0, acc / l_safe)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+    # back to natural-log lse for the backward: ln(sum e^s) =
+    # m2*ln2 + ln(l) with m2 in base-2 score space
+    lse = jnp.where(dead, DEFAULT_MASK_VALUE,
+                    m_i * 0.6931471805599453 + jnp.log(l_safe))
+    lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, LSE_LANES))
 
 
 def _lane_bcast(x):
-    """[B,S] -> [B,S,128]."""
-    return jnp.broadcast_to(x[:, :, None], (*x.shape, NUM_LANES))
+    """[B,S] -> [B,S,8] (8-lane broadcast; kernels read column [:, :1])."""
+    return jnp.broadcast_to(x[:, :, None], (*x.shape, LSE_LANES))
 
 
 def _sublane_bcast(x):
@@ -180,8 +268,8 @@ def _sublane_bcast(x):
 
 
 def _q_specs(block_q):
-    """BlockSpecs for [B,Sq,128] lane-broadcast q-side int arrays."""
-    return pl.BlockSpec((1, block_q, NUM_LANES), lambda b, h, i: (b, i, 0))
+    """BlockSpecs for [B,Sq,8] lane-broadcast q-side int arrays."""
+    return pl.BlockSpec((1, block_q, LSE_LANES), lambda b, h, i: (b, i, 0))
 
 
 def _kv_specs(Skv):
@@ -236,16 +324,33 @@ def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True, rope=None):
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
     group = Hq // Hkv
-    block_q = min(BLOCK, Sq)
+    # wider blocks amortize the online-softmax rescale ([bq, D] acc
+    # multiply + m/l updates) over more score elements; for bounded causal
+    # the kv extent rounds up to block_k, so block_k <= block_q caps the
+    # diagonal overshoot at one block_q's worth (12.5% at 256/S=2048)
+    block_q = 256 if Sq % 256 == 0 else min(BLOCK, Sq)
+    block_k = BLOCK
+    for cand in (512, 256):
+        if Skv % cand == 0 and (not (causal and bounded)
+                                or cand <= block_q):
+            block_k = cand
+            break
 
     qt = q.transpose(0, 2, 1, 3)  # [B, H, S, D]
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
+    # two-phase (staged-score) kernel when the f32 score row fits a 4MB
+    # VMEM scratch next to the k/v blocks; fall back to the one-pass
+    # online-softmax kernel for very long Skv
+    twophase = block_q * Skv * 4 <= 4 * 1024 * 1024
     kernel = functools.partial(
-        _fwd_kernel, causal=causal, sm_scale=sm_scale,
-        num_kv_blocks=Skv // BLOCK, bounded=bounded,
+        _fwd_kernel_twophase if twophase else _fwd_kernel,
+        causal=causal, sm_scale=sm_scale,
+        num_kv_blocks=Skv // block_k, bounded=bounded, block_k=block_k,
     )
+    scratch = ([pltpu.VMEM((block_q, Skv), jnp.float32)] if twophase
+               else [])
     out, lse = pl.pallas_call(
         kernel,
         grid=(B, Hq, Sq // block_q),
@@ -260,17 +365,18 @@ def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True, rope=None):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+            pl.BlockSpec((1, 1, block_q, LSE_LANES),
                          lambda b, h, i: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, Sq, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Sq, LSE_LANES), jnp.float32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qt, kt, vt, _lane_bcast(seg_q), _sublane_bcast(seg_kv),
       _lane_bcast(qpos), _sublane_bcast(kpos))
-    # compact residual: all 128 lanes are identical
+    # compact residual: all 8 lanes are identical
     return out.transpose(0, 2, 1, 3), lse[..., 0]
 
 
@@ -281,33 +387,41 @@ def _fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, want_lse=True, rope=None):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    sq_ref, skv_ref, qp_ref, kp_ref, dq_ref, *, causal,
-                   sm_scale, num_kv_blocks, bounded):
+                   sm_scale, num_kv_blocks, bounded, block_k):
     iq = pl.program_id(2)
     block_q = q_ref.shape[2]
-    block_k = BLOCK
     D = q_ref.shape[3]
 
     q = q_ref[0, 0]
     do = do_ref[0, 0]
+    # lse arrives pre-scaled by log2(e); scores are computed in base-2
+    # space so p recovers via a bare exp2 (see _fwd_kernel_twophase)
+    scale2 = sm_scale * 1.4426950408889634
     lse = lse_ref[0, 0][:, :1]  # [bq, 1]
     delta = delta_ref[0, 0][:, :1]
-    seg_q = sq_ref[0]
-    qpos = qp_ref[0]
+    seg_q = sq_ref[0][:, :1]
+    qpos = qp_ref[0][:, :1]
 
-    hi = _cdiv((iq + 1) * block_q, block_k) if (causal and bounded) \
-        else num_kv_blocks
+    if causal and bounded:
+        hi = _cdiv((iq + 1) * block_q, block_k)
+        hi_interior = (iq * block_q) // block_k
+    else:
+        hi = num_kv_blocks
+        hi_interior = 0
 
-    def body(j, dq_acc):
+    def body(j, dq_acc, with_causal):
         kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
         vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         seg_k = skv_ref[0, :1, pl.ds(j * block_k, block_k)]
-        kpos = kp_ref[0, :1, pl.ds(j * block_k, block_k)]
         s = jax.lax.dot_general(
             q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale
-        allowed = _block_mask(seg_q, seg_k, qpos, kpos, causal)
-        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
+        ) * scale2
+        allowed = (seg_q == seg_k) & (seg_q > 0)
+        if with_causal:
+            kpos = kp_ref[0, :1, pl.ds(j * block_k, block_k)]
+            allowed = allowed & (qpos >= kpos)
+        p = jnp.where(allowed, jnp.exp2(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -318,57 +432,81 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             preferred_element_type=jnp.float32,
         )
 
-    dq = jax.lax.fori_loop(0, hi, body, jnp.zeros((block_q, D), jnp.float32))
+    dq = jnp.zeros((block_q, D), jnp.float32)
+    dq = jax.lax.fori_loop(0, hi_interior,
+                           lambda j, a: body(j, a, False), dq)
+    dq = jax.lax.fori_loop(hi_interior, hi,
+                           lambda j, a: body(j, a, causal), dq)
     dq_ref[0, 0] = (dq * sm_scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     sq_ref, skv_ref, qp_ref, kp_ref, dk_ref, dv_ref, *,
-                    causal, sm_scale, num_q_blocks, bounded):
+                    causal, sm_scale, num_q_blocks, bounded, block_q):
+    """dk/dv in TRANSPOSED score space (s_t [bk, bq]): per-q-row scalars
+    (lse, delta, seg_q, qpos) then broadcast as [1, bq] rows from cheap
+    sublane-broadcast [8, Sq] inputs — the previous row-oriented design
+    needed them as [bq, 1] columns, which forced 128-lane-broadcast
+    [Sq, 128] arrays re-read whole per grid step (~2 GB of HBM reads per
+    call at B8 H32 S2048)."""
     jk = pl.program_id(2)
     block_k = k_ref.shape[2]
-    block_q = BLOCK
     D = k_ref.shape[3]
 
     kb = k_ref[0, 0]  # [bk, D]
     vb = v_ref[0, 0]
-    seg_k = skv_ref[0, :1, pl.ds(jk * block_k, block_k)]  # [1, bk]
-    kpos = kp_ref[0, :1, pl.ds(jk * block_k, block_k)]
+    scale2 = sm_scale * 1.4426950408889634  # base-2 score space
+    seg_k = skv_ref[0][:, :1]   # [bk, 1] (kv-side 8-lane broadcast block)
+    kpos = kp_ref[0][:, :1]
 
-    lo = (jk * block_k) // block_q if (causal and bounded) else 0
+    if causal and bounded:
+        lo = (jk * block_k) // block_q
+        # q blocks whose min qpos >= this tile's max kpos are fully
+        # causal-valid: skip the causal compare there
+        lo_interior = _cdiv((jk + 1) * block_k, block_q)
+    else:
+        lo = 0
+        lo_interior = 0
 
-    def body(i, carry):
+    def body(i, carry, with_causal):
         dk_acc, dv_acc = carry
         qb = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
         dob = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :1]  # [bq, 1]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :1]
-        seg_q = sq_ref[0, pl.ds(i * block_q, block_q), :]  # [bq, 128]
-        qpos = qp_ref[0, pl.ds(i * block_q, block_q), :]
-        s = jax.lax.dot_general(
-            qb, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+        lse = lse_ref[0, 0, :1, pl.ds(i * block_q, block_q)]    # [1, bq]
+        delta = delta_ref[0, 0, :1, pl.ds(i * block_q, block_q)]
+        seg_q = sq_ref[0, :1, pl.ds(i * block_q, block_q)]   # [1, bq]
+        s_t = jax.lax.dot_general(
+            kb, qb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [bq, bk]
-        allowed = _block_mask(seg_q, seg_k, qpos, kpos, causal)
-        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
+        ) * scale2  # [bk, bq]
+        allowed = (seg_q == seg_k) & (seg_q > 0)
+        if with_causal:
+            qpos = qp_ref[0, :1, pl.ds(i * block_q, block_q)]
+            allowed = allowed & (qpos >= kpos)
+        p_t = jnp.where(allowed, jnp.exp2(s_t - lse), 0.0)  # [bk, bq]
         dv_acc = dv_acc + jax.lax.dot_general(
-            p.astype(dob.dtype), dob,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            p_t.astype(dob.dtype), dob,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bk, D]
-        dp = jax.lax.dot_general(
-            dob, vb, dimension_numbers=(((1,), (1,)), ((), ())),
+        dp_t = jax.lax.dot_general(
+            vb, dob, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bq, bk]
-        ds = (p * (dp - delta)).astype(qb.dtype)
+        )  # [bk, bq]
+        ds_t = (p_t * (dp_t - delta)).astype(qb.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
-            ds, qb, dimension_numbers=(((0,), (0,)), ((), ())),
+            ds_t, qb, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bk, D]
         return dk_acc, dv_acc
 
     z = jnp.zeros((block_k, D), jnp.float32)
-    dk, dv = jax.lax.fori_loop(lo, num_q_blocks, body, (z, z))
+    carry = jax.lax.fori_loop(
+        lo, jnp.minimum(lo_interior, num_q_blocks),
+        lambda i, c: body(i, c, causal), (z, z))
+    dk, dv = jax.lax.fori_loop(
+        jnp.minimum(lo_interior, num_q_blocks), num_q_blocks,
+        lambda i, c: body(i, c, False), carry)
     dk_ref[0, 0] = (dk * sm_scale).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
@@ -378,14 +516,25 @@ def _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg):
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
     group = Hq // Hkv
-    block_q = min(BLOCK, Sq)
-    block_k = min(BLOCK, Skv)
+    # wider loop blocks amortize mask/exp bookkeeping (matches _fwd); the
+    # grid block (dq: block_q, dkv: block_k) stays at 128-256 so the
+    # causal bound skips work at fine granularity
+    block_q = 256 if Sq % 256 == 0 else min(BLOCK, Sq)
+    block_k = 256 if Skv % 256 == 0 else min(BLOCK, Skv)
 
     delta = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     ).transpose(0, 2, 1)  # [B, Hq, Sq]
-    lse_b = jnp.broadcast_to(lse[..., None], (B, Hq, Sq, NUM_LANES))
-    delta_b = jnp.broadcast_to(delta[..., None], (B, Hq, Sq, NUM_LANES))
+    # dq reads per-q-row scalars as [bq, 1] columns (8-lane broadcast);
+    # the transposed dkv kernel reads them as [1, bq] rows (sublane
+    # broadcast [B, H, 8, Sq] — same bytes, no 128x lane inflation)
+    lse2 = lse * 1.4426950408889634  # base-2 space for the kernels' exp2
+    lse_b = jnp.broadcast_to(lse2[..., None], (B, Hq, Sq, LSE_LANES))
+    delta_b = jnp.broadcast_to(delta[..., None], (B, Hq, Sq, LSE_LANES))
+    lse_t = jnp.broadcast_to(lse2[:, :, None, :],
+                             (B, Hq, NUM_SUBLANES, Sq))
+    delta_t = jnp.broadcast_to(delta[:, :, None, :],
+                               (B, Hq, NUM_SUBLANES, Sq))
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -393,10 +542,13 @@ def _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg):
     dot = do.transpose(0, 2, 1, 3)
     sq3, skv3 = _lane_bcast(seg_q), _sublane_bcast(seg_kv)
     qp3, kp3 = _lane_bcast(qpos), _sublane_bcast(kpos)
+    # swapped-orientation mask arrays for the transposed dkv kernel
+    sq_t, skv8 = _sublane_bcast(seg_q), _lane_bcast(seg_kv)
+    qp_t, kp8 = _sublane_bcast(qpos), _lane_bcast(kpos)
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
-        num_kv_blocks=Skv // block_k, bounded=bounded,
+        num_kv_blocks=Skv // block_k, bounded=bounded, block_k=block_k,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -406,9 +558,9 @@ def _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg):
             pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h // group, 0, 0)),
             pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h // group, 0, 0)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+            pl.BlockSpec((1, 1, block_q, LSE_LANES),
                          lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+            pl.BlockSpec((1, 1, block_q, LSE_LANES),
                          lambda b, h, i: (b, h, i, 0)),
             _q_specs(block_q),
             _kv_specs(Skv),
@@ -423,11 +575,15 @@ def _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg):
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
-        num_q_blocks=Sq // block_q, bounded=bounded,
+        num_q_blocks=Sq // block_q, bounded=bounded, block_q=block_q,
     )
     whole_q = pl.BlockSpec((1, 1, Sq, D), lambda b, h, j: (b, h, 0, 0))
-    whole_lane = pl.BlockSpec((1, 1, Sq, NUM_LANES),
-                              lambda b, h, j: (b, h, 0, 0))
+    # per-q-row scalars enter sublane-broadcast as [1, 1, 8, Sq] rows
+    whole_row = pl.BlockSpec((1, 1, NUM_SUBLANES, Sq),
+                             lambda b, h, j: (b, h, 0, 0))
+    q_row = pl.BlockSpec((1, NUM_SUBLANES, Sq), lambda b, h, j: (b, 0, 0))
+    kv_col = pl.BlockSpec((1, block_k, LSE_LANES),
+                          lambda b, h, j: (b, j, 0))
     dk_exp, dv_exp = pl.pallas_call(
         dkv_kernel,
         grid=(B, Hq, Skv // block_k),
@@ -438,12 +594,12 @@ def _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg):
             pl.BlockSpec((1, 1, block_k, D),
                          lambda b, h, j: (b, h // group, j, 0)),
             whole_q,
-            whole_lane,
-            whole_lane,
-            pl.BlockSpec((1, Sq, NUM_LANES), lambda b, h, j: (b, 0, 0)),
-            _kv_specs(Skv),
-            pl.BlockSpec((1, Sq, NUM_LANES), lambda b, h, j: (b, 0, 0)),
-            _kv_specs(Skv),
+            whole_row,
+            whole_row,
+            q_row,
+            kv_col,
+            q_row,
+            kv_col,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0)),
@@ -454,7 +610,7 @@ def _bwd(q, k, v, seg_q, seg_kv, qpos, kpos, out, lse, do, cfg):
             jax.ShapeDtypeStruct((B, Hq, Skv, D), v.dtype),
         ],
         interpret=interpret,
-    )(qt, kt, vt, dot, lse_b, delta_b, sq3, skv3, qp3, kp3)
+    )(qt, kt, vt, dot, lse_t, delta_t, sq_t, skv8, qp_t, kp8)
 
     if group > 1:
         dk_exp = dk_exp.reshape(B, Hkv, group, Skv, D).sum(axis=2)
