@@ -114,6 +114,10 @@ class TrainArgs:
     # 4-phase MoLoRA expert cycling (trainIT.py lora_specific_training);
     # requires a 4-expert LoRA decoder config
     lora_phase_training: bool = False
+    # background host->device batch pipeline depth per task stream
+    # (torch DataLoader num_workers+pin_memory equivalent,
+    # training/prefetch.py); 0 = synchronous
+    prefetch_depth: int = 2
     # mesh
     mesh_data: int = 1
     mesh_fsdp: int = -1

@@ -154,14 +154,32 @@ def main():
         nonlocal params
         if mesh is not None:
             params = shard_params(params, mesh)
-        trainer = Trainer(cfg=ucfg, params=params, optimizer=optimizer,
-                          loop=loop, task_streams=streams, weights=weights,
-                          metrics_logger=metrics_logger,
-                          stream_states=stream_states,
-                          eval_fn=eval_fn, to_device=to_device)
-        if targs.resume:
-            trainer.maybe_resume()
-        trainer.train()
+        # background H2D pipeline: batches arrive on device already, and
+        # the trainer-visible stream states reflect only consumed batches
+        # (exact-resume contract, training/prefetch.py)
+        run_streams, run_states, run_to_device = (streams, stream_states,
+                                                  to_device)
+        close_prefetch = None
+        if targs.prefetch_depth > 0:
+            from procyon_tpu.training.prefetch import wrap_streams
+            run_streams, run_states, close_prefetch = wrap_streams(
+                streams, to_device=to_device,
+                source_states=stream_states,
+                depth=targs.prefetch_depth)
+            run_to_device = lambda b: b  # noqa: E731
+        try:
+            trainer = Trainer(cfg=ucfg, params=params, optimizer=optimizer,
+                              loop=loop, task_streams=run_streams,
+                              weights=weights,
+                              metrics_logger=metrics_logger,
+                              stream_states=run_states,
+                              eval_fn=eval_fn, to_device=run_to_device)
+            if targs.resume:
+                trainer.maybe_resume()
+            trainer.train()
+        finally:
+            if close_prefetch is not None:
+                close_prefetch()
         return trainer
 
     if mesh is not None:
