@@ -49,7 +49,7 @@ def _rowblock_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
     s = jax.lax.dot_general(
         q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale                        # [bq, Skv]
+    ) * (sm_scale * 1.4426950408889634)  # [bq, Skv], base-2 score space
     # lane-broadcast seg_q is [bq,128]; compare against [1,Skv] by taking the
     # first lane column (all 128 lanes are identical)
     allowed = (seg_q[:, :1] == seg_k) & (seg_q[:, :1] > 0)
@@ -57,7 +57,7 @@ def _rowblock_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
         allowed = allowed & (qpos[:, :1] >= kpos)
     s = jnp.where(allowed, s, fa.DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)   # softmax is base-invariant; exp2 is a bare op
     l = jnp.sum(p, axis=-1, keepdims=True)
     row_masked = m <= fa.DEFAULT_MASK_VALUE * 0.5
     l_safe = jnp.where(row_masked | (l == 0.0), 1.0, l)
@@ -69,7 +69,8 @@ def _rowblock_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref, kp_ref,
     out = jnp.where(row_masked | (l == 0.0), 0.0, out)
     o_ref[0, 0] = out.astype(o_ref.dtype)
     if lse_ref is not None:
-        lse = m + jnp.log(l_safe)
+        # natural-log lse residual: ln(sum e^s) = m2*ln2 + ln(l)
+        lse = m * 0.6931471805599453 + jnp.log(l_safe)
         lse = jnp.where(row_masked | (l == 0.0), fa.DEFAULT_MASK_VALUE, lse)
         lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, fa.LSE_LANES))
 
@@ -190,8 +191,10 @@ def _rowblock_packed_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) for sl in heads]
-    if sm_scale != 1.0:   # folded into the q rope tables when fused
-        ss = [s * sm_scale for s in ss]
+    if not fused_rope:
+        # log2(e) for the exp2 below (softmax is base-invariant); with
+        # fused rope the factor is pre-folded into the q-side tables
+        ss = [s * (sm_scale * 1.4426950408889634) for s in ss]
     # one additive mask bias shared by every head (a select per head costs
     # a full [bq, Skv] VPU pass each; the bias is computed once)
     bias = jnp.where(allowed, 0.0, fa.DEFAULT_MASK_VALUE)
@@ -199,7 +202,7 @@ def _rowblock_packed_kernel(q_ref, k_ref, v_ref, sq_ref, skv_ref, qp_ref,
     for s in ss:
         s = s + bias
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         row_masked = m <= fa.DEFAULT_MASK_VALUE * 0.5
         dead = row_masked | (l == 0.0)
@@ -254,7 +257,9 @@ def rowblock_packed_qkv_fwd(qkv, seg, positions, cfg, *, n_heads, head_dim,
     args = [qkv, qkv, qkv, fa._lane_bcast(seg), fa._sublane_bcast(seg),
             fa._lane_bcast(positions), fa._sublane_bcast(positions)]
     if rope is not None:
-        rope = (rope[0] * sm_scale, rope[1] * sm_scale, rope[2], rope[3])
+        log2e = 1.4426950408889634  # exp2 score space (see kernel)
+        rope = (rope[0] * (sm_scale * log2e),
+                rope[1] * (sm_scale * log2e), rope[2], rope[3])
         kernel = functools.partial(_rowblock_packed_kernel, causal=causal,
                                    sm_scale=1.0, head_dim=D,
                                    fused_rope=True)
@@ -327,7 +332,9 @@ def rowblock_packed_fwd(q, k, v, seg_q, seg_kv, qpos, kpos, cfg, rope=None):
         # fold sm_scale into the q-side tables (scaling q instead of the
         # [bq, Skv] scores saves two full-row f32 multiplies per grid step;
         # exact in f32 before the dtype cast)
-        rope = (rope[0] * sm_scale, rope[1] * sm_scale, rope[2], rope[3])
+        log2e = 1.4426950408889634  # exp2 score space (see kernel)
+        rope = (rope[0] * (sm_scale * log2e),
+                rope[1] * (sm_scale * log2e), rope[2], rope[3])
         kernel = functools.partial(_rowblock_packed_kernel, causal=causal,
                                    sm_scale=1.0, head_dim=D, fused_rope=True)
         cos_q, sin_q, cos_k, sin_k = (t.astype(q.dtype) for t in rope)

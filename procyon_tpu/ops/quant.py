@@ -91,18 +91,26 @@ def quantize4(w, group: int = 128):
     "s": f32 [..., in/group, 1, out] group scales}.
     Group-wise scaling recovers most of the accuracy a flat 15-level grid
     loses (bitsandbytes NF4 plays the same role in the reference,
-    esm.py:444-449)."""
+    esm.py:444-449).
+
+    SPLIT-HALF packing: the low nibble of packed row r holds original row
+    r, the high nibble holds row r + in/2 — unpacking is then two
+    contiguous slabs (one mask, one shift) with NO interleave. The
+    original adjacent-row packing needed a stride-2 shuffle on unpack,
+    which XLA materialized as a relayout copy of the full weight every
+    decode step (~15x slowdown at 6B scale)."""
     wf = w.astype(jnp.float32)
     *lead, k, n = wf.shape
     assert k % group == 0 and group % 2 == 0, (k, group)
+    assert (k // 2) % group == 0, (k, group)  # groups stay nibble-pure
     gshape = (*lead, k // group, group, n)
     wg = wf.reshape(gshape)
     amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
     q = q.reshape(*lead, k, n)
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
+    lo = q[..., : k // 2, :]
+    hi = q[..., k // 2:, :]
     packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
     # group size is derivable (k / s.shape[-3]) — no non-array leaf in the
     # pytree (ints would become traced scalars under jit)
@@ -116,16 +124,26 @@ def dequantize4(qw, dtype=jnp.bfloat16):
     group = k // qw["s"].shape[-3]
     lo = (((p & 0x0F) ^ 8) - 8).astype(jnp.int8)     # sign-extend nibble
     hi = jax.lax.shift_right_arithmetic(p, jnp.int8(4))
-    q = jnp.stack([lo, hi], axis=-2)                  # [..., k/2, 2, n]
-    q = q.reshape(*lead, k, n)
+    q = jnp.concatenate([lo, hi], axis=-2)            # [..., k, n]
     wg = q.reshape(*lead, k // group, group, n).astype(jnp.float32)
     return (wg * qw["s"]).reshape(*lead, k, n).astype(dtype)
 
 
 def qmatmul4(x, qw):
-    """x @ dequant4(qw); the unpack + group rescale fuses into the dot's
-    weight-operand read under XLA (weight-streaming decode reads half the
-    bytes of int8)."""
+    """x @ dequant4(qw). Decode-shaped calls (few rows) go through the
+    fused Pallas unpack+matmul kernel on TPU — packed int4 streams
+    straight from HBM, half the bytes of int8; large-row calls (prefill /
+    training) fall back to the XLA dequant path."""
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    k = x.shape[-1]
+    n = qw["p"].shape[-1]
+    if (qw["p"].ndim == 2 and rows <= 256 and jax.default_backend() == "tpu"
+            and any(n % c == 0 for c in (512, 256, 128))
+            and (k // 2) % (k // qw["s"].shape[-3]) == 0):
+        from procyon_tpu.ops.int4_matmul import qmatvec4
+        return qmatvec4(x, qw)
     return x @ dequantize4(qw, x.dtype)
 
 
@@ -142,7 +160,7 @@ def quantize_tree4(params: Dict, *, keys=("wq", "wk", "wv", "wo", "w_gate",
         if isinstance(node, dict):
             return {k: walk(v, k) for k, v in node.items()}
         if name in keys and hasattr(node, "ndim") and node.ndim >= 2:
-            if node.shape[-2] % group == 0:
+            if node.shape[-2] % (2 * group) == 0:
                 return quantize4(node, group=group)
             return quantize(node)
         return node

@@ -72,6 +72,51 @@ class TestDistributedTrainStep:
         b = np.asarray(new_state["params"]["llama"]["final_norm"])
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
+    def test_tensor_parallel_decode_matches_single_device(
+            self, eight_devices, rng):
+        """KV-cache decode under a (data, fsdp, model) mesh — heads and
+        MLP hidden sharded over `model` via GSPMD — must equal the
+        single-device decode (multi-chip serving path; the reference's
+        vestigial TP is pmc_llama.py:177-193)."""
+        from procyon_tpu.models import llama as L
+
+        cfg = L.tiny_config(attn_backend="ref", remat=False, dim=256,
+                            n_heads=4, n_kv_heads=2, intermediate=512,
+                            vocab_size=512)
+        params = L.init_params(jax.random.PRNGKey(3), cfg)
+        B, T = 4, 6
+        tokens = jnp.asarray(
+            rng.integers(4, cfg.vocab_size, (B, T)), jnp.int32)
+
+        @jax.jit
+        def prefill(params, toks):
+            cache = L.init_kv_cache(cfg, B, max_len=T + 8)
+            out = L.forward(params, cfg, tokens=toks, kv_cache=cache)
+            return out["logits"][:, -1], out["kv_cache"]
+
+        @jax.jit
+        def decode(params, tok, cache):
+            out = L.forward(params, cfg, tokens=tok,
+                            positions=jnp.full((B, 1), cache["length"],
+                                               jnp.int32),
+                            kv_cache=cache)
+            return out["logits"][:, -1], out["kv_cache"]
+
+        def run(params):
+            logits, cache = prefill(params, tokens)
+            outs = [np.asarray(logits)]
+            for _ in range(3):
+                tok = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+                logits, cache = decode(params, tok, cache)
+                outs.append(np.asarray(logits))
+            return np.stack(outs)
+
+        ref = run(params)
+        mesh = create_mesh(MeshConfig(2, 1, 4))
+        with jax.set_mesh(mesh):
+            sharded = run(shard_params(params, mesh))
+        np.testing.assert_allclose(sharded, ref, atol=2e-4, rtol=2e-4)
+
     def test_retrieval_global_batch_sharded(self, eight_devices, rng):
         """In-batch contrastive over a sharded batch == single device (the
         GSPMD 'global batch for free' property)."""

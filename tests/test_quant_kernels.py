@@ -129,3 +129,34 @@ class TestInt4:
         toks = jnp.asarray(np.arange(16).reshape(1, 16) % 256)
         out = llama.forward(q4, cfg, tokens=toks)
         assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+class TestInt4PallasKernel:
+    """ops/int4_matmul.qmatvec4 (fused unpack+matmul, interpret mode) must
+    equal the XLA dequant path bit-for-bit modulo dot rounding."""
+
+    def test_matches_dequant_path(self, rng):
+        w = jnp.asarray(rng.standard_normal((512, 384)), jnp.float32)
+        q4 = quant.quantize4(w, group=128)
+        x = jnp.asarray(rng.standard_normal((5, 512)), jnp.bfloat16)
+
+        from procyon_tpu.ops.int4_matmul import qmatvec4
+        got = np.asarray(qmatvec4(x, q4, interpret=True), np.float32)
+        # both paths dot in bf16 with different reduction orders: bound by
+        # sqrt(k) * bf16 eps * operand scale (~0.4 at k=512)
+        ref = np.asarray(x @ quant.dequantize4(q4, x.dtype), np.float32)
+        np.testing.assert_allclose(got, ref, atol=0.6, rtol=5e-2)
+        cos = (got * ref).sum() / (np.linalg.norm(got) *
+                                   np.linalg.norm(ref))
+        assert cos > 0.9999, cos
+
+    def test_3d_rows_and_row_padding(self, rng):
+        w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+        q4 = quant.quantize4(w, group=128)
+        x = jnp.asarray(rng.standard_normal((3, 1, 256)), jnp.float32)
+
+        from procyon_tpu.ops.int4_matmul import qmatvec4
+        got = np.asarray(qmatvec4(x, q4, interpret=True))
+        assert got.shape == (3, 1, 128)
+        ref = np.asarray(x @ quant.dequantize4(q4, x.dtype))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
