@@ -25,33 +25,41 @@ from jax.experimental import pallas as pl
 def _kernel(x_ref, p_ref, s_ref, o_ref, *, group, n_groups_lo, n_groups):
     B = x_ref.shape[0]
     n_blk = p_ref.shape[1]
+    assert n_groups == 2 * n_groups_lo
+    dt = x_ref.dtype
 
-    def partial_dot(g, acc, hi):
-        # Mosaic legalizes int8 vector and/xor but NOT sub/shl/sar — the
-        # low nibble's bias correction happens after the float cast
-        # (values are in [0, 15], exact in bf16) and the high nibble's
-        # arithmetic shift runs widened to int32
-        dt = x_ref.dtype
-        if hi:
-            pr = p_ref[pl.ds((g - n_groups_lo) * group, group), :]
-            qb = jax.lax.shift_right_arithmetic(
-                pr.astype(jnp.int32), jnp.int32(4)).astype(dt)
-        else:
-            pr = p_ref[pl.ds(g * group, group), :]
-            qb = ((pr & jnp.int8(0x0F)) ^ jnp.int8(8)).astype(dt) - \
-                jnp.asarray(8.0, dt)
-        xg = x_ref[:, pl.ds(g * group, group)]
-        part = jax.lax.dot_general(
-            xg, qb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+    def pair(g, acc):
+        # AFFINE nibble decode (quant.quantize4): the signed byte is
+        # exactly q_hi*16 + lub with lub = byte & 0xF = q_lo + 8, so
+        # both nibble planes decode from dots of the raw byte planes:
+        #   x_lo @ q_lo = x_lo @ lub - 8*rowsum(x_lo)
+        #   x_hi @ q_hi = (x_hi @ byte - x_hi @ lub) / 16
+        # Per byte only 3 VPU passes (one int8 mask, two float casts) —
+        # Mosaic legalizes no int8 vector shift/sub, and the previous
+        # shift-widened-to-int32 decode was VPU-bound at ~2x this cost.
+        pr = p_ref[pl.ds(g * group, group), :]
+        lub = (pr & jnp.int8(0x0F)).astype(dt)       # [group, n_blk]
+        pf = pr.astype(dt)
+        x_lo = x_ref[:, pl.ds(g * group, group)]
+        x_hi = x_ref[:, pl.ds((g + n_groups_lo) * group, group)]
+        d_lo_lu = jax.lax.dot_general(
+            x_lo, lub, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # [B, n_blk]
-        return acc + part * s_ref[pl.ds(g, 1), :]    # f32 group scale
+        d_hi_lu = jax.lax.dot_general(
+            x_hi, lub, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_hi_pf = jax.lax.dot_general(
+            x_hi, pf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xs_lo = jnp.sum(x_lo.astype(jnp.float32), axis=1,
+                        keepdims=True)               # [B, 1]
+        s_lo = s_ref[pl.ds(g, 1), :]                 # [1, n_blk] f32
+        s_hi = s_ref[pl.ds(g + n_groups_lo, 1), :]
+        acc = acc + (d_lo_lu - 8.0 * xs_lo) * s_lo
+        return acc + (d_hi_pf - d_hi_lu) * (s_hi * (1.0 / 16.0))
 
     acc = jnp.zeros((B, n_blk), jnp.float32)
-    acc = jax.lax.fori_loop(
-        0, n_groups_lo, lambda g, a: partial_dot(g, a, False), acc)
-    acc = jax.lax.fori_loop(
-        n_groups_lo, n_groups, lambda g, a: partial_dot(g, a, True), acc)
+    acc = jax.lax.fori_loop(0, n_groups_lo, pair, acc)
     o_ref[...] = acc.astype(o_ref.dtype)
 
 

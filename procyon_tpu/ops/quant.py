@@ -95,10 +95,19 @@ def quantize4(w, group: int = 128):
 
     SPLIT-HALF packing: the low nibble of packed row r holds original row
     r, the high nibble holds row r + in/2 — unpacking is then two
-    contiguous slabs (one mask, one shift) with NO interleave. The
-    original adjacent-row packing needed a stride-2 shuffle on unpack,
-    which XLA materialized as a relayout copy of the full weight every
-    decode step (~15x slowdown at 6B scale)."""
+    contiguous slabs with NO interleave. (The original adjacent-row
+    packing needed a stride-2 shuffle on unpack, which XLA materialized
+    as a relayout copy of the full weight every decode step — a ~15x
+    slowdown at 6B scale.)
+
+    AFFINE nibble encoding: the low nibble is stored BIASED (q + 8, in
+    [1, 15]) and the high nibble stores signed q directly, so the signed
+    byte value is exactly q_hi * 16 + (q_lo + 8) with no wraparound.
+    Both nibbles then decode as affine functions of {byte, byte & 0xF}:
+      q_lo = (p & 0xF) - 8          q_hi = (p - (p & 0xF)) / 16
+    which lets the fused matmul kernel (ops/int4_matmul.py) decode via
+    dot products of the RAW byte planes instead of per-element shifts
+    (Mosaic has no int8 vector shift/sub)."""
     wf = w.astype(jnp.float32)
     *lead, k, n = wf.shape
     assert k % group == 0 and group % 2 == 0, (k, group)
@@ -109,8 +118,8 @@ def quantize4(w, group: int = 128):
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
     q = q.reshape(*lead, k, n)
-    lo = q[..., : k // 2, :]
-    hi = q[..., k // 2:, :]
+    lo = q[..., : k // 2, :] + 8                      # biased, [1, 15]
+    hi = q[..., k // 2:, :]                           # signed
     packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
     # group size is derivable (k / s.shape[-3]) — no non-array leaf in the
     # pytree (ints would become traced scalars under jit)
@@ -122,7 +131,7 @@ def dequantize4(qw, dtype=jnp.bfloat16):
     *lead, k2, n = p.shape
     k = k2 * 2
     group = k // qw["s"].shape[-3]
-    lo = (((p & 0x0F) ^ 8) - 8).astype(jnp.int8)     # sign-extend nibble
+    lo = ((p & 0x0F) - 8).astype(jnp.int8)            # un-bias
     hi = jax.lax.shift_right_arithmetic(p, jnp.int8(4))
     q = jnp.concatenate([lo, hi], axis=-2)            # [..., k, n]
     wg = q.reshape(*lead, k // group, group, n).astype(jnp.float32)
