@@ -32,6 +32,12 @@ def main():
     p.add_argument("--layers", type=int, default=34)  # ~6.3B at dim 4096
     p.add_argument("--quant", action="store_true", default=True)
     p.add_argument("--no-quant", dest="quant", action="store_false")
+    p.add_argument("--bits", type=int, default=8, choices=(4, 8),
+                   help="weight quantization width (4 = fused-kernel int4)")
+    p.add_argument("--llama3", action="store_true",
+                   help="true Llama-3-8B config (128k vocab, GQA 32/8, "
+                        "14336 intermediate); with --bits 4 the 8B model "
+                        "+ beam KV fits one 16GB chip")
     args = p.parse_args()
 
     import jax
@@ -40,13 +46,19 @@ def main():
     from procyon_tpu.inference import generation
     from procyon_tpu.models import llama, unified
 
-    cfg = unified.UnifiedConfig(
-        llama=llama.LlamaConfig(
+    if args.llama3:
+        lcfg = llama.llama3_8b(
+            max_seq_len=args.prompt_len + args.gen_big + 32,
+            dtype=jnp.bfloat16)
+    else:
+        lcfg = llama.LlamaConfig(
             vocab_size=32000, dim=args.dim, n_layers=args.layers,
             n_heads=args.dim // 128, n_kv_heads=max(args.dim // 512, 1),
             intermediate=int(args.dim * 2.6875),
             max_seq_len=args.prompt_len + args.gen_big + 32,
-            dtype=jnp.bfloat16),
+            dtype=jnp.bfloat16)
+    cfg = unified.UnifiedConfig(
+        llama=lcfg,
         esm=None, protein_embed_dim=64, token_projector_layers=1,
         token_projector_hidden=64, retrieval_dim=64, dtype=jnp.bfloat16)
     n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(
@@ -59,7 +71,8 @@ def main():
         def build():
             p_ = unified.init_params(jax.random.PRNGKey(0), cfg)
             p_ = dict(p_)
-            p_["llama"] = quantize_params(p_["llama"], cfg.llama)
+            p_["llama"] = quantize_params(p_["llama"], cfg.llama,
+                                          bits=args.bits)
             return p_
 
         shapes = jax.eval_shape(build)
@@ -72,7 +85,7 @@ def main():
                     sd.shape, 0.01, sd.dtype), shapes)
 
         params = materialize()
-        wtag = "int8"
+        wtag = f"int{args.bits}"
     else:
         params = unified.init_params(jax.random.PRNGKey(0), cfg)
 

@@ -186,3 +186,46 @@ def test_rowblock_packed_qkv_zero_copy(rng):
     ref_r = flash_attention(q, k, v, seg, seg, backend="ref", rope=rope)
     np.testing.assert_allclose(np.asarray(out_r.reshape(B, S, H, D)),
                                np.asarray(ref_r), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_block_classification_paths(rng, causal):
+    """Long sequences exercise the scalar-prefetched block classification
+    (CLS_VALID fast path, CLS_DEAD skip, CLS_MIXED boundary) in fwd and
+    both backward kernels: multiple 128-token blocks of uniform segment,
+    whole blocks of padding, and a packed second segment crossing a
+    block boundary."""
+    B, S, H, D = 2, 512, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    seg = np.zeros((B, S), np.int32)
+    # row 0: seg 1 over [0, 300) (two full blocks + a mixed one), the
+    # rest padding (one whole dead block at [384, 512))
+    seg[0, :300] = 1
+    # row 1: packed — seg 1 over [0, 150), seg 2 over [150, 420)
+    seg[1, :150] = 1
+    seg[1, 150:420] = 2
+    seg = jnp.asarray(seg)
+
+    out = flash_attention(q, k, v, seg, seg, causal=causal,
+                          backend="pallas", interpret=True)
+    ref = mha_reference(q, k, v, seg, seg, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+
+    def loss_pl(q, k, v):
+        o = flash_attention(q, k, v, seg, seg, causal=causal,
+                            backend="pallas", interpret=True)
+        return jnp.sum(o * o)
+
+    def loss_ref(q, k, v):
+        o = mha_reference(q, k, v, seg, seg, causal=causal)
+        return jnp.sum(o * o)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_pl, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"grad mismatch for {name}")
