@@ -32,12 +32,12 @@ A100_PROTEINS_PER_SEC = 140.0
 QUALITY_GATE_COS = 0.999
 
 
-def bench_esm2_650m(batch=64, seq_len=512):
+def bench_esm2_650m(batch=64, seq_len=512, model="650m"):
     from procyon_tpu.models import esm2
     from procyon_tpu.models.pooling import pool_tokens
     from procyon_tpu.utils.timing import time_fn
 
-    cfg = esm2.esm2_config("650m", max_seq_len=seq_len, dtype=jnp.bfloat16,
+    cfg = esm2.esm2_config(model, max_seq_len=seq_len, dtype=jnp.bfloat16,
                            attn_backend="rowblock")
     params = esm2.init_params(jax.random.PRNGKey(0), cfg)
 
@@ -75,11 +75,19 @@ def bench_esm2_650m(batch=64, seq_len=512):
 
 
 def main():
-    bf16_rate, int8_rate, cos_min = bench_esm2_650m()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="650m",
+                    help="ESM2 size (650m is the tracked headline; 3b is "
+                         "the ProCyon-Full protein tower)")
+    ap.add_argument("--batch", type=int, default=64)
+    a = ap.parse_args()
+    bf16_rate, int8_rate, cos_min = bench_esm2_650m(batch=a.batch,
+                                                    model=a.model)
     gated = cos_min >= QUALITY_GATE_COS
     primary = int8_rate if gated else bf16_rate
     result = {
-        "metric": "proteins_per_sec_esm2_650m",
+        "metric": f"proteins_per_sec_esm2_{a.model}",
         "value": round(primary, 2),
         "unit": "proteins/sec (L=512, int8-W8A8 serving, 1 chip)"
                 if gated else "proteins/sec (L=512, bf16, 1 chip; "

@@ -166,7 +166,9 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
     if "wqkv" in lp["attn"]:
         # serving layout (fuse_qkv_params): ONE [d, 3*H*D] projection —
         # one MXU dot + (in w8a8 mode) one activation-quant pass instead
-        # of three
+        # of three. (A standalone fused LN+activation-quant Pallas kernel
+        # was measured SLOWER than XLA's own LN/amax/quant fusions here —
+        # the kernel boundary cost more than the fused passes saved.)
         qkv = quant.mm(h, lp["attn"]["wqkv"], cfg.quant_mode) \
             + lp["attn"]["bqkv"]
         if (cfg.attn_backend == "rowblock" and not cfg.prefix_len
