@@ -125,6 +125,14 @@ def fused_ln_mlp_int8(x, ln_w, ln_b, w1q, s1, b1, w2q, s2, b2, *,
         block_n = H // (H // block_n + 1) if H > block_n else H
         while H % block_n:
             block_n //= 2
+    # scoped-VMEM budget: the block set is ~9 bytes/elem of [block_m, d]
+    # (f32 acc + bf16 x/out + s8 xq) plus two [d|block_n] int8 weight
+    # tiles; at 3B scale (d=2560) block_m 512 blows the 16MB stack
+    while block_m > 128 and (block_m * d * 9
+                             + 2 * d * block_n) > 9 * 1024 * 1024:
+        block_m //= 2
+    while M % block_m:
+        block_m //= 2
     assert M % block_m == 0 and H % block_n == 0, (M, H, block_n)
     while block_n % (sub_tiles * 128):
         sub_tiles //= 2

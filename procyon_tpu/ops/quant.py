@@ -17,7 +17,13 @@ import jax.numpy as jnp
 
 def quantize(w, axis=-2):
     """Symmetric per-output-channel int8 quantization of a weight matrix
-    [..., in, out] (reduction over the `in` axis)."""
+    [..., in, out] (reduction over the `in` axis).
+
+    Stacked-layer leaves ([L, in, out]) quantize one layer at a time via
+    lax.map: the f32 temporary of a 3B-scale stacked leaf alone (~4 GB)
+    otherwise OOMs a 16 GB chip next to the bf16 params."""
+    if w.ndim == 3 and axis == -2:
+        return jax.lax.map(lambda wl: quantize(wl, axis=-2), w)
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
