@@ -239,6 +239,22 @@ def _pad_batch(rows: List[Dict], max_len: int, left_pad: bool,
             "labels": labels, **extra}
 
 
+CONFLICT_ID_STRIDE = 1_000_000_000_000  # int64 holds ~9.2e18: ds_id<9.2e6
+
+
+def encode_conflict_ids(ds_id: int, local_ids: Sequence[int]) -> np.ndarray:
+    """Dataset-tagged ids for the in-graph global conflict mask
+    (compute_conflict_matrix semantics, model_utils.py:135-150). The
+    stride must exceed every local text/aaseq id or ids from different
+    datasets alias and wrongly mask negatives — assert the bound."""
+    ids = np.asarray(list(local_ids), np.int64)
+    if ids.size and (ids.min() < 0 or ids.max() >= CONFLICT_ID_STRIDE):
+        raise ValueError(
+            f"conflict id out of range [0, {CONFLICT_ID_STRIDE}): "
+            f"min={ids.min()} max={ids.max()} (dataset id {ds_id})")
+    return ds_id * CONFLICT_ID_STRIDE + ids
+
+
 class _UniqueProteins:
     """Dedup proteins across a batch; rows of the soft bank."""
 
@@ -545,8 +561,7 @@ class RetrievalCollator(BaseCollator):
         from procyon_tpu.data import registry
 
         ds_id = max(registry.dataset_id(self.text_type), 0)
-        batch["conflict_ids"] = np.asarray(
-            [ds_id * 10_000_000 + t for t in text_ids], np.int64)
+        batch["conflict_ids"] = encode_conflict_ids(ds_id, text_ids)
         if neg_pos is not None:
             batch["ret_negative_pos"] = np.asarray(neg_pos, np.int32)
         batch["reference_indices"] = {"text": text_ids, "aaseq": aaseq_ids}
@@ -681,7 +696,7 @@ class PPIRetrievalCollator(BaseCollator):
         from procyon_tpu.data import registry
 
         ds_id = max(registry.dataset_id(self.text_type or "string"), 0)
-        batch["conflict_ids"] = np.asarray(
-            [ds_id * 10_000_000 + a2 for _, a2 in pair_ids], np.int64)
+        batch["conflict_ids"] = encode_conflict_ids(
+            ds_id, [a2 for _, a2 in pair_ids])
         batch["reference_indices"] = {"pairs": pair_ids}
         return batch

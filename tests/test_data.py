@@ -518,3 +518,28 @@ class TestICLDemonstrationSampling:
         b = instruct.get_prompt(task, num_examples=1)
         assert a.text == b.text
         assert a.example_text_ids == b.example_text_ids
+
+
+class TestConflictIdEncoding:
+    """Cross-dataset conflict-id safety (VERDICT r2 weak #5): the stride
+    must keep ids from different datasets disjoint, loudly."""
+
+    def test_no_alias_across_datasets(self):
+        # ids that WOULD have collided under the old 1e7 stride:
+        # ds 0 text 10_000_001 vs ds 1 text 1
+        a = collators.encode_conflict_ids(0, [10_000_001])
+        b = collators.encode_conflict_ids(1, [1])
+        assert a[0] != b[0]
+
+    def test_same_dataset_same_text_collides(self):
+        a = collators.encode_conflict_ids(3, [7, 7, 9])
+        assert a[0] == a[1] and a[0] != a[2]
+
+    def test_out_of_range_raises(self):
+        with pytest.raises(ValueError, match="conflict id out of range"):
+            collators.encode_conflict_ids(1, [collators.CONFLICT_ID_STRIDE])
+        with pytest.raises(ValueError, match="conflict id out of range"):
+            collators.encode_conflict_ids(1, [-1])
+
+    def test_dtype_int64(self):
+        assert collators.encode_conflict_ids(2, [5]).dtype == np.int64
