@@ -10,6 +10,14 @@ from procyon_tpu.evaluate.baselines.simple import (
     RandomQAModel, ScoreMatrixRetrievalModel,
 )
 
+from procyon_tpu.evaluate.baselines.protllm import ProtLLMQAEval
+from procyon_tpu.evaluate.baselines.text_models import (
+    BertTextTower, BioTranslatorRetrievalEval, CNNConfig,
+    ProtSTRetrievalEval, TextEncoderRetrievalEval,
+)
+
 __all__ = ["KNNRetrievalModel", "KNNQAModel", "MLPRetrievalModel",
            "RandomRetrievalModel", "RandomQAModel",
-           "ScoreMatrixRetrievalModel"]
+           "ScoreMatrixRetrievalModel", "BertTextTower", "CNNConfig",
+           "BioTranslatorRetrievalEval", "ProtSTRetrievalEval",
+           "TextEncoderRetrievalEval", "ProtLLMQAEval"]

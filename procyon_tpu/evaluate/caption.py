@@ -34,6 +34,7 @@ def merge_references(relations: Sequence) -> Dict[int, List[str]]:
 def calc_caption_metrics(predictions: Dict[int, str],
                          references: Dict[int, List[str]], *,
                          use_bertscore: bool = False,
+                         bertscorer=None,
                          bootstrap: bool = True,
                          n_boot: int = 200) -> Dict[str, float]:
     rouges, bleus = [], []
@@ -52,33 +53,37 @@ def calc_caption_metrics(predictions: Dict[int, str],
         _, lo, hi = bootstrap_ci(np.asarray(rouges), n_boot=n_boot)
         out["rouge_l_ci_low"] = lo
         out["rouge_l_ci_high"] = hi
-    if use_bertscore:
-        # missing optional dependency degrades loudly-but-gracefully; any
-        # OTHER failure propagates (a parity metric must not silently NaN)
-        try:
-            from bert_score import score as bert_score
-        except ImportError:
-            import logging
+    if use_bertscore or bertscorer is not None:
+        # native scorer (evaluate/bertscore.py over models/bert.py) — the
+        # reference's primary caption metric (caption.py:68-103, en-sci)
+        # with no external package. Pass a BERTScorer built from a local
+        # SciBERT checkpoint for exact en-sci parity; with none given, a
+        # synthetic-weight scorer still exercises the exact metric math.
+        if bertscorer is None:
+            from procyon_tpu.evaluate.bertscore import make_scorer
 
-            logging.getLogger("procyon_tpu.evaluate").warning(
-                "bert_score is not installed - bertscore_f1 reported as "
-                "NaN (install bert-score for caption parity metrics)")
-            out["bertscore_f1"] = float("nan")
-            return out
+            bertscorer = make_scorer()
         hyps, refs_list = [], []
         for ent, hyp in predictions.items():
             if ent in references:
                 hyps.append(hyp)
                 refs_list.append(references[ent])
-        _, _, f1 = bert_score(hyps, refs_list, lang="en-sci")
-        out["bertscore_f1"] = float(f1.mean())
+        if hyps:
+            res = bertscorer.score(hyps, refs_list)
+            out["bertscore_f1"] = float(res.f1.mean())
+            out["bertscore_precision"] = float(res.precision.mean())
+            out["bertscore_recall"] = float(res.recall.mean())
+        else:
+            out["bertscore_f1"] = float("nan")
     return out
 
 
 def run_caption_eval(model: AbstractCaptionModel, dataset, *,
                      references: Dict[int, List[str]],
                      use_bertscore: bool = False,
+                     bertscorer=None,
                      dataset_name="dataset") -> Dict[str, float]:
     predictions = model.get_predictions(dataset)
     return calc_caption_metrics(predictions, references,
-                                use_bertscore=use_bertscore)
+                                use_bertscore=use_bertscore,
+                                bertscorer=bertscorer)

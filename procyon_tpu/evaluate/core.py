@@ -120,6 +120,72 @@ def _default_zoo():
     register_model("qa", "procyon", _qa)
     register_model("caption", "procyon", _cap)
 
+    # third-party baseline families, native (reference zoo entries
+    # BioTranslator / ProtST / ProtLLM, framework/core.py:68-110; the
+    # SimCSE/PubMedBERT text encoders of procyon/model/{simcse,pubmedbert}.py
+    # surface as the text_encoder baselines). ctx may carry preloaded
+    # towers under the model name; otherwise synthetic weights exercise
+    # the full compute path (no released ckpts in this environment).
+    from procyon_tpu.evaluate.baselines.protllm import ProtLLMQAEval
+    from procyon_tpu.evaluate.baselines.text_models import (
+        BioTranslatorRetrievalEval, ProtSTRetrievalEval,
+        TextEncoderRetrievalEval)
+
+    def _store(ctx, ds):
+        s = ds.get("store") or ctx.get("store")
+        if s is None and "procyon" in ctx:
+            s = ctx["procyon"].get("store")
+        if s is None:
+            raise KeyError("baseline model needs a text/sequence store on "
+                           "the dataset entry or model context")
+        return s
+
+    def _biotranslator(ctx, ds):
+        pre = ctx.get("biotranslator")
+        if pre is not None:
+            return BioTranslatorRetrievalEval(
+                pre["text_tower"], pre["cnn_params"], pre["cnn_cfg"],
+                _store(ctx, ds))
+        return BioTranslatorRetrievalEval.synthetic(_store(ctx, ds))
+
+    def _protst(ctx, ds):
+        pre = ctx.get("protst")
+        if pre is not None:
+            return ProtSTRetrievalEval(
+                pre["text_tower"], pre["esm_params"], pre["esm_cfg"],
+                pre["graph_proj"], _store(ctx, ds))
+        return ProtSTRetrievalEval.synthetic(_store(ctx, ds))
+
+    def _text_encoder(name):
+        def ctor(ctx, ds):
+            store = _store(ctx, ds)
+            # target proteins are represented by their functional
+            # descriptions when the context provides them; the sequence
+            # string is the (weak) fallback
+            text_fn = ctx.get("protein_text_fn") or \
+                (lambda a: " ".join(store.protein_sequence(a)))
+            pre = ctx.get(name)
+            if pre is not None:
+                return TextEncoderRetrievalEval(pre["tower"], store,
+                                                text_fn)
+            return TextEncoderRetrievalEval.synthetic(store, text_fn)
+        return ctor
+
+    def _protllm(ctx, ds):
+        pre = ctx.get("protllm")
+        if pre is not None:
+            return ProtLLMQAEval(
+                pre["esm_params"], pre["esm_cfg"], pre["llama_params"],
+                pre["llama_cfg"], pre["projector"], pre["tokenizer"],
+                _store(ctx, ds))
+        return ProtLLMQAEval.synthetic(_store(ctx, ds))
+
+    register_model("retrieval", "biotranslator", _biotranslator)
+    register_model("retrieval", "protst", _protst)
+    register_model("retrieval", "pubmedbert", _text_encoder("pubmedbert"))
+    register_model("retrieval", "simcse", _text_encoder("simcse"))
+    register_model("qa", "protllm", _protllm)
+
 
 def run_evaluation(args: EvalArgs, datasets: Dict[str, Dict], *,
                    model_context: Optional[Dict] = None) -> List[Dict]:
@@ -160,7 +226,9 @@ def run_evaluation(args: EvalArgs, datasets: Dict[str, Dict], *,
                 metrics = cap.run_caption_eval(
                     model, ds["caption_targets"],
                     references=ds["references"],
-                    use_bertscore=args.use_bertscore, dataset_name=ds_name)
+                    use_bertscore=args.use_bertscore,
+                    bertscorer=ctx.get("bertscorer"),
+                    dataset_name=ds_name)
             else:
                 continue
             write_metrics(args.output_dir, task, model_name, ds_name,

@@ -40,6 +40,10 @@ class RetrievalEvalConfig:
     bootstrap: bool = True
     n_boot: int = 200
     target_subset: Optional[Sequence[int]] = None  # None = all proteins
+    # deterministic query subsampling (reference EvalArgs max_num_queries,
+    # framework/args.py); None = evaluate every query
+    max_num_queries: Optional[int] = None
+    query_subsample_seed: int = 0
 
 
 def get_target_set(all_protein_ids: Sequence[int],
@@ -121,6 +125,18 @@ def run_retrieval_eval(model: AbstractRetrievalModel, dataset, *,
                        train_leak_pairs=None,
                        cache: Optional[PredictionCache] = None,
                        dataset_name: str = "dataset") -> Dict[str, float]:
+    if cfg.max_num_queries is not None \
+            and len(query_order) > cfg.max_num_queries:
+        rng = np.random.default_rng(cfg.query_subsample_seed)
+        keep = sorted(rng.choice(len(query_order), cfg.max_num_queries,
+                                 replace=False))
+        remap = {old: new for new, old in enumerate(keep)}
+        query_order = [query_order[i] for i in keep]
+        if train_leak_pairs:
+            # leak pairs are (query_row, target_col) indices - remap rows
+            train_leak_pairs = {(remap[qi], ti)
+                                for qi, ti in train_leak_pairs
+                                if qi in remap}
     target_order = get_target_set(all_protein_ids, eval_relations, cfg)
     labels = prep_for_retrieval_eval(eval_relations, query_order,
                                      target_order, train_leak_pairs)

@@ -49,6 +49,19 @@ def parse_args():
     p.add_argument("--train_split", type=str, default="train")
     p.add_argument("--split_method", type=str, default="random_split")
     p.add_argument("--batch_size", type=int, default=16)
+    # caption BERTScore (native scorer, evaluate/bertscore.py)
+    p.add_argument("--use_bertscore", action="store_true")
+    p.add_argument("--bertscore_model_dir", type=str, default=None,
+                   help="local HF BERT/SciBERT checkpoint dir (weights + "
+                        "vocab.txt); omitted = synthetic-weight scorer")
+    p.add_argument("--bertscore_layer", type=int, default=None)
+    # retrieval-eval knobs (reference EvalArgs surface, framework/args.py)
+    p.add_argument("--retrieval_top_k", type=int, nargs="+", default=None,
+                   help="top-k list for precision/recall@k")
+    p.add_argument("--n_bootstrap", type=int, default=None)
+    p.add_argument("--max_num_queries", type=int, default=None)
+    p.add_argument("--num_class_balanced_samples", type=int, default=None)
+    p.add_argument("--negatives_per_positive", type=int, default=None)
     args = p.parse_args()
     if args.from_yaml:
         import yaml
@@ -176,19 +189,55 @@ def real_datasets(args):
     return datasets, ctx
 
 
+BASELINES_NEEDING_STORE = {"biotranslator", "protst", "pubmedbert",
+                           "simcse", "protllm"}
+
+
 def main():
     args = parse_args()
+    import dataclasses
+
     from procyon_tpu.evaluate import core
 
     if args.synthetic:
         datasets, ctx = synthetic_datasets("procyon" in args.models)
+        if BASELINES_NEEDING_STORE & set(args.models) \
+                and "store" not in ctx:
+            from procyon_tpu.data import datasets as D
+
+            ctx["store"] = ctx.get("procyon", {}).get("store") or \
+                D.SyntheticStore(n_proteins=90, n_texts=1024, embed_dim=32)
     else:
         datasets, ctx = real_datasets(args)
+
+    if args.use_bertscore and "caption" in args.tasks:
+        from procyon_tpu.evaluate.bertscore import make_scorer
+
+        kw = {} if args.bertscore_layer is None else \
+            {"layer": args.bertscore_layer}
+        ctx["bertscorer"] = make_scorer(args.bertscore_model_dir, **kw)
+
+    ret_cfg = core.ret.RetrievalEvalConfig()
+    overrides = {}
+    if args.retrieval_top_k is not None:
+        overrides["top_ks"] = tuple(args.retrieval_top_k)
+    if args.n_bootstrap is not None:
+        overrides["n_boot"] = args.n_bootstrap
+    if args.max_num_queries is not None:
+        overrides["max_num_queries"] = args.max_num_queries
+    if args.num_class_balanced_samples is not None:
+        overrides["num_resamples"] = args.num_class_balanced_samples
+    if args.negatives_per_positive is not None:
+        overrides["negs_per_pos"] = args.negatives_per_positive
+    if overrides:
+        ret_cfg = dataclasses.replace(ret_cfg, **overrides)
 
     eval_args = core.EvalArgs(tasks=tuple(args.tasks),
                               models=tuple(args.models),
                               output_dir=args.output_dir,
-                              cache_dir=args.cache_dir)
+                              cache_dir=args.cache_dir,
+                              use_bertscore=args.use_bertscore,
+                              retrieval=ret_cfg)
     results = core.run_evaluation(eval_args, datasets, model_context=ctx)
     for r in results:
         brief = {k: round(v, 4) for k, v in r["metrics"].items()

@@ -1,0 +1,163 @@
+"""Native BERTScore: golden metric-math tests.
+
+Pins the greedy-matching formula (bert_score semantics, the reference's
+primary caption metric — procyon/evaluate/framework/caption.py:68-103)
+against hand-computed numpy references, independent of encoder weights.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from procyon_tpu.data.wordpiece import WordPieceTokenizer
+from procyon_tpu.evaluate import bertscore
+from procyon_tpu.models import bert
+
+
+def _numpy_greedy(c_emb, r_emb, c_w=None, r_w=None):
+    """Reference implementation of greedy matching on already-normalized
+    embeddings (no padding)."""
+    sim = c_emb @ r_emb.T
+    c_w = np.ones(len(c_emb)) if c_w is None else np.asarray(c_w, float)
+    r_w = np.ones(len(r_emb)) if r_w is None else np.asarray(r_w, float)
+    p = (sim.max(axis=1) * c_w).sum() / c_w.sum()
+    r = (sim.max(axis=0) * r_w).sum() / r_w.sum()
+    return p, r, 2 * p * r / (p + r)
+
+
+class TestPairScores:
+    def _run(self, c_emb, r_emb, c_w=None, r_w=None):
+        """Pack two 'sentences' into one padded batch and score row 0 vs 1."""
+        S = max(len(c_emb), len(r_emb))
+        d = c_emb.shape[1]
+        emb = np.zeros((2, S, d), np.float32)
+        mask = np.zeros((2, S), np.float32)
+        w = np.ones((2, S), np.float32)
+        emb[0, :len(c_emb)] = c_emb
+        mask[0, :len(c_emb)] = 1
+        emb[1, :len(r_emb)] = r_emb
+        mask[1, :len(r_emb)] = 1
+        if c_w is not None:
+            w[0, :len(c_emb)] = c_w
+        if r_w is not None:
+            w[1, :len(r_emb)] = r_w
+        p, r, f1 = bertscore._pair_scores(
+            jnp.asarray(emb), jnp.asarray(mask), jnp.asarray(w),
+            jnp.asarray([0]), jnp.asarray([1]))
+        return float(p[0]), float(r[0]), float(f1[0])
+
+    def test_golden_hand_computed(self):
+        # 2 candidate tokens vs 3 reference tokens in 2-d; unit vectors at
+        # fixed angles -> similarities are exact cosines
+        ang_c = np.array([0.0, np.pi / 2])
+        ang_r = np.array([0.0, np.pi / 4, np.pi])
+        c = np.stack([np.cos(ang_c), np.sin(ang_c)], 1).astype(np.float32)
+        r = np.stack([np.cos(ang_r), np.sin(ang_r)], 1).astype(np.float32)
+        # hand computation: sim[c0] max = cos(0)=1; sim[c1] max = cos(45)
+        # ref maxes: r0->1, r1->cos(45), r2->max(cos180,cos90)=0
+        p_want = (1 + np.cos(np.pi / 4)) / 2
+        r_want = (1 + np.cos(np.pi / 4) + 0) / 3
+        f_want = 2 * p_want * r_want / (p_want + r_want)
+        p, rr, f1 = self._run(c, r)
+        np.testing.assert_allclose([p, rr, f1], [p_want, r_want, f_want],
+                                   atol=1e-6)
+
+    def test_matches_numpy_reference_random(self):
+        rng = np.random.default_rng(0)
+        c = rng.normal(size=(5, 8)).astype(np.float32)
+        r = rng.normal(size=(7, 8)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        r /= np.linalg.norm(r, axis=1, keepdims=True)
+        c_w = rng.uniform(0.5, 2.0, 5)
+        r_w = rng.uniform(0.5, 2.0, 7)
+        want = _numpy_greedy(c, r, c_w, r_w)
+        got = self._run(c, r, c_w, r_w)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_identical_sentences_score_one(self):
+        rng = np.random.default_rng(1)
+        e = rng.normal(size=(4, 6)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        p, r, f1 = self._run(e, e)
+        np.testing.assert_allclose([p, r, f1], 1.0, atol=1e-5)
+
+
+class TestScorerEndToEnd:
+    @pytest.fixture(scope="class")
+    def scorer(self):
+        return bertscore.make_scorer(batch_size=8)
+
+    def test_identical_text_is_near_one(self, scorer):
+        res = scorer.score(["protein binds atp"], ["protein binds atp"])
+        assert res.f1[0] > 0.999
+
+    def test_related_beats_unrelated(self, scorer):
+        res = scorer.score(
+            ["protein binds atp", "protein binds atp"],
+            ["protein binds atp and gtp", "zebra stripes camouflage"])
+        assert res.f1[0] > res.f1[1]
+
+    def test_multi_reference_takes_best_f1(self, scorer):
+        cand = "protein binds atp"
+        refs = ["completely unrelated words here", cand]
+        multi = scorer.score([cand], [refs])
+        single_best = scorer.score([cand], [cand])
+        np.testing.assert_allclose(multi.f1, single_best.f1, atol=1e-6)
+
+    def test_baseline_rescale(self, scorer):
+        raw = scorer.score(["protein binds atp"], ["protein binds gtp"])
+        rescaled = bertscore.BERTScorer(
+            scorer.params, scorer.cfg, scorer.tokenizer,
+            layer=scorer.layer, baseline=(0.5, 0.5, 0.5),
+            batch_size=8).score(["protein binds atp"],
+                                ["protein binds gtp"])
+        np.testing.assert_allclose(rescaled.f1,
+                                   (raw.f1 - 0.5) / 0.5, atol=1e-5)
+
+    def test_idf_downweights_common_tokens(self):
+        # idf weighting must change scores when token frequencies differ
+        s_plain = bertscore.make_scorer(batch_size=8)
+        s_idf = bertscore.make_scorer(batch_size=8, idf=True)
+        cands = ["the protein binds", "the zebra runs"]
+        refs = ["the protein folds", "the zebra sleeps"]
+        a = s_plain.score(cands, refs)
+        b = s_idf.score(cands, refs)
+        assert not np.allclose(a.f1, b.f1)
+
+    def test_layer_out_of_range_raises(self, scorer):
+        with pytest.raises(ValueError, match="out of range"):
+            bertscore.BERTScorer(scorer.params, scorer.cfg,
+                                 scorer.tokenizer, layer=99)
+
+    def test_idf_table_formula(self):
+        tok = WordPieceTokenizer.synthetic(words=["protein", "atp"])
+        table = bertscore.compute_idf(
+            ["protein atp", "protein"], tok)
+        pid = tok.vocab["protein"]
+        aid = tok.vocab["atp"]
+        np.testing.assert_allclose(table[pid], np.log(3 / 3))
+        np.testing.assert_allclose(table[aid], np.log(3 / 2))
+        assert table[tok.cls_id] == 0.0
+
+
+class TestCaptionIntegration:
+    def test_calc_caption_metrics_reports_real_bertscore(self):
+        from procyon_tpu.evaluate.caption import calc_caption_metrics
+
+        scorer = bertscore.make_scorer(batch_size=8)
+        preds = {1: "protein binds atp", 2: "zebra"}
+        refs = {1: ["protein binds atp"], 2: ["protein binds atp"]}
+        out = calc_caption_metrics(preds, refs, bertscorer=scorer,
+                                   bootstrap=False)
+        assert np.isfinite(out["bertscore_f1"])
+        assert out["bertscore_f1"] > 0
+        assert "bertscore_precision" in out
+
+    def test_use_bertscore_flag_builds_default_scorer(self):
+        from procyon_tpu.evaluate.caption import calc_caption_metrics
+
+        out = calc_caption_metrics({1: "a b"}, {1: ["a b"]},
+                                   use_bertscore=True, bootstrap=False)
+        assert np.isfinite(out["bertscore_f1"])
