@@ -166,18 +166,19 @@ def beam_init(params, cfg: unified.UnifiedConfig, batch,
     return (tokens0, cache, logits0, next_pos, scores0, done0, seg_live)
 
 
-def beam_step(params, cfg: unified.UnifiedConfig, gen: GenerationConfig,
-              state, t):
-    """One diverse-beam decode step (model_unified.py:769-858): grouped
-    top-k with Hamming diversity penalty, parent-gather cache reorder, one
-    1-token forward. t may be a traced scalar."""
-    tokens, cache, logp, pos, scores, done, seg_live = state
-    B, beam = scores.shape
+def diverse_beam_select(logp, scores, done, gen: GenerationConfig):
+    """Grouped diverse top-k selection (model_unified.py:769-858 semantics):
+    per group g, pick tokens maximizing score + logprob - penalty *
+    count(token chosen by groups < g this step). Finished beams are forced
+    to continue with EOS at zero added score.
+
+    logp [B, beam, V] log-softmax; scores/done [B, beam].
+    Returns (new_tokens, new_parent, new_scores) each [B, beam]. Shared by
+    the dense-cache and paged-pool beam decoders so both produce identical
+    hypotheses."""
+    B, beam, V = logp.shape
     n_groups = max(beam // gen.beam_group_size, 1)
     gsz = beam // n_groups
-    V = cfg.llama.vocab_size
-    # logp [B*beam, V] -> [B, beam, V]
-    logp = logp.reshape(B, beam, V)
     new_tokens = jnp.zeros((B, beam), jnp.int32)
     new_parent = jnp.zeros((B, beam), jnp.int32)
     new_scores = jnp.zeros((B, beam), jnp.float32)
@@ -202,6 +203,19 @@ def beam_step(params, cfg: unified.UnifiedConfig, gen: GenerationConfig,
         new_parent = new_parent.at[:, sl].set(parent)
         new_scores = new_scores.at[:, sl].set(top_scores)
         used = used + jax.nn.one_hot(token, V).sum(axis=1)
+    return new_tokens, new_parent, new_scores
+
+
+def beam_step(params, cfg: unified.UnifiedConfig, gen: GenerationConfig,
+              state, t):
+    """One diverse-beam decode step (model_unified.py:769-858): grouped
+    top-k with Hamming diversity penalty, parent-gather cache reorder, one
+    1-token forward. t may be a traced scalar."""
+    tokens, cache, logp, pos, scores, done, seg_live = state
+    B, beam = scores.shape
+    V = cfg.llama.vocab_size
+    new_tokens, new_parent, new_scores = diverse_beam_select(
+        logp.reshape(B, beam, V), scores, done, gen)
 
     # reorder beam state by parent (gather over cache rows)
     flat_parent = (new_parent

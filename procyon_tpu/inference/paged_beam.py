@@ -1,0 +1,297 @@
+"""Diverse beam search over the paged KV pool.
+
+The reference's beam caption path decodes on a dense per-beam cache with
+in-place row reordering (model_unified.py:701-858, :830-832). The dense
+JAX port (inference/generation.py) gathers full cache rows per step — a
+copy of the whole context per beam per token. This module moves beam decode
+onto the paged pool (inference/kv_pool.py):
+
+  * beam rows ARE pool slots; all beams of a prompt SHARE the prompt's
+    full KV pages read-only (prompt KV is written once, not `beam` times —
+    the dense path replicates it per beam at prefill);
+  * parent reorder = a gather on page-table ROWS (max_pages int32 entries)
+    instead of the full KV context;
+  * the only per-step KV copy is each beam's current PARTIAL page: full
+    pages are append-only and immutable, so children can share the
+    parent's filled pages and only the in-progress page must be
+    duplicated (copy-on-write at page granularity).
+
+Page ownership scheme (no refcounts needed): every beam slot owns a fixed
+private page range covering the generation region [g0, last] where
+g0 = prompt_len // page_size. Reorder copies the parent's current partial
+page into the child's private page for that index and re-points all
+indices >= current at the child's private pages; indices < current gather
+the parent's (immutable) entries. A private page is only written while it
+is the slot's current page, and it only enters other tables once full —
+so no write ever lands on a shared page.
+
+Selection math is `generation.diverse_beam_select`, shared with the dense
+path: both decoders produce identical hypotheses (tested).
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from procyon_tpu.inference import kv_pool
+from procyon_tpu.inference.generation import (GenerationConfig,
+                                              diverse_beam_select)
+from procyon_tpu.models import llama, unified
+
+
+def plan_pool_config(cfg: llama.LlamaConfig, prompt_lens, beam: int,
+                     max_new: int, *, page_size: int = 64,
+                     dtype=None) -> kv_pool.PagedConfig:
+    """Size a pool exactly for one beam run: shared prompt pages + private
+    generation pages per beam slot + the null page."""
+    P = page_size
+    n_prompt = sum(-(-int(L) // P) for L in prompt_lens)
+    max_pages_per_seq = max(-(-(int(L) + max_new) // P)
+                            for L in prompt_lens)
+    n_priv = max(
+        (-(-(int(L) + max_new) // P)) - int(L) // P for L in prompt_lens)
+    slots = len(prompt_lens) * beam
+    return kv_pool.PagedConfig(
+        n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
+        head_dim=cfg.head_dim, page_size=P,
+        n_pages=1 + n_prompt + slots * n_priv,
+        max_pages_per_seq=max_pages_per_seq, slots=slots,
+        dtype=dtype or cfg.dtype)
+
+
+@dataclasses.dataclass
+class _BeamPlan:
+    """Host-side page layout for one run (all arrays are static inputs)."""
+    prompt_pages: np.ndarray   # [B, max_pages] page id per prompt page
+    private: np.ndarray        # [slots, n_priv] private page ids
+    g0: np.ndarray             # [B] first generation page index
+    lens: np.ndarray           # [B] prompt lengths
+
+
+def _plan_pages(pcfg: kv_pool.PagedConfig, prompt_lens, beam: int,
+                max_new: int) -> _BeamPlan:
+    P = pcfg.page_size
+    B = len(prompt_lens)
+    nxt = 1  # page 0 = null
+    prompt_pages = np.zeros((B, pcfg.max_pages_per_seq), np.int64)
+    g0 = np.zeros((B,), np.int64)
+    for r, L in enumerate(prompt_lens):
+        n = -(-int(L) // P)
+        prompt_pages[r, :n] = np.arange(nxt, nxt + n)
+        nxt += n
+        g0[r] = int(L) // P
+    n_priv = max(
+        (-(-(int(L) + max_new) // P)) - int(L) // P for L in prompt_lens)
+    private = np.arange(nxt, nxt + B * beam * n_priv).reshape(
+        B * beam, n_priv)
+    assert private.max(initial=0) < pcfg.n_pages, "pool too small"
+    return _BeamPlan(prompt_pages=prompt_pages, private=private, g0=g0,
+                     lens=np.asarray(prompt_lens, np.int64))
+
+
+def _beam_tables(plan: _BeamPlan, pcfg: kv_pool.PagedConfig, beam: int):
+    """Initial per-slot page tables: shared prompt pages below g0, private
+    pages from g0 on."""
+    B = plan.prompt_pages.shape[0]
+    tables = np.zeros((B * beam, pcfg.max_pages_per_seq), np.int64)
+    for r in range(B):
+        for k in range(beam):
+            s = r * beam + k
+            g = int(plan.g0[r])
+            tables[s, :g] = plan.prompt_pages[r, :g]
+            n_priv = plan.private.shape[1]
+            end = min(g + n_priv, pcfg.max_pages_per_seq)
+            tables[s, g:end] = plan.private[s, :end - g]
+    return tables
+
+
+def _copy_pages(pool, src_pages, dst_pages):
+    """pool k/v [L, n_pages, page, KD]: copy page src -> dst per entry."""
+    k = pool["k"].at[:, dst_pages].set(pool["k"][:, src_pages])
+    v = pool["v"].at[:, dst_pages].set(pool["v"][:, src_pages])
+    return {**pool, "k": k, "v": v}
+
+
+def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
+                    gen: GenerationConfig, *, page_size: int = 64,
+                    prefill_bucket: Optional[int] = None):
+    """Prefill prompts ONCE (not once per beam) and lay out the beam pool.
+
+    batch: canonical (soft-token) model-input batch, LEFT-padded like the
+    dense beam path; rows are unpacked to their true lengths for paged
+    prefill. Returns (state, ctx) for `paged_beam_step`.
+    """
+    input_ids = np.asarray(batch["input_ids"])
+    seg = np.asarray(batch["seg_ids"])
+    B, Lmax = input_ids.shape
+    beam = gen.beam_size
+    lens = seg.sum(1).astype(np.int64)
+
+    pcfg = plan_pool_config(cfg.llama, lens, beam, gen.max_new_tokens,
+                            page_size=page_size)
+    plan = _plan_pages(pcfg, lens, beam, gen.max_new_tokens)
+    pool = kv_pool.init_pool(pcfg)
+
+    # fused-prompt embeddings for the full (padded) batch, then per-row
+    # unpadding: paged prefill is position-0-based (no left padding).
+    # params go through jit ARGUMENTS everywhere (captured arrays embed as
+    # HLO constants -> oversized compile requests on the remote runtime).
+    assemble = jax.jit(lambda p, b: unified.assemble_input_embeds(p, cfg, b))
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k != "reference_indices" and v is not None
+                 and not np.isscalar(v)}
+    embeds = np.asarray(assemble(params, dev_batch), np.float32)
+    T = prefill_bucket or int(lens.max())
+    dense = np.zeros((B, T, embeds.shape[-1]), np.float32)
+    pseg = np.zeros((B, T), np.int32)
+    for r in range(B):
+        valid = seg[r] > 0
+        n = int(lens[r])
+        dense[r, :n] = embeds[r, valid]
+        pseg[r, :n] = 1
+
+    # prefill rows r=0..B-1 through slots 0..B-1 whose tables point at the
+    # prompt pages (partial last page included - beams copy it right after)
+    pt = np.zeros((pcfg.slots, pcfg.max_pages_per_seq), np.int64)
+    pt[:B] = plan.prompt_pages
+    # rows whose prompt ends mid-page write that page here first; it is
+    # copied into each beam's private page below
+    pool = {**pool, "page_table": jnp.asarray(pt, jnp.int32)}
+
+    @jax.jit
+    def prefill(p, pool, emb, pseg):
+        return llama.paged_forward(
+            p["llama"], cfg.llama, pool, pcfg,
+            jnp.arange(B, dtype=jnp.int32), input_embeds=emb,
+            seg_ids=pseg)
+
+    logits, pool = prefill(params, pool,
+                           jnp.asarray(dense, cfg.llama.dtype),
+                           jnp.asarray(pseg))
+    last_logits = logits[np.arange(B), lens - 1]          # [B, V]
+
+    # beam tables + copy each prompt's partial page into every beam's
+    # private page 0 (only when the prompt ends mid-page)
+    tables = _beam_tables(plan, pcfg, beam)
+    src, dst = [], []
+    for r in range(B):
+        if lens[r] % pcfg.page_size != 0:
+            for k in range(beam):
+                s = r * beam + k
+                src.append(plan.prompt_pages[r, plan.g0[r]])
+                dst.append(plan.private[s, 0])
+    if src:
+        pool = jax.jit(_copy_pages)(pool, jnp.asarray(src, jnp.int32),
+                                    jnp.asarray(dst, jnp.int32))
+    seq_len = np.repeat(lens, beam)
+    pool = {**pool, "page_table": jnp.asarray(tables, jnp.int32),
+            "seq_len": jnp.asarray(seq_len, jnp.int32)}
+
+    logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32))
+    logp0 = jnp.repeat(logp0, beam, axis=0)               # [B*beam, V]
+    gsz = max(gen.beam_group_size, 1)
+    scores0 = jnp.broadcast_to(
+        jnp.where((jnp.arange(beam) % gsz) == 0, 0.0, -1e30), (B, beam))
+    tokens0 = jnp.full((B, beam, gen.max_new_tokens), gen.pad_token_id,
+                       jnp.int32)
+    done0 = jnp.zeros((B, beam), bool)
+
+    state = (tokens0, pool, logp0, scores0, done0)
+    ctx = {"pcfg": pcfg, "beam": beam, "B": B,
+           "private": jnp.asarray(plan.private, jnp.int32),
+           "g0": jnp.asarray(plan.g0, jnp.int32)}
+    return state, ctx
+
+
+def paged_beam_step(params, cfg: unified.UnifiedConfig,
+                    gen: GenerationConfig, pcfg: kv_pool.PagedConfig,
+                    beam: int, private, g0, state, t):
+    """One paged diverse-beam step: shared selection -> page-table row
+    gather + partial-page copy-on-write -> one paged decode token."""
+    tokens, pool, logp, scores, done = state
+    B = scores.shape[0]
+    V = logp.shape[-1]
+    new_tokens, new_parent, new_scores = diverse_beam_select(
+        logp.reshape(B, beam, V), scores, done, gen)
+
+    # absolute parent slot ids [B*beam]
+    flat_parent = (new_parent + jnp.arange(B)[:, None] * beam).reshape(-1)
+    slots = jnp.arange(B * beam)
+
+    # token history + done reorder (as dense)
+    tokens = tokens.reshape(B * beam, -1)[flat_parent].reshape(B, beam, -1)
+    done = jnp.take_along_axis(done, new_parent, axis=1)
+    tokens = tokens.at[:, :, t].set(
+        jnp.where(done, gen.pad_token_id, new_tokens))
+    done = done | (new_tokens == gen.eos_token_id)
+
+    # --- page-table reorder (the win: max_pages int32 per slot, not KV) ---
+    table = pool["page_table"]                       # [slots, P]
+    seq_len = pool["seq_len"]                        # [slots] (same per row)
+    parent_table = table[flat_parent]                # [slots, P]
+    cur_idx = seq_len // pcfg.page_size              # [slots]
+    g0_slot = jnp.repeat(g0, beam)                   # [slots]
+    # entries >= cur point at THIS slot's private pages; below cur share
+    # the parent's immutable pages
+    idx = jnp.arange(pcfg.max_pages_per_seq)[None, :]
+    priv_cols = jnp.clip(idx - g0_slot[:, None], 0,
+                         private.shape[1] - 1)
+    own_pages = jnp.take_along_axis(private, priv_cols, axis=1)
+    new_table = jnp.where(idx >= cur_idx[:, None], own_pages, parent_table)
+
+    # copy-on-write: parent's current partial page -> own private page
+    src = jnp.take_along_axis(parent_table, cur_idx[:, None], axis=1)[:, 0]
+    dst = jnp.take_along_axis(new_table, cur_idx[:, None], axis=1)[:, 0]
+    pool = _copy_pages(pool, src, dst)
+    pool = {**pool, "page_table": new_table}
+
+    # one paged decode token for every slot
+    step_tok = jnp.where(done.reshape(-1), gen.pad_token_id,
+                         new_tokens.reshape(-1))
+    logits, pool = llama.paged_forward(
+        params["llama"], cfg.llama, pool, pcfg, slots.astype(jnp.int32),
+        tokens=step_tok[:, None])
+    logp_next = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32))
+    return (tokens, pool, logp_next, new_scores, done)
+
+
+def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
+                        gen: GenerationConfig, *, page_size: int = 64,
+                        host_loop: bool = False):
+    """Full paged diverse-beam generation. Returns (tokens [B, beam, T],
+    scores [B, beam]) ranked by score — same contract (and same tokens,
+    tested) as generation.generate_beam.
+
+    host_loop=True steps from the host with one jitted step function (the
+    serving/bench drive mode: one compile regardless of max_new_tokens);
+    False runs a lax.fori_loop on device.
+    """
+    state, ctx = paged_beam_init(params, cfg, batch, gen,
+                                 page_size=page_size)
+    pcfg, beam = ctx["pcfg"], ctx["beam"]
+
+    # static config rides the closure; every ARRAY (params, page plan,
+    # state) is a jit argument
+    def _step(p, private, g0, state, t):
+        return paged_beam_step(p, cfg, gen, pcfg, beam, private, g0,
+                               state, t)
+
+    if host_loop:
+        jstep = jax.jit(_step)
+        for t in range(gen.max_new_tokens):
+            state = jstep(params, ctx["private"], ctx["g0"], state, t)
+    else:
+        @jax.jit
+        def _run(p, private, g0, state):
+            return jax.lax.fori_loop(
+                0, gen.max_new_tokens,
+                lambda t, s: _step(p, private, g0, s, t), state)
+
+        state = _run(params, ctx["private"], ctx["g0"], state)
+    tokens, _, _, scores, _ = state
+    order = jnp.argsort(-scores, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
+    return tokens, jnp.take_along_axis(scores, order, axis=1)
