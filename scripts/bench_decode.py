@@ -32,6 +32,10 @@ def main():
                    help="int8 weight-only quantization (ops/quant.py)")
     p.add_argument("--bits", type=int, default=8, choices=(4, 8),
                    help="weight quantization width (4 = packed int4)")
+    p.add_argument("--quality", action="store_true", default=True,
+                   help="run the quantization quality probe (logit cosine "
+                        "+ CE delta vs bf16) and gate the result")
+    p.add_argument("--no-quality", dest="quality", action="store_false")
     args = p.parse_args()
     if args.dim < 128 or args.dim % 128:
         p.error(f"--dim must be a multiple of 128 (head_dim=128), "
@@ -146,13 +150,25 @@ def main():
     t_big = min(run(args.gen_big) for _ in range(2))
     per_step = (t_big - t_small) / (args.gen_big - args.gen_small)
     toks_per_sec = args.batch / per_step
-    print(json.dumps({
+    result = {
         "metric": "decode_tokens_per_sec_chip",
         "value": round(toks_per_sec, 1),
         "unit": f"tok/s (B{args.batch}, ~{n_params/1e9:.1f}B params, "
                 f"{wtag})",
         "per_step_ms": round(per_step * 1e3, 2),
-    }))
+    }
+    gate_failed = False
+    if args.quality and args.quant:
+        # measured quality gate (VERDICT r2 weak #1): every quantized
+        # bench line carries logit-cosine + CE-delta vs bf16, loud on fail
+        from procyon_tpu.evaluate.quant_quality import probe
+
+        q = probe(args.bits, "dequant")
+        result.update(q.as_dict())
+        gate_failed = not q.passed
+    print(json.dumps(result))
+    if gate_failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
