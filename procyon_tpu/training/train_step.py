@@ -31,10 +31,72 @@ class TaskWeights:
     mlm: float = 1.0
 
 
-def init_train_state(params, optimizer):
+def _is_atomic(node) -> bool:
+    """Quantized weight dicts ({"q","s"} / {"p","s",...}) are single
+    leaves for freezing purposes."""
+    from procyon_tpu.ops import quant
+
+    return (not isinstance(node, dict) or quant.is_quantized(node)
+            or quant.is_quantized4(node))
+
+
+def partition_params(params, predicate):
+    """Split a nested-dict param tree into (trainable, frozen) by path.
+
+    predicate("llama/layers/lora_wq/A") -> True keeps that leaf trainable.
+    The QLoRA surface (SURVEY.md §2.3 item 4: bitsandbytes NF4 base +
+    bf16 LoRA via peft) maps to: quantized base weights frozen, LoRA banks
+    + projectors + contrastive head trainable.
+    """
+    def walk(node, path):
+        if _is_atomic(node):
+            return (node, None) if predicate(path) else (None, node)
+        t, f = {}, {}
+        for k, v in node.items():
+            tv, fv = walk(v, f"{path}/{k}" if path else k)
+            if tv is not None:
+                t[k] = tv
+            if fv is not None:
+                f[k] = fv
+        return (t or None, f or None)
+
+    t, f = walk(params, "")
+    return t or {}, f or {}
+
+
+def merge_params(trainable, frozen):
+    """Inverse of partition_params (tree overlay)."""
+    if trainable is None:
+        return frozen
+    if frozen is None:
+        return trainable
+    if _is_atomic(trainable) or _is_atomic(frozen):
+        return trainable
+    out = {}
+    for k in set(trainable) | set(frozen):
+        out[k] = merge_params(trainable.get(k), frozen.get(k))
+    return out
+
+
+def lora_trainable_predicate(path: str) -> bool:
+    """The ProCyon-QLoRA recipe: LoRA expert banks, projectors, and the
+    contrastive temperature train; the (quantized) towers stay frozen."""
+    return ("lora" in path or path.startswith("projectors")
+            or path.startswith("contrastive"))
+
+
+def init_train_state(params, optimizer, trainable_predicate=None):
+    if trainable_predicate is None:
+        return {
+            "params": params,
+            "opt_state": optimizer.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+    trainable, frozen = partition_params(params, trainable_predicate)
     return {
-        "params": params,
-        "opt_state": optimizer.init(params),
+        "params": trainable,
+        "frozen": frozen,
+        "opt_state": optimizer.init(trainable),
         "step": jnp.zeros((), jnp.int32),
     }
 
@@ -43,8 +105,11 @@ def _apply_updates(state, grads, optimizer):
     updates, opt_state = optimizer.update(
         grads, state["opt_state"], state["params"])
     params = optax.apply_updates(state["params"], updates)
-    return {"params": params, "opt_state": opt_state,
-            "step": state["step"] + 1}
+    new = {"params": params, "opt_state": opt_state,
+           "step": state["step"] + 1}
+    if "frozen" in state:
+        new["frozen"] = state["frozen"]
+    return new
 
 
 def lm_loss_fn(params, cfg, batch, weight, lora_expert=0):
@@ -115,7 +180,7 @@ TASK_LORA_EXPERT = {"qa": 0, "retrieval": 1, "caption": 2, "mlm": 2}
 
 def make_train_step(cfg: unified.UnifiedConfig, optimizer, task: str,
                     weight: float = 1.0, donate: bool = True,
-                    accumulation_steps: int = 1):
+                    accumulation_steps: int = 1, frozen_base: bool = False):
     """Build a jittable train step for one task family.
 
     accumulation_steps > 1 enables micro-batching (the reference's
@@ -124,20 +189,35 @@ def make_train_step(cfg: unified.UnifiedConfig, optimizer, task: str,
     micro-batch axis, scans the fwd/bwd over it (each micro-batch's
     activations are freed before the next — fixed memory), averages the
     grads, and applies ONE optimizer update.
+
+    frozen_base=True is the QLoRA surface (the reference's bitsandbytes
+    NF4 base + peft LoRA, esm.py:444-449 / pmc_llama.py:457-463): the state
+    must come from init_train_state(..., trainable_predicate=...); grads
+    flow only to the trainable subtree (the frozen — possibly int8/int4 —
+    tower weights are non-differentiated constants).
     """
     loss_fn = _LOSS_FNS[task]
     n_experts = (cfg.llama.lora.num_experts
                  if cfg.llama.lora is not None else 1)
     expert = TASK_LORA_EXPERT.get(task, 0) % max(n_experts, 1)
 
-    def grad_of(params, batch):
-        return jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, batch, weight, lora_expert=expert),
-            has_aux=True)(params)
+    if frozen_base:
+        def grad_of(params, frozen, batch):
+            return jax.value_and_grad(
+                lambda p: loss_fn(merge_params(p, frozen), cfg, batch,
+                                  weight, lora_expert=expert),
+                has_aux=True)(params)
+    else:
+        def grad_of(params, _frozen, batch):
+            return jax.value_and_grad(
+                lambda p: loss_fn(p, cfg, batch, weight,
+                                  lora_expert=expert),
+                has_aux=True)(params)
 
     if accumulation_steps <= 1:
         def step(state, batch):
-            (loss, metrics), grads = grad_of(state["params"], batch)
+            (loss, metrics), grads = grad_of(state["params"],
+                                             state.get("frozen"), batch)
             new_state = _apply_updates(state, grads, optimizer)
             metrics = dict(metrics)
             metrics["loss"] = loss
@@ -146,9 +226,10 @@ def make_train_step(cfg: unified.UnifiedConfig, optimizer, task: str,
     else:
         def step(state, batches):
             params = state["params"]
+            frozen = state.get("frozen")
 
             def micro(acc, batch):
-                (loss, metrics), grads = grad_of(params, batch)
+                (loss, metrics), grads = grad_of(params, frozen, batch)
                 acc = jax.tree_util.tree_map(jnp.add, acc, grads)
                 return acc, (loss, metrics)
 
