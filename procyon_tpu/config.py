@@ -74,6 +74,11 @@ class DataArgs:
     caption_batch_size: int = 8
     mlm_batch_size: int = 8
     synthetic: bool = False
+    # auxiliary aaseq-type embedding tables (ProCyon-Bind: peptide/domain
+    # soft tokens ride their own frozen ESM tables — reference
+    # configs/peptide_tune.yml:38-40 peptide/domain_embeddings_path)
+    peptide_embeddings_path: str = ""
+    domain_embeddings_path: str = ""
     # held-out split for mid-train eval (_run_eval, trainIT.py:1556-1654)
     eval_split: str = "val"
     eval_batches: int = 8

@@ -66,6 +66,41 @@ def _is_ppi(entry: DatasetEntry) -> bool:
     return entry.text_type == "protein" and entry.aaseq_type == "protein"
 
 
+# non-protein aaseq types get shorter synthetic sequences (peptides bind;
+# domains are protein fragments)
+_SYNTH_AASEQ_LENGTHS = {"peptide": (8, 30), "domain": (30, 80)}
+
+
+def resolve_entry_store(store, entry: DatasetEntry, *, data_dir: str = "",
+                        synthetic: bool = False,
+                        aaseq_embedding_files: Optional[Dict[str, str]]
+                        = None, _cache: Optional[Dict] = None):
+    """Per-entry aaseq store: peptide/domain entries (ProCyon-Bind,
+    reference configs/data_configs/peptide.yml aaseq_type: peptide) read
+    their own sequence FASTA + frozen embedding table
+    (peptide_embeddings_path, peptide_tune.yml:39-40) instead of the
+    protein ones."""
+    at = entry.aaseq_type
+    if at == "protein":
+        return store
+    if _cache is not None and at in _cache:
+        return _cache[at]
+    if synthetic or isinstance(store, D.SyntheticStore):
+        lo, hi = _SYNTH_AASEQ_LENGTHS.get(at, (20, 60))
+        base = D.SyntheticStore(
+            n_proteins=getattr(store, "n_proteins", 128),
+            n_texts=getattr(store, "n_texts", 128),
+            embed_dim=getattr(store, "embed_dim", 64),
+            seed=sum(map(ord, at)), min_len=lo, max_len=hi)
+    else:
+        base = D.ProCyonDataStore(
+            data_dir or getattr(store, "data_dir", ""), aaseq_type=at,
+            embedding_file=(aaseq_embedding_files or {}).get(at) or None)
+    if _cache is not None:
+        _cache[at] = base
+    return base
+
+
 def _dataset_for_entry(entry: DatasetEntry, relation: str, store, data_dir,
                        split: str, synthetic: bool, seed: int):
     name = f"{entry.aaseq_type}_{entry.text_type}_{relation}_{split}"
@@ -148,7 +183,9 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                        data_dir: str = "", synthetic: bool = False,
                        task_library: Optional[instruct.TaskLibrary] = None,
                        seed: int = 0, rank: int = 0, world_size: int = 1,
-                       resume_states: Optional[Dict[str, dict]] = None):
+                       resume_states: Optional[Dict[str, dict]] = None,
+                       aaseq_embedding_files: Optional[Dict[str, str]]
+                       = None):
     """-> (streams, mixers, state_holder).
 
     state_holder[task] tracks the mixer position after each stream() call;
@@ -162,8 +199,13 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
     prompts: Dict[str, object] = {}
     prompt_meta: Dict[str, tuple] = {}
     collators: Dict[str, object] = {}
+    store_cache: Dict[str, object] = {}
 
     for entry in cfg.entries:
+        entry_store = resolve_entry_store(
+            store, entry, data_dir=data_dir, synthetic=synthetic,
+            aaseq_embedding_files=aaseq_embedding_files,
+            _cache=store_cache)
         for relation in entry.relations:
             for task in entry.tasks:
                 task_id = instruct.construct_task_id(
@@ -173,7 +215,7 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                 except FileNotFoundError:
                     continue
                 for split in entry.splits:
-                    ds = _dataset_for_entry(entry, relation, store,
+                    ds = _dataset_for_entry(entry, relation, entry_store,
                                             data_dir, split, synthetic,
                                             seed)
                     key = f"{task_id}_{split}"
@@ -202,11 +244,11 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                                     "caption": C.CaptionCollator}[task]
                         kwargs = {"known_positive_pairs": set()} \
                             if task == "retrieval" else {}
-                    task_store = store
-                    if isinstance(store, D.ProCyonDataStore):
+                    task_store = entry_store
+                    if isinstance(entry_store, D.ProCyonDataStore):
                         from procyon_tpu.data import registry
                         task_store = D.TextTableStore(
-                            store, entry.text_type,
+                            entry_store, entry.text_type,
                             registry.column_subset(
                                 task, entry.text_type,
                                 entry.subset_version) or [])

@@ -53,9 +53,14 @@ def main():
             margs.attention_backend = "ref"
         store = SyntheticStore(n_proteins=128, n_texts=128, embed_dim=64)
         tokenizer = load_tokenizer(vocab_size=4096)
-        mix = data_config.MultiDatasetConfig(entries=[
-            data_config.DatasetEntry(text_type="go", relations=["process"]),
-        ])
+        # a recipe YAML (e.g. configs/peptide_tune.yml -> peptide_mix) still
+        # defines the dataset mix for synthetic integration runs
+        mix = data_config.MultiDatasetConfig.load_from_yaml(
+            dargs.it_data_config_yml) if dargs.it_data_config_yml \
+            else data_config.MultiDatasetConfig(entries=[
+                data_config.DatasetEntry(text_type="go",
+                                         relations=["process"]),
+            ])
     else:
         store = ProCyonDataStore(dargs.data_dir or None)
         tokenizer = load_tokenizer(margs.tokenizer_path)
@@ -76,13 +81,17 @@ def main():
         if tstate:
             resume_states = tstate.get("stream_states")
 
+    aaseq_embeds = {k: v for k, v in
+                    (("peptide", dargs.peptide_embeddings_path),
+                     ("domain", dargs.domain_embeddings_path)) if v}
     streams, mixers, stream_states = data_config.build_task_streams(
         mix, store=store, tokenizer=tokenizer, collator_cfg=ccfg,
         batch_sizes={"qa": dargs.qa_batch_size,
                      "retrieval": dargs.retrieval_batch_size,
                      "caption": dargs.caption_batch_size},
         data_dir=dargs.data_dir, synthetic=dargs.synthetic,
-        seed=targs.seed, resume_states=resume_states)
+        seed=targs.seed, resume_states=resume_states,
+        aaseq_embedding_files=aaseq_embeds)
     # drop disabled tasks (skip_frequency == 0)
     for task in list(streams):
         if getattr(targs, f"{task}_skip_frequency") == 0:
@@ -132,7 +141,7 @@ def main():
                          "retrieval": dargs.retrieval_batch_size,
                          "caption": dargs.caption_batch_size},
             data_dir=dargs.data_dir, synthetic=dargs.synthetic,
-            seed=targs.seed + 1)
+            seed=targs.seed + 1, aaseq_embedding_files=aaseq_embeds)
         val_streams = {t: s for t, s in val_streams.items() if t in streams}
         if dargs.synthetic:
             all_ids = list(range(getattr(store, "n_proteins", 128)))
