@@ -391,9 +391,16 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     # one-token decode walks the page table inside a Pallas kernel
     # (ops/paged_attention.py): pages are read once, never copied into a
     # dense context buffer. Chunked prefill (T > 1) and the reference CPU
-    # backend keep the gather + flash path.
+    # backend keep the gather + flash path. At SHORT max contexts the
+    # kernel's per-(slot, head, page) grid overhead exceeds the dense
+    # copy it avoids (measured: 16 ms/step of a 41 ms paged-beam step at
+    # 3x64-token pages vs ~1.2 ms for the 500 MB gather), so small pools
+    # take the gather path; the kernel wins from ~512 cached tokens
+    # (round-2 measurement: 9.55 vs 14.09 ms at 2048-ctx).
     use_paged_kernel = (T == 1 and cfg.attn_backend != "ref"
-                        and hd % 128 == 0)
+                        and hd % 128 == 0
+                        and (pcfg.max_ctx >= 512
+                             or cfg.attn_backend == "interpret"))
     if use_paged_kernel:
         table = pool["page_table"][slot_ids]                # [B, P]
         lens = pool["seq_len"][slot_ids]

@@ -119,9 +119,13 @@ def main():
         from procyon_tpu.inference import paged_beam
 
         np_batch = {k: np.asarray(v) for k, v in batch.items()}
+        # size the pool ONCE so the step jit is shared across runs
         state0, ctx = paged_beam.paged_beam_init(
             params, cfg, np_batch, gen, page_size=args.page_size)
         pcfg = ctx["pcfg"]
+        del state0  # 8B int4 + two pool copies rides the 16GB edge:
+        # keeping a spare state resident forces allocator spilling
+        # (measured: ~44 ms/step free vs ~1 s/step spilled)
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def pstep(params, private, g0, state, t):
@@ -129,10 +133,16 @@ def main():
                 params, cfg, gen, pcfg, ctx["beam"], private, g0, state, t)
 
         def run(n):
-            # fresh copy per run: the step donates its state buffers
-            state = jax.tree_util.tree_map(lambda x: x.copy(), state0)
+            # fresh prefill per run (two-point timing cancels it); the
+            # step donates its state buffers so exactly one state lives
+            state, _ = paged_beam.paged_beam_init(
+                params, cfg, np_batch, gen, page_size=args.page_size)
+            # burn-in: the first donated step relayouts the fresh state
+            state = pstep(params, ctx["private"], ctx["g0"], state,
+                          jnp.int32(0))
+            float(jnp.sum(state[3]))
             t0 = time.perf_counter()
-            for t in range(n):
+            for t in range(1, n + 1):
                 state = pstep(params, ctx["private"], ctx["g0"], state,
                               jnp.int32(t))
             float(jnp.sum(state[3]))  # scores sync
