@@ -115,7 +115,7 @@ def main():
     tops = []
     for i in range(args.n_variants):
         desc = args.description if i == 0 else perturb_description(
-            args.description, rng)
+            args.description, rng, n_variants=1)[0]
         ranked = service.retrieve(task_id="go_process_retrieval",
                                   disease_desc=desc, k=args.k)
         tops.append([r["protein_id"] for r in ranked])

@@ -46,6 +46,11 @@ def create_input_retrieval(task_desc_or_id, *, tokenizer, store,
                            num_examples: int = 1) -> Dict:
     """Build a retrieval query batch from a free-text description
     (create_input_retrieval, inference_utils.py:663-845)."""
+    if not isinstance(input_description, str):
+        raise TypeError(
+            f"input_description must be one string, got "
+            f"{type(input_description).__name__} (perturb_description "
+            f"returns a LIST of variants — pass one of them)")
     lib = task_library or instruct.TaskLibrary()
     task = lib.get(task_desc_or_id) if isinstance(task_desc_or_id, str) \
         else task_desc_or_id
