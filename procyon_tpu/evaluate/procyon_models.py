@@ -141,7 +141,8 @@ class ProcyonCaptionEval(AbstractCaptionModel):
     def __init__(self, params, cfg, tokenizer, store, task, *,
                  batch_size: int = 8,
                  gen: Optional[generation.GenerationConfig] = None,
-                 collator_cfg=None):
+                 collator_cfg=None, use_paged: bool = False,
+                 page_size: int = 64):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -151,6 +152,11 @@ class ProcyonCaptionEval(AbstractCaptionModel):
             beam_group_size=2, diversity_penalty=0.8,
             eos_token_id=tokenizer.spec.eos_id,
             pad_token_id=tokenizer.spec.pad_id)
+        # paged beam decode (inference/paged_beam.py): beams share the
+        # prompt's KV pages; identical tokens to the dense path — the
+        # memory/throughput pick for the flagship 8B captioner
+        self.use_paged = use_paged
+        self.page_size = page_size
         ccfg = collator_cfg or C.CollatorConfig(
             protein_embed_dim=cfg.encoder_out_dim)
         self.prompt = instruct.get_prompt(task, num_examples=1)
@@ -163,14 +169,21 @@ class ProcyonCaptionEval(AbstractCaptionModel):
             chunk = list(dataset[i:i + self.batch_size])
             samples = [(a, 0) for a in chunk]
             batch = self.collator(samples, self.prompt, for_generation=True)
-            dev = _to_device(batch)
-            if self.gen.method == "beam":
+            if self.gen.method == "beam" and self.use_paged:
+                from procyon_tpu.inference.paged_beam import \
+                    paged_beam_generate
+
+                tokens, _ = paged_beam_generate(
+                    self.params, self.cfg, batch, self.gen,
+                    page_size=self.page_size)
+                tokens = np.asarray(tokens)[:, 0]
+            elif self.gen.method == "beam":
                 tokens, _ = generation.generate_beam(
-                    self.params, self.cfg, dev, self.gen)
+                    self.params, self.cfg, _to_device(batch), self.gen)
                 tokens = np.asarray(tokens)[:, 0]  # best hypothesis
             else:
                 tokens = np.asarray(generation.generate(
-                    self.params, self.cfg, dev, self.gen))
+                    self.params, self.cfg, _to_device(batch), self.gen))
             for a, toks in zip(chunk, tokens):
                 out[a] = self.tokenizer.decode(toks)
         return out

@@ -14,10 +14,15 @@ from procyon_tpu.training import train_step as ts
 
 def make_combined_step(cfg: unified.UnifiedConfig, optimizer,
                        weights: ts.TaskWeights = ts.TaskWeights(),
-                       donate: bool = True, expert_override=None):
+                       donate: bool = True, expert_override=None,
+                       frozen_base: bool = False):
     """expert_override: run EVERY task through this LoRA expert index —
     the reference's joint phase (trainIT.py:898-931 sets group 3 for the
-    all-task step of lora_specific_training)."""
+    all-task step of lora_specific_training).
+
+    frozen_base: QLoRA state layout (train_step.init_train_state with a
+    trainable_predicate): only the trainable subtree differentiates; the
+    (possibly int8/int4) frozen towers merge in as constants."""
     def step(state, batches):
         """batches: dict with optional keys qa / caption / retrieval / mlm."""
 
@@ -29,7 +34,9 @@ def make_combined_step(cfg: unified.UnifiedConfig, optimizer,
                 return expert_override % max(n_experts, 1)
             return ts.TASK_LORA_EXPERT.get(task, 0) % max(n_experts, 1)
 
-        def lf(params):
+        def lf(trainable):
+            params = ts.merge_params(trainable, state.get("frozen")) \
+                if frozen_base else trainable
             total = 0.0
             metrics = {}
             if "qa" in batches:

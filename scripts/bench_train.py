@@ -61,6 +61,9 @@ def main():
     p.add_argument("--bits", type=int, default=8, choices=(4, 8))
     p.add_argument("--lora_rank", type=int, default=16)
     p.add_argument("--lora_experts", type=int, default=4)
+    p.add_argument("--combined", action="store_true",
+                   help="joint qa+retrieval combined step (the reference's "
+                        "all-task phase) instead of the qa step")
     args = p.parse_args()
 
     import jax
@@ -143,6 +146,7 @@ def main():
     }
 
     ocfg = OptimizerConfig(lr=1e-4, warmup_steps=10, total_steps=1000)
+    task_tag = "qa step"
     if args.flagship:
         trainable, _ = ts.partition_params(params,
                                            ts.lora_trainable_predicate)
@@ -150,8 +154,19 @@ def main():
         state = ts.init_train_state(
             params, optimizer,
             trainable_predicate=ts.lora_trainable_predicate)
-        step = ts.make_train_step(cfg, optimizer, "qa", donate=True,
-                                  frozen_base=True)
+        if args.combined:
+            from procyon_tpu.training.combined_step import \
+                make_combined_step
+
+            step_fn = make_combined_step(cfg, optimizer, donate=True,
+                                         expert_override=3,
+                                         frozen_base=True)
+            batches = {"qa": batch, "retrieval": batch}
+            step = lambda s, b: step_fn(s, batches)  # noqa: E731
+            task_tag = "joint qa+retrieval step"
+        else:
+            step = ts.make_train_step(cfg, optimizer, "qa", donate=True,
+                                      frozen_base=True)
         n_trainable = sum(
             np.prod(x.shape)
             for x in jax.tree_util.tree_leaves(state["params"]))
@@ -173,13 +188,15 @@ def main():
     t_small, state = run(state, args.steps_small)
     t_big, state = run(state, args.steps_big)
     per_step = (t_big - t_small) / (args.steps_big - args.steps_small)
-    tokens_per_step = args.batch * args.seq
+    # a combined step runs two full fwd/bwd passes (qa + retrieval)
+    n_passes = 2 if (args.flagship and args.combined) else 1
+    tokens_per_step = args.batch * args.seq * n_passes
     flops_per_step = tokens_per_step * train_flops_per_token(
         lcfg, args.seq, frozen_base=args.flagship, remat=lcfg.remat)
     print(json.dumps({
         "metric": "train_tokens_per_sec_chip",
         "value": round(tokens_per_step / per_step, 1),
-        "unit": f"tok/s (qa step, B{args.batch} S{args.seq}, "
+        "unit": f"tok/s ({task_tag}, B{args.batch} S{args.seq}, "
                 f"~{n_params/1e9:.1f}B params, {wtag}, AdamW)",
         "per_step_ms": round(per_step * 1e3, 2),
         "mfu": round(flops_per_step / per_step / V5E_BF16_PEAK, 4),

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--chunk_idx", type=int, default=0)
     p.add_argument("--num_chunks", type=int, default=1)
     p.add_argument("--out", type=str, default="captions.csv")
+    p.add_argument("--paged", action="store_true",
+                   help="beam decode on the paged KV pool (shared prompt "
+                        "pages; same tokens as the dense path)")
     args = p.parse_args()
 
     import jax
@@ -81,7 +84,7 @@ def main():
     lib = instruct.TaskLibrary()
     model = ProcyonCaptionEval(
         params, cfg, tokenizer, store, lib.get(args.task),
-        batch_size=args.batch_size, gen=gen,
+        batch_size=args.batch_size, gen=gen, use_paged=args.paged,
         collator_cfg=C.CollatorConfig(
             protein_embed_dim=cfg.encoder_out_dim))
     captions = model.get_predictions(ids)

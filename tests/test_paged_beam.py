@@ -141,3 +141,33 @@ class TestFusedServing:
         b2 = serving.ContinuousBatcher(params["llama"], cfg.llama, pcfg)
         rid2 = b2.submit([5, 6, 7, 8], max_new=4)
         assert b2.run()[rid2] == done[rid_t]
+
+
+class TestPagedCaptionEval:
+    def test_eval_wrapper_paged_matches_dense(self, rng):
+        """ProcyonCaptionEval(use_paged=True) must produce the same
+        captions as the dense path (the flagship captioner rides the
+        paged pool in product code, not just the bench)."""
+        from procyon_tpu.data import collators as C
+        from procyon_tpu.data.datasets import SyntheticStore
+        from procyon_tpu.data.instruct import TaskLibrary
+        from procyon_tpu.data.text_tokenizer import WordTokenizer
+        from procyon_tpu.evaluate.procyon_models import ProcyonCaptionEval
+
+        cfg = unified.tiny_config(esm=None, protein_embed_dim=32)
+        params = unified.init_params(jax.random.PRNGKey(0), cfg)
+        store = SyntheticStore(n_proteins=8, n_texts=8, embed_dim=32)
+        tok = WordTokenizer(cfg.llama.vocab_size)
+        task = TaskLibrary().get("uniprot_all_caption")
+        gcfg = generation.GenerationConfig(
+            max_new_tokens=6, method="beam", beam_size=2,
+            beam_group_size=1, diversity_penalty=0.5,
+            eos_token_id=tok.spec.eos_id, pad_token_id=tok.spec.pad_id)
+        kw = dict(batch_size=4, gen=gcfg,
+                  collator_cfg=C.CollatorConfig(max_text_len=96,
+                                                protein_embed_dim=32))
+        dense = ProcyonCaptionEval(params, cfg, tok, store, task, **kw)
+        paged = ProcyonCaptionEval(params, cfg, tok, store, task,
+                                   use_paged=True, page_size=8, **kw)
+        ids = [0, 1, 2, 3]
+        assert dense.get_predictions(ids) == paged.get_predictions(ids)

@@ -150,3 +150,31 @@ class TestFrozenBaseStep:
         state, m = step(state, {k: jnp.asarray(v)
                                 for k, v in stacked.items()})
         assert np.isfinite(float(m["loss"]))
+
+
+class TestCombinedFrozenBase:
+    def test_joint_step_with_frozen_quantized_base(self, rng):
+        from procyon_tpu.training.combined_step import make_combined_step
+
+        cfg, params = _qlora_model()
+        ocfg = OptimizerConfig(lr=1e-2, warmup_steps=0, total_steps=100,
+                               schedule="constant")
+        t, _ = ts.partition_params(params, ts.lora_trainable_predicate)
+        optimizer = build_optimizer(ocfg, t)
+        state = ts.init_train_state(
+            params, optimizer,
+            trainable_predicate=ts.lora_trainable_predicate)
+        step = make_combined_step(cfg, optimizer, donate=False,
+                                  expert_override=3, frozen_base=True)
+        b = _qa_batch(cfg, rng)
+        b["ret_pos"] = jnp.full((4,), 15, jnp.int32)
+        b["ret_target_pos"] = jnp.asarray([0, 1, 0, 1], jnp.int32)
+        b["ret_valid"] = jnp.ones((4,), bool)
+        frozen_before = jax.tree_util.tree_map(np.asarray, state["frozen"])
+        state, m = step(state, {"qa": b, "retrieval": b})
+        assert np.isfinite(float(m["loss"]))
+        assert "retrieval/retrieval_loss" in m
+        after = jax.tree_util.tree_map(np.asarray, state["frozen"])
+        for x, y in zip(jax.tree_util.tree_leaves(frozen_before),
+                        jax.tree_util.tree_leaves(after)):
+            np.testing.assert_array_equal(x, y)
