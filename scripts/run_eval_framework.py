@@ -62,6 +62,13 @@ def parse_args():
     p.add_argument("--max_num_queries", type=int, default=None)
     p.add_argument("--num_class_balanced_samples", type=int, default=None)
     p.add_argument("--negatives_per_positive", type=int, default=None)
+    # remaining reference EvalArgs surface (framework/args.py)
+    p.add_argument("--qa_num_samples", type=int, default=None,
+                   help="cap QA samples per dataset (linear scan)")
+    p.add_argument("--caption_max_len", type=int, default=None,
+                   help="max new tokens for caption generation")
+    p.add_argument("--seed", type=int, default=42,
+                   help="subsampling seed")
     args = p.parse_args()
     if args.from_yaml:
         import yaml
@@ -210,6 +217,19 @@ def main():
     else:
         datasets, ctx = real_datasets(args)
 
+    if args.qa_num_samples is not None:
+        for ds in datasets.values():
+            if ds.get("task") == "qa" and "qa_samples" in ds:
+                ds["qa_samples"] = ds["qa_samples"][:args.qa_num_samples]
+    if args.caption_max_len is not None and "procyon" in ctx:
+        from procyon_tpu.inference.generation import GenerationConfig
+
+        tok = ctx["procyon"]["tokenizer"]
+        ctx["procyon"]["generation_config"] = GenerationConfig(
+            max_new_tokens=args.caption_max_len, method="beam",
+            beam_size=10, beam_group_size=2, diversity_penalty=0.8,
+            eos_token_id=tok.spec.eos_id, pad_token_id=tok.spec.pad_id)
+
     if args.use_bertscore and "caption" in args.tasks:
         from procyon_tpu.evaluate.bertscore import make_scorer
 
@@ -225,6 +245,7 @@ def main():
         overrides["n_boot"] = args.n_bootstrap
     if args.max_num_queries is not None:
         overrides["max_num_queries"] = args.max_num_queries
+        overrides["query_subsample_seed"] = args.seed
     if args.num_class_balanced_samples is not None:
         overrides["num_resamples"] = args.num_class_balanced_samples
     if args.negatives_per_positive is not None:
