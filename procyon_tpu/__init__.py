@@ -26,3 +26,20 @@ if _os.environ.get("PROCYON_PLATFORM"):
         _jax.config.update("jax_platforms", _os.environ["PROCYON_PLATFORM"])
     except Exception:
         pass
+
+# Persistent compilation cache: remote compiles over the axon tunnel cost
+# 20 s-10+ min per jit variant; the disk cache serves repeat compiles across
+# processes in <1 s (measured: scripts/probe_compile_cache.py). JAX keys
+# entries by backend/version/HLO hash, so sharing one dir is safe. Opt out
+# with PROCYON_COMPILE_CACHE=0; JAX_COMPILATION_CACHE_DIR overrides the
+# location through JAX itself.
+if _os.environ.get("PROCYON_COMPILE_CACHE", "1") != "0" and \
+        not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    import jax as _jax
+
+    try:
+        _cache_dir = _os.path.expanduser("~/.cache/procyon_jax_cache")
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
