@@ -51,12 +51,15 @@ def bench_esm2_650m(batch=64, seq_len=512, model="650m"):
     tokens = jnp.asarray(tokens)
 
     def embed_fn(cfg_):
-        @jax.jit
+        # fused-MLP big-block config + its paired raised scoped-vmem
+        # limit at 3B width (no-op at 650M, where raising it cost ~1%)
+        cfg_, opts = esm2.big_block_serving(cfg_)
+
         def embed(params, tokens):
             out = esm2.forward(params, cfg_, tokens)
             mask = (tokens != esm2.PAD_IDX).astype(jnp.int32)
             return pool_tokens(out["hidden"], mask, "mean")
-        return embed
+        return jax.jit(embed, compiler_options=opts)
 
     f_bf16 = embed_fn(cfg)
     dt_bf16 = time_fn(f_bf16, params, tokens)

@@ -62,6 +62,12 @@ class ESM2Config:
     # int8 matmul mode for quantized params: "dequant" = weight-only bf16
     # dot; "w8a8" = s8 x s8 MXU dot (2x compute; inference/serving paths)
     quant_mode: str = "dequant"
+    # opt-in: fused-MLP block_m 256 at dim>=2048 (halves the dominant
+    # int8 weight re-streaming; +7% at 3B). Needs a raised Mosaic
+    # scoped-vmem limit, so the enclosing jit MUST pass the paired
+    # compiler options — set both via big_block_serving(cfg), never by
+    # hand. Off by default: unpaired big blocks fail AOT compilation.
+    mlp_big_blocks: bool = False
 
     @property
     def head_dim(self):
@@ -78,6 +84,7 @@ _SIZES = {
     "150m": dict(dim=640, n_layers=30, n_heads=20),
     "650m": dict(dim=1280, n_layers=33, n_heads=20),
     "3b": dict(dim=2560, n_layers=36, n_heads=40),
+    "15b": dict(dim=5120, n_layers=48, n_heads=40),
 }
 
 
@@ -85,6 +92,24 @@ def esm2_config(size: str, **kw) -> ESM2Config:
     base = dict(_SIZES[size])
     base.update(kw)
     return ESM2Config(**base)
+
+
+def big_block_serving(cfg: ESM2Config):
+    """Opt a serving config into the fused-MLP big-block kernel, paired
+    with the per-compile raised scoped-vmem limit it needs.
+
+    Returns ``(cfg', compiler_options)`` — jit the forward with
+    ``jax.jit(f, compiler_options=compiler_options)`` and run ``cfg'``
+    through it. On CPU, at dim<2048 (no benefit; ~1% dip measured at
+    650M), or with PROCYON_SCOPED_VMEM_KIB=0, returns the config
+    unchanged with options None, so callers can apply it
+    unconditionally."""
+    from procyon_tpu.utils.compile_opts import tpu_compiler_options
+
+    opts = tpu_compiler_options(cfg.dim)
+    if opts is None:
+        return cfg, None
+    return dataclasses.replace(cfg, mlp_big_blocks=True), opts
 
 
 def tiny_config(**kw) -> ESM2Config:
@@ -192,6 +217,11 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
                 # fused LN+int8-MLP kernel: the [B*S, 4d] hidden never
                 # leaves VMEM (ops/fused_mlp.py; profiled ~1.6 ms/layer of
                 # gelu+quant VPU + HBM round-trip eliminated)
+                # (fused_mlp_int8_prequant — LN-quant hoisted to XLA —
+                # measured NET-slower in-model: 80.1 vs 84.3 proteins/s
+                # at 3B. The kernel itself improves 13->11.5 ms/layer,
+                # but the hoisted LN-quant + residual + an XLA layout
+                # fusion add 2.4 ms/layer around it.)
                 from procyon_tpu.ops.fused_mlp import fused_ln_mlp_int8
 
                 out = fused_ln_mlp_int8(
@@ -200,7 +230,8 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
                     lp["mlp"]["w1"]["q"], lp["mlp"]["w1"]["s"],
                     lp["mlp"]["b1"],
                     lp["mlp"]["w2"]["q"], lp["mlp"]["w2"]["s"],
-                    lp["mlp"]["b2"], eps=cfg.norm_eps, add_residual=True)
+                    lp["mlp"]["b2"], eps=cfg.norm_eps, add_residual=True,
+                    big_blocks=cfg.mlp_big_blocks)
                 return out.reshape(B, S, cfg.dim)
             h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                            eps=cfg.norm_eps)

@@ -85,6 +85,45 @@ class TestFusedMLPKernel:
                     / (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
         assert cos > 0.999
 
+    def test_prequant_matches_one_pass(self, rng):
+        """fused_mlp_int8_prequant (LN+row-quant hoisted out of the
+        matmul kernel) must reproduce fused_ln_mlp_int8 exactly: the
+        quant math is identical, only the pass structure differs."""
+        from procyon_tpu.ops.fused_mlp import (fused_mlp_int8_prequant,
+                                               ln_quant_rows,
+                                               ln_quant_rows_pallas)
+
+        M, d, H = 256, 256, 1024
+        x = jnp.asarray(rng.standard_normal((M, d)), jnp.float32)
+        lnw = jnp.asarray(rng.standard_normal(d) * 0.1 + 1, jnp.float32)
+        lnb = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((d, H)) / np.sqrt(d),
+                         jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(H) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((H, d)) / np.sqrt(H),
+                         jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(d) * 0.05, jnp.float32)
+        q1, q2 = quant.quantize(w1), quant.quantize(w2)
+
+        # the hoisted LN+quant (XLA and Pallas forms) agree bit-exactly
+        xq_ref, sx_ref = ln_quant_rows(x, lnw, lnb)
+        xq_pl, sx_pl = ln_quant_rows_pallas(x, lnw, lnb, interpret=True)
+        np.testing.assert_array_equal(np.asarray(xq_ref),
+                                      np.asarray(xq_pl))
+        np.testing.assert_allclose(np.asarray(sx_ref[:, 0]),
+                                   np.asarray(sx_pl[:, 0]), rtol=1e-6)
+
+        one_pass = fused_ln_mlp_int8(
+            x, lnw, lnb, q1["q"], q1["s"], b1, q2["q"], q2["s"], b2,
+            block_m=128, block_n=512, sub_tiles=2, add_residual=True,
+            interpret=True)
+        two_pass = fused_mlp_int8_prequant(
+            x, lnw, lnb, q1["q"], q1["s"], b1, q2["q"], q2["s"], b2,
+            block_m=128, block_n=512, add_residual=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(two_pass),
+                                   np.asarray(one_pass),
+                                   rtol=2e-5, atol=2e-5)
+
 
 class TestInt4:
     def test_pack_unpack_exact_for_representable(self, rng):
