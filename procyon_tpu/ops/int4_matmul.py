@@ -16,10 +16,16 @@ equivalent of its fused CUDA dequant-gemv.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+# default kernel impl for the decode dispatch (quant.qmatmul4):
+# "affine" = raw-byte-plane dots; "dq" = in-VMEM bf16 decode + two
+# large-contraction dots. Overridable per process for probes.
+DEFAULT_IMPL = os.environ.get("PROCYON_INT4_IMPL", "affine")
 
 
 def _kernel(x_ref, p_ref, s_ref, o_ref, *, group, n_groups_lo, n_groups):
@@ -63,12 +69,50 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, *, group, n_groups_lo, n_groups):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def qmatvec4(x, qw, *, interpret=False):
+def _kernel_dq(x_ref, p_ref, s_ref, o_ref, w_ref, *, group, n_groups_lo,
+               n_groups):
+    """Dequant-in-VMEM variant: decode the packed block group-by-group
+    into a scaled bf16 weight scratch tile, then ONE large-contraction
+    MXU dot — versus the affine kernel's 3 dots per 128-row group (48
+    tiny contraction-128 dots at k=4096, measured pipeline-fill bound
+    at ~55 GB/s effective). Every decode op is a 2D [group, n_blk]
+    slice multiply (no 3D reshapes — those relayout). The nibble
+    decode is EXACT in bf16: |byte| <= 127 and the /16 is a power of
+    two, so only the group-scale multiply rounds — the same rounding
+    as the XLA dequantize4 path."""
+    del n_groups
+    k2 = p_ref.shape[0]
+
+    def dec(g, _):
+        rows = pl.ds(g * group, group)
+        pr = p_ref[rows, :]
+        lub = (pr & jnp.int8(0x0F)).astype(jnp.bfloat16)  # q_lo+8, exact
+        pf = pr.astype(jnp.bfloat16)                      # exact
+        s_lo = s_ref[pl.ds(g, 1), :].astype(jnp.bfloat16)
+        s_hi = s_ref[pl.ds(g + n_groups_lo, 1), :].astype(jnp.bfloat16)
+        w_ref[rows, :] = (lub - jnp.bfloat16(8.0)) * s_lo
+        w_ref[pl.ds(k2 + g * group, group), :] = \
+            (pf - lub) * (s_hi * jnp.bfloat16(1.0 / 16.0))
+        return 0
+
+    jax.lax.fori_loop(0, n_groups_lo, dec, 0)
+    acc = jax.lax.dot_general(
+        x_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def qmatvec4(x, qw, *, interpret=False, impl=None):
     """x [..., k] @ split-half-packed int4 weights -> [..., n].
 
     qw: {"p": int8 [k/2, n], "s": f32 [G, 1, n]} (quant.quantize4).
     Intended for decode-shaped x (total rows <= ~256; the whole x block
-    sits in VMEM across the n-grid)."""
+    sits in VMEM across the n-grid). impl: "affine" = raw-byte-plane
+    dots (3 small dots per group pair), "dq" = group-sliced decode into
+    a scaled bf16 scratch tile + one large-contraction dot
+    (_kernel_dq)."""
+    impl = impl or DEFAULT_IMPL
     p, s = qw["p"], qw["s"]
     k2, n = p.shape
     k = 2 * k2
@@ -84,9 +128,21 @@ def qmatvec4(x, qw, *, interpret=False):
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
 
-    n_blk = next(c for c in (512, 256, 128) if n % c == 0)
-    kernel = functools.partial(_kernel, group=group,
+    # the dq kernel's scratch weight tile is bf16 [k, n_blk] (plus the
+    # packed block and per-group decode temporaries) — cap the block so
+    # the scoped stack fits the 16 MB limit
+    def fits(c):
+        return impl != "dq" or k * c * 4 <= 12 * 1024 * 1024
+
+    n_blk = next(c for c in (512, 256, 128)
+                 if n % c == 0 and (fits(c) or c == 128))
+    kfn = _kernel_dq if impl == "dq" else _kernel
+    kernel = functools.partial(kfn, group=group,
                                n_groups_lo=k2 // group, n_groups=G)
+    scratch = []
+    if impl == "dq":
+        from jax.experimental.pallas import tpu as pltpu
+        scratch = [pltpu.VMEM((k, n_blk), jnp.bfloat16)]
     out = pl.pallas_call(
         kernel,
         grid=(n // n_blk,),
@@ -97,6 +153,7 @@ def qmatvec4(x, qw, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((Bp, n_blk), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((Bp, n), x.dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x2, p, s.reshape(G, n))
     return out[:B].reshape(*lead, n)

@@ -174,13 +174,15 @@ class TestInt4PallasKernel:
     """ops/int4_matmul.qmatvec4 (fused unpack+matmul, interpret mode) must
     equal the XLA dequant path bit-for-bit modulo dot rounding."""
 
-    def test_matches_dequant_path(self, rng):
+    @pytest.mark.parametrize("impl", ["affine", "dq"])
+    def test_matches_dequant_path(self, rng, impl):
         w = jnp.asarray(rng.standard_normal((512, 384)), jnp.float32)
         q4 = quant.quantize4(w, group=128)
         x = jnp.asarray(rng.standard_normal((5, 512)), jnp.bfloat16)
 
         from procyon_tpu.ops.int4_matmul import qmatvec4
-        got = np.asarray(qmatvec4(x, q4, interpret=True), np.float32)
+        got = np.asarray(qmatvec4(x, q4, interpret=True, impl=impl),
+                         np.float32)
         # both paths dot in bf16 with different reduction orders: bound by
         # sqrt(k) * bf16 eps * operand scale (~0.4 at k=512)
         ref = np.asarray(x @ quant.dequantize4(q4, x.dtype), np.float32)
