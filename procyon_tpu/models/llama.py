@@ -392,27 +392,31 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     # (ops/paged_attention.py): pages are read once, never copied into a
     # dense context buffer. Chunked prefill (T > 1) and the reference CPU
     # backend keep the gather + flash path. At SHORT max contexts the
-    # kernel's per-(slot, head, page) grid overhead exceeds the dense
-    # copy it avoids (measured: 16 ms/step of a 41 ms paged-beam step at
-    # 3x64-token pages vs ~1.2 ms for the 500 MB gather), so small pools
-    # take the gather path; the kernel wins from ~512 cached tokens
-    # (round-2 measurement: 9.55 vs 14.09 ms at 2048-ctx).
+    # kernel's per-(slot, head, page) grid overhead exceeds the per-layer
+    # dense gather it avoids (measured: 16 ms/step of a 41 ms paged-beam
+    # step at 3x64-token pages), so small pools take the gather path; the
+    # kernel wins from ~512 cached tokens (round-2 measurement: 9.55 vs
+    # 14.09 ms at 2048-ctx).
     use_paged_kernel = (T == 1 and cfg.attn_backend != "ref"
                         and hd % 128 == 0
                         and (pcfg.max_ctx >= 512
                              or cfg.attn_backend == "interpret"))
-    if use_paged_kernel:
-        table = pool["page_table"][slot_ids]                # [B, P]
-        lens = pool["seq_len"][slot_ids]
-        layer_ctx = (params["layers"], pool["k"], pool["v"])
-    else:
-        ks, vs, ctx_valid = kv_pool.gather_kv(pool, pcfg, slot_ids)
-        ks = ks.reshape(cfg.n_layers, B, pcfg.max_ctx, cfg.n_kv_heads, hd)
-        vs = vs.reshape(cfg.n_layers, B, pcfg.max_ctx, cfg.n_kv_heads, hd)
+    # BOTH paths scan over the pool's layer axis directly. The gather
+    # path used to pre-gather a dense [L, B, ctx, KD] KV for every layer
+    # at once — at 34 layers x 40 slots x 192 ctx that is a 535 MB
+    # buffer per side, and XLA then paid a full relayout copy of each
+    # (2 x 1.3 ms/step profiled) plus the build loops. Gathering THIS
+    # layer's pages inside the scan body moves the same per-layer bytes
+    # with no all-layers buffer and no relayout.
+    table = pool["page_table"][slot_ids]                    # [B, P]
+    lens = pool["seq_len"][slot_ids]
+    layer_ctx = (params["layers"], pool["k"], pool["v"])
+    if not use_paged_kernel:
+        ctx_valid = (jnp.arange(pcfg.max_ctx, dtype=jnp.int32)[None, :]
+                     < lens[:, None])
         ctx_seg = ctx_valid.astype(jnp.int32)               # [B, ctx]
         ctx_pos = jnp.broadcast_to(
             jnp.arange(pcfg.max_ctx, dtype=jnp.int32)[None], ctx_seg.shape)
-        layer_ctx = (params["layers"], ks, vs)
 
     def scan_body(x, layer_in):
         lp, k_ctx, v_ctx = layer_in
@@ -436,12 +440,14 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
                 q[:, 0], k_new[:, 0], v_new[:, 0], k_ctx, v_ctx,
                 table, lens, cfg)[:, None]
         else:
+            # gather THIS layer's pages dense: [B, P, page, KD] ->
+            # [B, ctx, KH, hd] (invalid tail masked via ctx_seg)
+            kc = k_ctx[table].reshape(B, pcfg.max_ctx, cfg.n_kv_heads, hd)
+            vc = v_ctx[table].reshape(B, pcfg.max_ctx, cfg.n_kv_heads, hd)
             # context + the chunk itself (intra-chunk attention is causal
             # via the positional comparison below)
-            k_all = jnp.concatenate([k_ctx, k_new.astype(k_ctx.dtype)],
-                                    axis=1)
-            v_all = jnp.concatenate([v_ctx, v_new.astype(v_ctx.dtype)],
-                                    axis=1)
+            k_all = jnp.concatenate([kc, k_new.astype(kc.dtype)], axis=1)
+            v_all = jnp.concatenate([vc, v_new.astype(vc.dtype)], axis=1)
             seg_all = jnp.concatenate([ctx_seg, seg_ids], axis=1)
             pos_all = jnp.concatenate([ctx_pos, positions], axis=1)
             if T == 1:
