@@ -36,6 +36,14 @@ def main():
                    help="run the quantization quality probe (logit cosine "
                         "+ CE delta vs bf16) and gate the result")
     p.add_argument("--no-quality", dest="quality", action="store_false")
+    p.add_argument("--paged", action="store_true",
+                   help="decode on the paged KV pool (the production "
+                        "serving path, inference/serving.py) instead of "
+                        "the dense per-request cache — the dense path "
+                        "pays two full-cache copies per step (donation "
+                        "misses, profiled 1.2 ms at 6B) that the pool's "
+                        "in-place page writes avoid")
+    p.add_argument("--page_size", type=int, default=64)
     args = p.parse_args()
     if args.dim < 128 or args.dim % 128:
         p.error(f"--dim must be a multiple of 128 (head_dim=128), "
@@ -111,39 +119,85 @@ def main():
     # while_loop whole-program compile is minutes over the remote tunnel)
     max_len = L + args.gen_big + 8
 
-    # params must be ARGUMENTS, not closure captures: captured arrays embed
-    # as HLO constants and the remote-compile request body explodes
-    # (HTTP 413 on the tunnel)
-    @jax.jit
-    def prefill(params, b):
-        cache = llama_mod.init_kv_cache(cfg.llama, B, max_len=max_len)
-        out = unified.forward(params, cfg, b, kv_cache=cache)
-        nxt = jnp.argmax(out["logits"][:, -1], -1)
-        return nxt, out["kv_cache"]
+    if args.paged:
+        # production serving decode (inference/serving.py hot loop): all
+        # B slots prefilled into the page pool, then one paged_forward
+        # token step with the pool donated — page writes are in place,
+        # no per-step full-cache copies
+        from procyon_tpu.inference import kv_pool
 
-    seg_live = batch["seg_ids"][:, -1:]
+        n_pages_seq = -(-max_len // args.page_size)
+        pcfg = kv_pool.PagedConfig(
+            n_layers=cfg.llama.n_layers, n_kv_heads=cfg.llama.n_kv_heads,
+            head_dim=cfg.llama.head_dim, page_size=args.page_size,
+            n_pages=1 + B * n_pages_seq, max_pages_per_seq=n_pages_seq,
+            slots=B, dtype=cfg.llama.dtype)
+        pt = np.zeros((B, n_pages_seq), np.int64)
+        alloc = kv_pool.PageAllocator(pcfg)
+        for s in range(B):
+            pages = alloc.allocate(s, max_len)
+            pt[s] = pages
+        pool0_table = jnp.asarray(pt, jnp.int32)
+        slots = jnp.arange(B, dtype=jnp.int32)
 
-    @functools.partial(jax.jit, donate_argnums=(3,))
-    def step(params, tok, pos, cache):
-        b = {
-            "input_ids": tok[:, None],
-            "seg_ids": seg_live,
-            "positions": pos,
-            "soft_map": jnp.full((B, 1), -1, jnp.int32),
-            "protein_embeds": batch["protein_embeds"],
-        }
-        out = unified.forward(params, cfg, b, kv_cache=cache)
-        return jnp.argmax(out["logits"][:, -1], -1), out["kv_cache"]
+        @jax.jit
+        def pprefill(params, pool, b):
+            emb = unified.assemble_input_embeds(params, cfg, b)
+            logits, pool = llama_mod.paged_forward(
+                params["llama"], cfg.llama, pool, pcfg, slots,
+                input_embeds=emb, seg_ids=b["seg_ids"])
+            return jnp.argmax(logits[:, -1], -1), pool
 
-    def run(n):
-        tok, cache = prefill(params, batch)
-        pos = batch["positions"][:, -1:] + 1
-        t0 = time.perf_counter()
-        for _ in range(n):
-            tok, cache = step(params, tok, pos, cache)
-            pos = pos + 1
-        float(jnp.sum(tok))  # sync
-        return time.perf_counter() - t0
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def pstep(params, tok, pool):
+            logits, pool = llama_mod.paged_forward(
+                params["llama"], cfg.llama, pool, pcfg, slots,
+                tokens=tok[:, None])
+            return jnp.argmax(logits[:, -1], -1), pool
+
+        def run(n):
+            pool = kv_pool.init_pool(pcfg)
+            pool = {**pool, "page_table": pool0_table}
+            tok, pool = pprefill(params, pool, batch)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tok, pool = pstep(params, tok, pool)
+            float(jnp.sum(tok))  # sync
+            return time.perf_counter() - t0
+    else:
+        # params must be ARGUMENTS, not closure captures: captured arrays
+        # embed as HLO constants and the remote-compile request body
+        # explodes (HTTP 413 on the tunnel)
+        @jax.jit
+        def prefill(params, b):
+            cache = llama_mod.init_kv_cache(cfg.llama, B, max_len=max_len)
+            out = unified.forward(params, cfg, b, kv_cache=cache)
+            nxt = jnp.argmax(out["logits"][:, -1], -1)
+            return nxt, out["kv_cache"]
+
+        seg_live = batch["seg_ids"][:, -1:]
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def step(params, tok, pos, cache):
+            b = {
+                "input_ids": tok[:, None],
+                "seg_ids": seg_live,
+                "positions": pos,
+                "soft_map": jnp.full((B, 1), -1, jnp.int32),
+                "protein_embeds": batch["protein_embeds"],
+            }
+            out = unified.forward(params, cfg, b, kv_cache=cache)
+            return jnp.argmax(out["logits"][:, -1], -1), out["kv_cache"]
+
+        def run(n):
+            tok, cache = prefill(params, batch)
+            pos = batch["positions"][:, -1:] + 1
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tok, cache = step(params, tok, pos, cache)
+                pos = pos + 1
+            float(jnp.sum(tok))  # sync
+            return time.perf_counter() - t0
 
     run(2)  # compile + warm
     t_small = min(run(args.gen_small) for _ in range(2))
@@ -154,8 +208,9 @@ def main():
         "metric": "decode_tokens_per_sec_chip",
         "value": round(toks_per_sec, 1),
         "unit": f"tok/s (B{args.batch}, ~{n_params/1e9:.1f}B params, "
-                f"{wtag})",
+                f"{wtag}{', paged' if args.paged else ''})",
         "per_step_ms": round(per_step * 1e3, 2),
+        "backend": "paged" if args.paged else "dense",
     }
     gate_failed = False
     if args.quality and args.quant:
