@@ -230,8 +230,10 @@ def fused_mlp_int8_prequant(x, ln_w, ln_b, w1q, s1, b1, w2q, s2, b2, *,
     row-quant as one XLA elementwise pass (HBM-bandwidth, ~0.4 ms/layer
     at 3B shape), then the int8 matmul kernel at block_m 256 — the
     config the one-pass kernel cannot compile at d>=2048 because its
-    in-kernel LN temporaries blow the scoped-vmem stack. Same numerics
-    as fused_ln_mlp_int8 (identical quant math)."""
+    in-kernel LN temporaries blow the scoped-vmem stack. Same quant
+    math as fused_ln_mlp_int8; the residual is added AFTER the output
+    cast here (one extra rounding per element in low-precision
+    dtypes — the one-pass kernel adds it in f32 before the cast)."""
     M, d = x.shape
     H = w1q.shape[1]
     xq, sx128 = ln_quant_rows_pallas(x, ln_w, ln_b, eps,
@@ -339,8 +341,6 @@ def fused_ln_mlp_int8(x, ln_w, ln_b, w1q, s1, b1, w2q, s2, b2, *,
         # weight-streaming economy.
         if M > 32768:
             block_m = min(block_m, 256)
-    while M % block_m:
-        block_m //= 2
     while M % block_m:
         block_m //= 2
     assert M % block_m == 0 and H % block_n == 0, (M, H, block_n)

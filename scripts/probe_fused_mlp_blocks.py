@@ -59,7 +59,10 @@ def main():
         prequant = spec.startswith("pq")
         bm, bn = (int(v) for v in spec.lstrip("pq").split("x"))
 
-        def f(x, bm=bm, bn=bn, prequant=prequant):
+        # weights as jit ARGUMENTS (captured arrays embed as HLO
+        # constants -> HTTP 413 on the remote compile; CLAUDE.md)
+        def f(x, w1q, s1, b1, w2q, s2, b2, bm=bm, bn=bn,
+              prequant=prequant):
             if prequant:
                 return fused_mlp_int8_prequant(
                     x, ln_w, ln_b, w1q, s1, b1, w2q, s2, b2,
@@ -73,7 +76,7 @@ def main():
                 if a.scoped_kib else None)
         jf = jax.jit(f, compiler_options=opts)
         try:
-            dt = time_fn(jf, x)
+            dt = time_fn(jf, x, w1q, s1, b1, w2q, s2, b2)
         except Exception as e:  # noqa: BLE001 — report and continue probing
             msg = str(e)
             i = msg.find("Scoped allocation")

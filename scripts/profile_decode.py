@@ -40,7 +40,7 @@ def main():
     cfg = unified.UnifiedConfig(
         llama=llama.LlamaConfig(
             vocab_size=32000, dim=a.dim, n_layers=a.layers,
-            n_heads=a.dim // 128, n_kv_heads=max(a.dim // 512, 1),
+            n_heads=a.dim // 128, n_kv_heads=max(a.dim // 256, 1),
             intermediate=int(a.dim * 2.6875),
             max_seq_len=a.prompt_len + 104, dtype=jnp.bfloat16),
         esm=None, protein_embed_dim=64, token_projector_layers=1,

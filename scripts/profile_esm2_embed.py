@@ -56,7 +56,8 @@ def main():
         mask = (tokens != esm2.PAD_IDX).astype(jnp.int32)
         return pool_tokens(out["hidden"], mask, "mean")
 
-    embed(qp, tokens)  # compile + warm
+    e = embed(qp, tokens)  # compile + warm
+    _ = np.asarray(e)      # sync: keep the warm-up out of the trace
     jax.profiler.start_trace(a.trace_dir)
     for _ in range(3):
         e = embed(qp, tokens)
