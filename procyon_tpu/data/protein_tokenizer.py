@@ -88,6 +88,26 @@ def batch_encode(seqs: Sequence[str], *, max_len: int = 1024,
                         num_groups=len(seqs))
 
 
+def bucket_protein_batch(pb: "ProteinBatch", *, width: int,
+                         row_bucket: int = 64) -> "ProteinBatch":
+    """Re-pad a ProteinBatch to jit-stable shapes: token width pinned to
+    `width` (= max_len + 2 for cls/eos) and rows rounded UP to a multiple
+    of `row_bucket`. batch_encode emits exact shapes (width tracks the
+    longest row; rows track chunk splits), which would recompile the
+    all-protein eval sweeps once per distinct shape on the remote TPU."""
+    R, W = pb.tokens.shape
+    assert W <= width, (W, width)
+    Rb = -(-max(R, 1) // row_bucket) * row_bucket
+    tokens = np.full((Rb, width), PAD_IDX, np.int32)
+    tokens[:R, :W] = pb.tokens
+    group_ids = np.zeros((Rb,), np.int32)
+    group_ids[:R] = pb.group_ids
+    row_valid = np.zeros((Rb,), np.float32)
+    row_valid[:R] = pb.row_valid
+    return ProteinBatch(tokens=tokens, group_ids=group_ids,
+                        row_valid=row_valid, num_groups=pb.num_groups)
+
+
 def mask_for_mlm(tokens: np.ndarray, rng: np.random.Generator, *,
                  mask_prob: float = 0.15) -> Tuple[np.ndarray, np.ndarray]:
     """BERT-style masking (ProteinMLMCollator._mask_tokens,

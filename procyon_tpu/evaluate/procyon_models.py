@@ -68,24 +68,30 @@ class ProcyonRetrievalEval(AbstractRetrievalModel):
             if list(blob["order"]) == list(target_order):
                 return blob["embeds"]
         embeds = []
+        embed = (unified.protein_embed_fn(self.cfg)
+                 if self.cfg.esm is not None else None)
         for i in range(0, len(target_order), 256):
             chunk = target_order[i:i + 256]
             if self.cfg.esm is not None:
                 from procyon_tpu.data import protein_tokenizer as pt
 
-                pb = pt.batch_encode(
-                    [self.store.protein_sequence(a) for a in chunk],
-                    max_len=self.ccfg.max_protein_len)
-                raw = unified.encode_proteins(
-                    self.params, self.cfg, jnp.asarray(pb.tokens),
-                    group_ids=jnp.asarray(pb.group_ids),
-                    num_groups=pb.num_groups,
-                    row_valid=jnp.asarray(pb.row_valid))
+                # jitted sweep with width pinned + rows bucketed so
+                # chunk-split variation doesn't recompile per chunk
+                # (unified.protein_embed_fn)
+                pb = pt.bucket_protein_batch(
+                    pt.batch_encode(
+                        [self.store.protein_sequence(a) for a in chunk],
+                        max_len=self.ccfg.max_protein_len),
+                    width=self.ccfg.max_protein_len + 2)
+                emb = embed(self.params, jnp.asarray(pb.tokens),
+                            jnp.asarray(pb.group_ids),
+                            jnp.asarray(pb.row_valid),
+                            pb.tokens.shape[0])[:pb.num_groups]
             else:
                 raw = jnp.asarray(np.stack(
                     [self.store.protein_embedding(a) for a in chunk]))
-            emb = unified.target_protein_embeddings(self.params, self.cfg,
-                                                    raw)
+                emb = unified.target_protein_embeddings(self.params,
+                                                        self.cfg, raw)
             embeds.append(np.asarray(emb, np.float32))
         embeds = np.concatenate(embeds, 0)
         if self.target_cache_path:

@@ -158,6 +158,43 @@ def encode_proteins(params, cfg: UnifiedConfig, protein_tokens, *,
     return pooled
 
 
+_PROTEIN_EMBED_JITS: dict = {}
+
+
+def protein_embed_fn(cfg: UnifiedConfig):
+    """Cached jitted (params, tokens, group_ids, row_valid, num_groups) ->
+    shared-projector target embeddings, for the all-protein eval sweeps.
+
+    Eager `encode_proteins` per chunk is fine on CPU but pathological on
+    the remote-TPU runtime (per-op dispatch); this compiles the whole
+    encode+pool+regroup+project chain once per (config, shape bucket) —
+    callers keep shapes stable via `batch_encode(pad_rows_to=...)` and
+    fixed chunk sizes. W8A8 towers at dim>=2048 opt into the fused-MLP
+    big-block config with its paired compiler options
+    (esm2.big_block_serving)."""
+    fn = _PROTEIN_EMBED_JITS.get(cfg)
+    if fn is None:
+        import jax
+
+        opts = None
+        cfg2 = cfg
+        if cfg.esm is not None:
+            ecfg, opts = esm2.big_block_serving(cfg.esm)
+            cfg2 = dataclasses.replace(cfg, esm=ecfg)
+
+        def f(params, tokens, group_ids, row_valid, num_groups):
+            raw = encode_proteins(params, cfg2, tokens,
+                                  group_ids=group_ids,
+                                  num_groups=num_groups,
+                                  row_valid=row_valid)
+            return target_protein_embeddings(params, cfg2, raw)
+
+        fn = jax.jit(f, static_argnames=("num_groups",),
+                     compiler_options=opts)
+        _PROTEIN_EMBED_JITS[cfg] = fn
+    return fn
+
+
 def protein_mlm_logits(params, cfg: UnifiedConfig, protein_tokens):
     return esm2.forward(params["esm"], cfg.esm, protein_tokens,
                         return_logits=True)["logits"]

@@ -32,23 +32,29 @@ def all_protein_target_embeddings(params, cfg: unified.UnifiedConfig,
     import jax.numpy as jnp
 
     out = []
+    embed = unified.protein_embed_fn(cfg) if cfg.esm is not None else None
     for i in range(0, len(protein_ids), batch):
         chunk = protein_ids[i:i + batch]
         if cfg.esm is not None:
             from procyon_tpu import native
+            from procyon_tpu.data.protein_tokenizer import \
+                bucket_protein_batch
 
-            pb = native.batch_encode(
-                [store.protein_sequence(a) for a in chunk],
-                max_len=max_protein_len)
-            raw = unified.encode_proteins(
-                params, cfg, jnp.asarray(pb.tokens),
-                group_ids=jnp.asarray(pb.group_ids),
-                num_groups=pb.tokens.shape[0],
-                row_valid=jnp.asarray(pb.row_valid))[:pb.num_groups]
+            # width pinned + rows bucketed so the jitted sweep compiles
+            # once, not per chunk shape (chunk splits vary row counts)
+            pb = bucket_protein_batch(
+                native.batch_encode(
+                    [store.protein_sequence(a) for a in chunk],
+                    max_len=max_protein_len),
+                width=max_protein_len + 2)
+            emb = embed(params, jnp.asarray(pb.tokens),
+                        jnp.asarray(pb.group_ids),
+                        jnp.asarray(pb.row_valid),
+                        pb.tokens.shape[0])[:pb.num_groups]
         else:
             raw = jnp.asarray(np.stack(
                 [store.protein_embedding(a) for a in chunk]))
-        emb = unified.target_protein_embeddings(params, cfg, raw)
+            emb = unified.target_protein_embeddings(params, cfg, raw)
         out.append(np.asarray(emb, np.float32))
     return np.concatenate(out, 0)
 

@@ -77,6 +77,32 @@ class TestUnified:
         assert emb.shape == (3, self.cfg.esm.dim)
         assert np.isfinite(np.asarray(emb)).all()
 
+    def test_protein_embed_fn_matches_eager_sweep(self, rng):
+        """The jitted all-protein sweep (protein_embed_fn over a
+        shape-bucketed batch) must equal the eager
+        encode_proteins + target_protein_embeddings chain, including
+        chunk-split regrouping and bucket-pad rows."""
+        from procyon_tpu.data import protein_tokenizer as pt
+
+        seqs = ["".join("ACDEFGHIKL"[i % 10] for i in range(n))
+                for n in (5, 23, 9)]  # middle one splits at max_len 16
+        pb = pt.batch_encode(seqs, max_len=16)
+        eager = unified.target_protein_embeddings(
+            self.params, self.cfg, unified.encode_proteins(
+                self.params, self.cfg, jnp.asarray(pb.tokens),
+                group_ids=jnp.asarray(pb.group_ids),
+                num_groups=pb.num_groups,
+                row_valid=jnp.asarray(pb.row_valid)))
+        pbb = pt.bucket_protein_batch(pb, width=18, row_bucket=8)
+        assert pbb.tokens.shape == (8, 18)
+        fn = unified.protein_embed_fn(self.cfg)
+        jitted = fn(self.params, jnp.asarray(pbb.tokens),
+                    jnp.asarray(pbb.group_ids),
+                    jnp.asarray(pbb.row_valid),
+                    pbb.tokens.shape[0])[:pbb.num_groups]
+        np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager),
+                                   atol=2e-5, rtol=2e-5)
+
     def test_mlm_logits(self, rng):
         tokens = jnp.asarray(
             [[esm2.CLS_IDX, 5, esm2.MASK_IDX, 7, esm2.EOS_IDX]], jnp.int32)
