@@ -9,9 +9,16 @@ of n_seqs x max_len, and new requests join mid-flight without recompiling
 (continuous batching).
 
 Layout (all static shapes, jit-friendly):
-  pool k/v : [L, n_pages, page_size, Hkv*D]  — flat lane layout like the
-             packed attention kernels
-  page_table : [slots, max_pages]  int32 (pool page id per logical page)
+  pool k/v : [L * n_pages, page_size, Hkv*D]  — flat lane layout like the
+             packed attention kernels. The layer axis is FLATTENED into
+             the page axis (layer l's page p lives at row l*n_pages + p):
+             per-layer access is then a single gather with offset page
+             indices instead of a dynamic-slice of the whole layer
+             (profiled: the [L, P, page, KD] layout cost 1.2 ms/step of
+             a 13.8 ms Llama-8B-class decode step copying each layer's
+             full 12.8 MB pool slab before gathering 48 pages out of it).
+  page_table : [slots, max_pages]  int32 (PER-LAYER page id 0..n_pages-1;
+               consumers add l*n_pages for layer l)
   seq_len    : [slots] int32 (tokens cached; 0 = slot empty)
 
 Decode gathers each slot's pages with one XLA gather per layer — HBM
@@ -49,9 +56,9 @@ class PagedConfig:
 
 def init_pool(cfg: PagedConfig) -> Dict:
     return {
-        "k": jnp.zeros((cfg.n_layers, cfg.n_pages, cfg.page_size,
+        "k": jnp.zeros((cfg.n_layers * cfg.n_pages, cfg.page_size,
                         cfg.kv_dim), cfg.dtype),
-        "v": jnp.zeros((cfg.n_layers, cfg.n_pages, cfg.page_size,
+        "v": jnp.zeros((cfg.n_layers * cfg.n_pages, cfg.page_size,
                         cfg.kv_dim), cfg.dtype),
         "page_table": jnp.zeros((cfg.slots, cfg.max_pages_per_seq),
                                 jnp.int32),
@@ -101,14 +108,13 @@ def write_tokens(pool: Dict, cfg: PagedConfig, layer_k, layer_v, slot_ids,
     table = pool["page_table"][slot_ids]                         # [B, P]
     page = jnp.take_along_axis(
         table, jnp.clip(logical, 0, cfg.max_pages_per_seq - 1), axis=1)
-    # flatten scatter indices: [L, B*T] over (page, offset)
+    # flatten scatter indices: [L*B*T] flat-pool rows (l*n_pages + page)
     page_f = jnp.broadcast_to(page[None], (L, B, T)).reshape(L, -1)
-    off_f = jnp.broadcast_to(offset[None], (L, B, T)).reshape(L, -1)
-    l_idx = jnp.broadcast_to(jnp.arange(L)[:, None], (L, B * T))
-    k = pool["k"].at[l_idx, page_f, off_f].set(
-        layer_k.reshape(L, -1, KD))
-    v = pool["v"].at[l_idx, page_f, off_f].set(
-        layer_v.reshape(L, -1, KD))
+    off_f = jnp.broadcast_to(offset[None], (L, B, T)).reshape(-1)
+    l_off = jnp.arange(L, dtype=page_f.dtype)[:, None] * cfg.n_pages
+    flat_page = (page_f + l_off).reshape(-1)
+    k = pool["k"].at[flat_page, off_f].set(layer_k.reshape(-1, KD))
+    v = pool["v"].at[flat_page, off_f].set(layer_v.reshape(-1, KD))
     return {**pool, "k": k, "v": v}
 
 
@@ -117,8 +123,15 @@ def gather_kv(pool: Dict, cfg: PagedConfig, slot_ids, layer: Optional[int]
     """Gather each slot's cached K/V back to dense [L?, B, max_ctx, Hkv*D]
     plus a validity mask [B, max_ctx]. One XLA gather over the page dim."""
     table = pool["page_table"][slot_ids]                         # [B, P]
-    k = pool["k"][:, table] if layer is None else pool["k"][layer][table]
-    v = pool["v"][:, table] if layer is None else pool["v"][layer][table]
+    if layer is None:
+        k4 = pool["k"].reshape(cfg.n_layers, cfg.n_pages, cfg.page_size,
+                               cfg.kv_dim)
+        v4 = pool["v"].reshape(cfg.n_layers, cfg.n_pages, cfg.page_size,
+                               cfg.kv_dim)
+        k, v = k4[:, table], v4[:, table]
+    else:
+        idx = layer * cfg.n_pages + table
+        k, v = pool["k"][idx], pool["v"][idx]
     # [L, B, P, page, KD] -> [L, B, max_ctx, KD]
     if layer is None:
         L = k.shape[0]

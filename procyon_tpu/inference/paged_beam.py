@@ -108,14 +108,19 @@ def _beam_tables(plan: _BeamPlan, pcfg: kv_pool.PagedConfig, beam: int):
     return tables
 
 
-def _copy_pages(pool, src_pages, dst_pages):
-    """pool k/v [L, n_pages, page, KD]: copy page src -> dst per entry."""
-    k = pool["k"].at[:, dst_pages].set(pool["k"][:, src_pages])
-    v = pool["v"].at[:, dst_pages].set(pool["v"][:, src_pages])
-    return {**pool, "k": k, "v": v}
+def _copy_pages(pool, n_pages, src_pages, dst_pages):
+    """pool k/v [L*n_pages, page, KD] (flat layer-major rows): copy page
+    src -> dst per entry, in every layer. The per-layer permutation is
+    applied on a free [L, n_pages, ...] reshape view."""
+
+    def move(arr):
+        a4 = arr.reshape(-1, n_pages, *arr.shape[1:])
+        return a4.at[:, dst_pages].set(a4[:, src_pages]).reshape(arr.shape)
+
+    return {**pool, "k": move(pool["k"]), "v": move(pool["v"])}
 
 
-def _copy_pages_matmul(pool, src_pages, dst_pages):
+def _copy_pages_matmul(pool, n_pages, src_pages, dst_pages):
     """_copy_pages as one one-hot matmul over the page axis.
 
     XLA lowers the gather+scatter form to sequential per-page while
@@ -126,13 +131,12 @@ def _copy_pages_matmul(pool, src_pages, dst_pages):
     contraction the MXU streams at full rate. 0/1 weights copy bf16
     values exactly. dst pages must be distinct (each beam slot's own
     private page — guaranteed by the page plan); src may repeat."""
-    n_pages = pool["k"].shape[1]
     m = jnp.eye(n_pages, dtype=pool["k"].dtype)
     m = m.at[:, dst_pages].set(0.0)
     m = m.at[src_pages, dst_pages].set(1.0)
 
     def move(arr):
-        flat = arr.reshape(arr.shape[0], n_pages, -1)      # [L, P, X]
+        flat = arr.reshape(-1, n_pages, int(np.prod(arr.shape[1:])))
         out = jax.lax.dot_general(
             m, flat, dimension_numbers=(((0,), (1,)), ((), ())))
         # dot_general output is [P_out, L, X]; restore [L, P, X]
@@ -210,8 +214,9 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
                 src.append(plan.prompt_pages[r, plan.g0[r]])
                 dst.append(plan.private[s, 0])
     if src:
-        pool = jax.jit(_copy_pages)(pool, jnp.asarray(src, jnp.int32),
-                                    jnp.asarray(dst, jnp.int32))
+        pool = jax.jit(_copy_pages, static_argnums=1)(
+            pool, pcfg.n_pages, jnp.asarray(src, jnp.int32),
+            jnp.asarray(dst, jnp.int32))
     seq_len = np.repeat(lens, beam)
     pool = {**pool, "page_table": jnp.asarray(tables, jnp.int32),
             "seq_len": jnp.asarray(seq_len, jnp.int32)}
@@ -277,10 +282,10 @@ def paged_beam_step(params, cfg: unified.UnifiedConfig,
     # fall back to scatter).
     src = jnp.take_along_axis(parent_table, cur_idx[:, None], axis=1)[:, 0]
     dst = jnp.take_along_axis(new_table, cur_idx[:, None], axis=1)[:, 0]
-    if pool["k"].shape[1] <= 4 * dst.shape[0]:
-        pool = _copy_pages_matmul(pool, src, dst)
+    if pcfg.n_pages <= 4 * dst.shape[0]:
+        pool = _copy_pages_matmul(pool, pcfg.n_pages, src, dst)
     else:
-        pool = _copy_pages(pool, src, dst)
+        pool = _copy_pages(pool, pcfg.n_pages, src, dst)
     pool = {**pool, "page_table": new_table}
 
     # one paged decode token for every slot

@@ -18,6 +18,7 @@ mechanical converter (models/checkpoint_convert.py).
 """
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import jax
@@ -148,6 +149,18 @@ def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
                            positions, cache_pos):
     """One-token attention over the cache. q [B,1,Hq,D]; cache [B,S,Hkv,D].
 
+    The cache is consumed in its NATURAL flat-lane layout [B,S,Hkv*D]
+    (a free reshape of a contiguous cache or of gathered KV pages).
+    Scores use a block-diagonal query — head h's vector occupies kv-head
+    h//group's D-lane slice, zeros elsewhere — so the contraction runs
+    over all Hkv*D lanes per head. That is Hkv× the minimal score FLOPs,
+    but single-token decode is bandwidth-bound (the MXU is idle) and it
+    stops XLA from inserting head-major relayout copies of the whole
+    gathered cache (profiled: 1.9 ms of a 13.8 ms Llama-8B-class paged
+    step were [B,S,Hkv,D] {3,2,1,0}→{3,1,2,0} copies feeding the
+    head-batched einsum). Zero lanes contribute exact fp zeros, so the
+    math is unchanged up to summation order.
+
     Masking matches the flash kernel: same segment, nonzero, and cached
     position <= query position."""
     import math
@@ -155,15 +168,25 @@ def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
     B, _, Hq, D = q.shape
     _, S, Hkv, _ = cache_k.shape
     group = Hq // Hkv
-    qh = q[:, 0].reshape(B, Hkv, group, D).astype(jnp.float32)
-    kf = cache_k.astype(jnp.float32)  # [B,S,Hkv,D]
-    s = jnp.einsum("bhgd,bshd->bhgs", qh, kf) / math.sqrt(D)
+    qh = q[:, 0].reshape(B, Hkv, group, D)
+    eye = jnp.eye(Hkv, dtype=qh.dtype)
+    q_bd = jnp.einsum("bkgd,kj->bkgjd", qh, eye).reshape(B, Hq, Hkv * D)
+    kf = cache_k.reshape(B, S, Hkv * D)
+    s = jax.lax.dot_general(
+        q_bd, kf, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) / math.sqrt(D)   # [B,Hq,S]
     allowed = (cache_seg == seg_ids[:, :1]) & (cache_seg > 0) & \
         (cache_pos <= positions[:, :1])  # [B, S]
-    s = jnp.where(allowed[:, None, None, :], s, -1e30)
+    s = jnp.where(allowed[:, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhgs,bshd->bhgd", p, cache_v.astype(jnp.float32))
-    return out.reshape(B, 1, Hq, D).astype(q.dtype)
+    vf = cache_v.reshape(B, S, Hkv * D)
+    out = jax.lax.dot_general(
+        p.astype(vf.dtype), vf, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [B,Hq,Hkv*D]
+    # pick each head's own kv-head slice back out (tiny contraction)
+    sel = jnp.repeat(jnp.eye(Hkv, dtype=out.dtype), group, axis=0)
+    out = jnp.einsum("bhkd,hk->bhd", out.reshape(B, Hq, Hkv, D), sel)
+    return out[:, None].astype(q.dtype)
 
 
 def _paged_attention_with_self(q, k_new, v_new, k_pool_l, v_pool_l, table,
@@ -176,16 +199,28 @@ def _paged_attention_with_self(q, k_new, v_new, k_pool_l, v_pool_l, table,
     Returns [B, Hq, D]."""
     import math
 
-    from procyon_tpu.ops.paged_attention import paged_decode_attention
+    from procyon_tpu.ops.paged_attention import (
+        paged_decode_attention_fullpage)
 
     B, Hq, D = q.shape
     Hkv = k_new.shape[1]
     group = Hq // Hkv
-    out_ctx, lse = paged_decode_attention(
-        q.reshape(B, Hq * D), k_pool_l, v_pool_l, table, lens,
+    # block-diagonal queries (see _decode_attention_step): head h's
+    # vector occupies kv-head h//group's D-lane slice, so the kernel's
+    # page DMAs stay full-lane contiguous and one MXU pass serves all
+    # heads per page
+    qh = q.reshape(B, Hkv, group, D)
+    eye = jnp.eye(Hkv, dtype=qh.dtype)
+    q_bd = jnp.einsum("bkgd,kj->bkgjd", qh, eye).reshape(B, Hq, Hkv * D)
+    out_bd, lse = paged_decode_attention_fullpage(
+        q_bd, k_pool_l, v_pool_l, table, lens,
         n_kv_heads=Hkv, head_dim=D,
         interpret=cfg.attn_backend == "interpret")
-    qg = q.reshape(B, Hkv, group, D).astype(jnp.float32)
+    sel = jnp.repeat(jnp.eye(Hkv, dtype=jnp.float32), group, axis=0)
+    out_ctx = jnp.einsum("bhkd,hk->bhd",
+                         out_bd.reshape(B, Hq, Hkv, D).astype(jnp.float32),
+                         sel)
+    qg = qh.astype(jnp.float32)
     s_self = jnp.einsum("bhgd,bhd->bhg", qg,
                         k_new.astype(jnp.float32)) / math.sqrt(D)
     s_self = s_self.reshape(B, Hq)
@@ -193,7 +228,7 @@ def _paged_attention_with_self(q, k_new, v_new, k_pool_l, v_pool_l, table,
     w_ctx = jnp.exp(lse - m)
     w_self = jnp.exp(s_self - m)
     v_self = jnp.repeat(v_new.astype(jnp.float32), group, axis=1)  # [B,Hq,D]
-    out = (w_ctx[..., None] * out_ctx.reshape(B, Hq, D).astype(jnp.float32)
+    out = (w_ctx[..., None] * out_ctx
            + w_self[..., None] * v_self) / (w_ctx + w_self)[..., None]
     return out.astype(q.dtype)
 
@@ -389,28 +424,38 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     cos_q, sin_q, perm_q, cos_k, sin_k, perm_k = rot
 
     # one-token decode walks the page table inside a Pallas kernel
-    # (ops/paged_attention.py): pages are read once, never copied into a
-    # dense context buffer. Chunked prefill (T > 1) and the reference CPU
-    # backend keep the gather + flash path. At SHORT max contexts the
-    # kernel's per-(slot, head, page) grid overhead exceeds the per-layer
-    # dense gather it avoids (measured: 16 ms/step of a 41 ms paged-beam
-    # step at 3x64-token pages), so small pools take the gather path; the
-    # kernel wins from ~512 cached tokens (round-2 measurement: 9.55 vs
-    # 14.09 ms at 2048-ctx).
+    # (ops/paged_attention.py fullpage variant): each page is DMA'd ONCE
+    # as a contiguous all-heads [page, Hkv*D] slab and never copied into
+    # a dense context buffer — half the HBM traffic of the gather path.
+    # Chunked prefill (T > 1) and the reference CPU backend keep the
+    # gather + flash path. At SHORT contexts the gather path wins
+    # slightly (measured at 360-ctx 6.6B shapes: gather 11.82 vs kernel
+    # 12.09 ms/step at B8 — the flat-pool XLA gather runs near HBM
+    # bandwidth and the kernel's per-cell latency isn't amortized over
+    # few pages); at 2048-ctx they tie (14.31 vs 14.25 at B4) and the
+    # kernel's one-pass traffic (no dense-context write+read) is the
+    # asymptotic winner beyond, so long-context pools take the kernel.
+    _kern_env = os.environ.get("PROCYON_PAGED_KERNEL", "auto")
     use_paged_kernel = (T == 1 and cfg.attn_backend != "ref"
-                        and hd % 128 == 0
+                        and (cfg.n_kv_heads * hd) % 128 == 0
                         and (pcfg.max_ctx >= 512
-                             or cfg.attn_backend == "interpret"))
-    # BOTH paths scan over the pool's layer axis directly. The gather
-    # path used to pre-gather a dense [L, B, ctx, KD] KV for every layer
-    # at once — at 34 layers x 40 slots x 192 ctx that is a 535 MB
-    # buffer per side, and XLA then paid a full relayout copy of each
-    # (2 x 1.3 ms/step profiled) plus the build loops. Gathering THIS
-    # layer's pages inside the scan body moves the same per-layer bytes
-    # with no all-layers buffer and no relayout.
+                             or cfg.attn_backend == "interpret"
+                             or _kern_env == "1")
+                        and _kern_env != "0")
+    # BOTH paths gather per layer INSIDE the scan body. The gather path
+    # used to pre-gather a dense [L, B, ctx, KD] KV for every layer at
+    # once — at 34 layers x 40 slots x 192 ctx that is a 535 MB buffer
+    # per side, and XLA then paid a full relayout copy of each (2 x
+    # 1.3 ms/step profiled) plus the build loops. The pool's layer axis
+    # is flattened into the page axis (kv_pool layout note), so each
+    # layer is ONE gather with offset page indices — scanning the pool
+    # as xs would instead dynamic-slice a full 12.8 MB layer slab per
+    # layer before gathering 48 pages from it (profiled 1.2 ms/step).
     table = pool["page_table"][slot_ids]                    # [B, P]
     lens = pool["seq_len"][slot_ids]
-    layer_ctx = (params["layers"], pool["k"], pool["v"])
+    pool_k, pool_v = pool["k"], pool["v"]
+    layer_ctx = (params["layers"],
+                 jnp.arange(cfg.n_layers, dtype=jnp.int32) * pcfg.n_pages)
     if not use_paged_kernel:
         ctx_valid = (jnp.arange(pcfg.max_ctx, dtype=jnp.int32)[None, :]
                      < lens[:, None])
@@ -419,7 +464,8 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
             jnp.arange(pcfg.max_ctx, dtype=jnp.int32)[None], ctx_seg.shape)
 
     def scan_body(x, layer_in):
-        lp, k_ctx, v_ctx = layer_in
+        lp, page_off = layer_in
+        table_l = page_off + table                          # [B, P] flat
         h = rms_norm(x, lp["attn_norm"], eps=cfg.norm_eps)
         q_flat = _mm(h, lp["attn"]["wq"])
         v_flat = _mm(h, lp["attn"]["wv"])
@@ -435,15 +481,19 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
         v_new = v_flat.reshape(B, T, cfg.n_kv_heads, hd)
 
         if use_paged_kernel:
-            # k_ctx/v_ctx are this layer's raw page pools here
+            # the kernel walks the flat pool via the offset table
             attn = _paged_attention_with_self(
-                q[:, 0], k_new[:, 0], v_new[:, 0], k_ctx, v_ctx,
-                table, lens, cfg)[:, None]
+                q[:, 0], k_new[:, 0], v_new[:, 0], pool_k, pool_v,
+                table_l, lens, cfg)[:, None]
         else:
-            # gather THIS layer's pages dense: [B, P, page, KD] ->
-            # [B, ctx, KH, hd] (invalid tail masked via ctx_seg)
-            kc = k_ctx[table].reshape(B, pcfg.max_ctx, cfg.n_kv_heads, hd)
-            vc = v_ctx[table].reshape(B, pcfg.max_ctx, cfg.n_kv_heads, hd)
+            # gather THIS layer's pages dense, kept in the natural flat
+            # lane layout [B, ctx, KD] (invalid tail masked via ctx_seg;
+            # _decode_attention_step consumes flat lanes — no head-split
+            # relayout)
+            kc = pool_k[table_l].reshape(
+                B, pcfg.max_ctx, cfg.n_kv_heads, hd)
+            vc = pool_v[table_l].reshape(
+                B, pcfg.max_ctx, cfg.n_kv_heads, hd)
             # context + the chunk itself (intra-chunk attention is causal
             # via the positional comparison below)
             k_all = jnp.concatenate([kc, k_new.astype(kc.dtype)], axis=1)

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt_len", type=int, default=256)
     ap.add_argument("--bits", type=int, default=8)
+    ap.add_argument("--paged", action="store_true",
+                    help="profile the paged-pool serving step instead of "
+                         "the dense-cache step")
+    ap.add_argument("--page_size", type=int, default=64)
     ap.add_argument("--trace_dir", default="/tmp/decode_prof")
     a = ap.parse_args()
 
@@ -75,40 +79,85 @@ def main():
     }
     max_len = L + 104
 
-    @jax.jit
-    def prefill(params, b):
-        cache = llama.init_kv_cache(cfg.llama, B, max_len=max_len)
-        out = unified.forward(params, cfg, b, kv_cache=cache)
-        return jnp.argmax(out["logits"][:, -1], -1), out["kv_cache"]
+    if a.paged:
+        from procyon_tpu.inference import kv_pool
+        from procyon_tpu.models import llama as llama_mod
 
-    seg_live = batch["seg_ids"][:, -1:]
+        n_pages_seq = -(-max_len // a.page_size)
+        pcfg = kv_pool.PagedConfig(
+            n_layers=cfg.llama.n_layers, n_kv_heads=cfg.llama.n_kv_heads,
+            head_dim=cfg.llama.head_dim, page_size=a.page_size,
+            n_pages=1 + B * n_pages_seq, max_pages_per_seq=n_pages_seq,
+            slots=B, dtype=cfg.llama.dtype)
+        pt = np.zeros((B, n_pages_seq), np.int64)
+        alloc = kv_pool.PageAllocator(pcfg)
+        for s in range(B):
+            pt[s] = alloc.allocate(s, max_len)
+        slots = jnp.arange(B, dtype=jnp.int32)
 
-    @functools.partial(jax.jit, donate_argnums=(3,))
-    def step(params, tok, pos, cache):
-        b = {
-            "input_ids": tok[:, None],
-            "seg_ids": seg_live,
-            "positions": pos,
-            "soft_map": jnp.full((B, 1), -1, jnp.int32),
-            "protein_embeds": batch["protein_embeds"],
-        }
-        out = unified.forward(params, cfg, b, kv_cache=cache)
-        return jnp.argmax(out["logits"][:, -1], -1), out["kv_cache"]
+        @jax.jit
+        def pprefill(params, pool, b):
+            emb = unified.assemble_input_embeds(params, cfg, b)
+            logits, pool = llama_mod.paged_forward(
+                params["llama"], cfg.llama, pool, pcfg, slots,
+                input_embeds=emb, seg_ids=b["seg_ids"])
+            return jnp.argmax(logits[:, -1], -1), pool
 
-    tok, cache = prefill(params, batch)
-    pos = batch["positions"][:, -1:] + 1
-    for _ in range(2):  # warm both jits
-        tok, cache = step(params, tok, pos, cache)
-        pos = pos + 1
-    float(jnp.sum(tok))
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def pstep(params, tok, pool):
+            logits, pool = llama_mod.paged_forward(
+                params["llama"], cfg.llama, pool, pcfg, slots,
+                tokens=tok[:, None])
+            return jnp.argmax(logits[:, -1], -1), pool
 
-    os.system(f"rm -rf {a.trace_dir}")
-    jax.profiler.start_trace(a.trace_dir)
-    for _ in range(3):
-        tok, cache = step(params, tok, pos, cache)
-        pos = pos + 1
-    float(jnp.sum(tok))
-    jax.profiler.stop_trace()
+        pool = kv_pool.init_pool(pcfg)
+        pool = {**pool, "page_table": jnp.asarray(pt, jnp.int32)}
+        tok, pool = pprefill(params, pool, batch)
+        for _ in range(2):
+            tok, pool = pstep(params, tok, pool)
+        float(jnp.sum(tok))
+
+        os.system(f"rm -rf {a.trace_dir}")
+        jax.profiler.start_trace(a.trace_dir)
+        for _ in range(3):
+            tok, pool = pstep(params, tok, pool)
+        float(jnp.sum(tok))
+        jax.profiler.stop_trace()
+    else:
+        @jax.jit
+        def prefill(params, b):
+            cache = llama.init_kv_cache(cfg.llama, B, max_len=max_len)
+            out = unified.forward(params, cfg, b, kv_cache=cache)
+            return jnp.argmax(out["logits"][:, -1], -1), out["kv_cache"]
+
+        seg_live = batch["seg_ids"][:, -1:]
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def step(params, tok, pos, cache):
+            b = {
+                "input_ids": tok[:, None],
+                "seg_ids": seg_live,
+                "positions": pos,
+                "soft_map": jnp.full((B, 1), -1, jnp.int32),
+                "protein_embeds": batch["protein_embeds"],
+            }
+            out = unified.forward(params, cfg, b, kv_cache=cache)
+            return jnp.argmax(out["logits"][:, -1], -1), out["kv_cache"]
+
+        tok, cache = prefill(params, batch)
+        pos = batch["positions"][:, -1:] + 1
+        for _ in range(2):  # warm both jits
+            tok, cache = step(params, tok, pos, cache)
+            pos = pos + 1
+        float(jnp.sum(tok))
+
+        os.system(f"rm -rf {a.trace_dir}")
+        jax.profiler.start_trace(a.trace_dir)
+        for _ in range(3):
+            tok, cache = step(params, tok, pos, cache)
+            pos = pos + 1
+        float(jnp.sum(tok))
+        jax.profiler.stop_trace()
 
     paths = glob.glob(os.path.join(
         a.trace_dir, "plugins/profile/*/*.trace.json.gz"))

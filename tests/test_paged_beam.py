@@ -179,15 +179,15 @@ class TestCopyPagesMatmul:
         semantics bit-exactly (0/1 bf16 weights copy values exactly),
         including repeated sources feeding distinct destinations."""
         pool = {
-            "k": jnp.asarray(rng.standard_normal((3, 9, 4, 8)),
+            "k": jnp.asarray(rng.standard_normal((3 * 9, 4, 8)),
                              jnp.bfloat16),
-            "v": jnp.asarray(rng.standard_normal((3, 9, 4, 8)),
+            "v": jnp.asarray(rng.standard_normal((3 * 9, 4, 8)),
                              jnp.bfloat16),
         }
         src = jnp.asarray([2, 2, 5], jnp.int32)
         dst = jnp.asarray([6, 7, 8], jnp.int32)
-        a = paged_beam._copy_pages(pool, src, dst)
-        b = paged_beam._copy_pages_matmul(pool, src, dst)
+        a = paged_beam._copy_pages(pool, 9, src, dst)
+        b = paged_beam._copy_pages_matmul(pool, 9, src, dst)
         for key in ("k", "v"):
             np.testing.assert_array_equal(np.asarray(a[key]),
                                           np.asarray(b[key]))
