@@ -27,11 +27,9 @@ from the on-device page table (no host sync per step).
 """
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,7 +98,13 @@ def write_tokens(pool: Dict, cfg: PagedConfig, layer_k, layer_v, slot_ids,
     """Scatter new K/V rows into the pool. layer_k/v [L, B, T, Hkv*D] for B
     slots writing T tokens each starting at their start_pos. Returns the
     updated pool (functional). Positions past a slot's page allocation land
-    on the null page (page 0) — callers guarantee allocation first."""
+    on that allocation's last page — callers guarantee allocation first.
+
+    Kept as the POST-SCAN write: scattering each layer's rows inside the
+    decode scan body (pool in the scan carry) measured ~0.5 ms/step SLOWER
+    at the 6.6B shape (12.29 vs 11.82 ms) — the in-loop scatter on the
+    carried 873 MB buffer lowers worse than stacking ys and scattering
+    once here."""
     L, B, T, KD = layer_k.shape
     pos = start_pos[:, None] + jnp.arange(T)[None, :]            # [B, T]
     logical = pos // cfg.page_size                               # [B, T]
@@ -116,32 +120,3 @@ def write_tokens(pool: Dict, cfg: PagedConfig, layer_k, layer_v, slot_ids,
     k = pool["k"].at[flat_page, off_f].set(layer_k.reshape(-1, KD))
     v = pool["v"].at[flat_page, off_f].set(layer_v.reshape(-1, KD))
     return {**pool, "k": k, "v": v}
-
-
-def gather_kv(pool: Dict, cfg: PagedConfig, slot_ids, layer: Optional[int]
-              = None):
-    """Gather each slot's cached K/V back to dense [L?, B, max_ctx, Hkv*D]
-    plus a validity mask [B, max_ctx]. One XLA gather over the page dim."""
-    table = pool["page_table"][slot_ids]                         # [B, P]
-    if layer is None:
-        k4 = pool["k"].reshape(cfg.n_layers, cfg.n_pages, cfg.page_size,
-                               cfg.kv_dim)
-        v4 = pool["v"].reshape(cfg.n_layers, cfg.n_pages, cfg.page_size,
-                               cfg.kv_dim)
-        k, v = k4[:, table], v4[:, table]
-    else:
-        idx = layer * cfg.n_pages + table
-        k, v = pool["k"][idx], pool["v"][idx]
-    # [L, B, P, page, KD] -> [L, B, max_ctx, KD]
-    if layer is None:
-        L = k.shape[0]
-        B = table.shape[0]
-        k = k.reshape(L, B, cfg.max_ctx, cfg.kv_dim)
-        v = v.reshape(L, B, cfg.max_ctx, cfg.kv_dim)
-    else:
-        B = table.shape[0]
-        k = k.reshape(B, cfg.max_ctx, cfg.kv_dim)
-        v = v.reshape(B, cfg.max_ctx, cfg.kv_dim)
-    lens = pool["seq_len"][slot_ids]
-    valid = jnp.arange(cfg.max_ctx)[None, :] < lens[:, None]
-    return k, v, valid

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from procyon_tpu.inference import kv_pool
+from procyon_tpu.ops import page_move
 from procyon_tpu.inference.generation import (GenerationConfig,
                                               diverse_beam_select)
 from procyon_tpu.models import llama, unified
@@ -143,6 +144,26 @@ def _copy_pages_matmul(pool, n_pages, src_pages, dst_pages):
         return out.transpose(1, 0, 2).reshape(arr.shape)
 
     return {**pool, "k": move(pool["k"]), "v": move(pool["v"])}
+
+
+def _copy_pages_kernel(pool, n_pages, src_pages, dst_pages, *,
+                       interpret=False):
+    """_copy_pages via the Pallas page-move kernel (ops/page_move.py):
+    stages the src pages with one XLA gather, then DMAs them onto their
+    dst rows in place (pool aliased) — traffic is 2x the MOVED pages
+    instead of the matmul form's 2x the whole pool (one-hot contraction
+    reads and rewrites every page to move ~40) or the scatter form's
+    sequential per-page loops. Moves are broadcast over the flattened
+    layer-major page axis."""
+    L = pool["k"].shape[0] // n_pages
+    offs = jnp.arange(L, dtype=jnp.int32)[:, None] * n_pages
+    src_flat = (offs + src_pages[None, :].astype(jnp.int32)).reshape(-1)
+    dst_flat = (offs + dst_pages[None, :].astype(jnp.int32)).reshape(-1)
+    return {**pool,
+            "k": page_move.move_pages(pool["k"], src_flat, dst_flat,
+                                      interpret=interpret),
+            "v": page_move.move_pages(pool["v"], src_flat, dst_flat,
+                                      interpret=interpret)}
 
 
 def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
@@ -274,15 +295,17 @@ def paged_beam_step(params, cfg: unified.UnifiedConfig,
     new_table = jnp.where(idx >= cur_idx[:, None], own_pages, parent_table)
 
     # copy-on-write: parent's current partial page -> own private page.
-    # The matmul form streams the WHOLE pool once; the scatter form
-    # touches only the moved pages but lowers to sequential per-page
-    # loops at ~4x the bandwidth floor — so matmul wins while
-    # n_pages < ~4x moved pages (always true for beam pools sized by
-    # plan_pool_config at short generations; long-generation pools
-    # fall back to scatter).
+    # On TPU the Pallas page-move kernel copies exactly the moved pages
+    # at bandwidth; the CPU reference path keeps the XLA forms (matmul
+    # while the pool is small — the scatter form lowers to sequential
+    # per-page loops at ~4x the floor — scatter for big pools).
     src = jnp.take_along_axis(parent_table, cur_idx[:, None], axis=1)[:, 0]
     dst = jnp.take_along_axis(new_table, cur_idx[:, None], axis=1)[:, 0]
-    if pcfg.n_pages <= 4 * dst.shape[0]:
+    backend = cfg.llama.attn_backend
+    if backend != "ref":
+        pool = _copy_pages_kernel(pool, pcfg.n_pages, src, dst,
+                                  interpret=backend == "interpret")
+    elif pcfg.n_pages <= 4 * dst.shape[0]:
         pool = _copy_pages_matmul(pool, pcfg.n_pages, src, dst)
     else:
         pool = _copy_pages(pool, pcfg.n_pages, src, dst)

@@ -191,3 +191,23 @@ class TestCopyPagesMatmul:
         for key in ("k", "v"):
             np.testing.assert_array_equal(np.asarray(a[key]),
                                           np.asarray(b[key]))
+
+    def test_kernel_matches_scatter_form(self, rng):
+        """The Pallas page-move COW must reproduce the functional
+        semantics: every dst receives the OLD content of its src, even
+        when one slot's private page is simultaneously another move's
+        source and its own destination (reorder chains)."""
+        pool = {
+            "k": jnp.asarray(rng.standard_normal((3 * 9, 8, 128)),
+                             jnp.bfloat16),
+            "v": jnp.asarray(rng.standard_normal((3 * 9, 8, 128)),
+                             jnp.bfloat16),
+        }
+        src = jnp.asarray([2, 2, 5], jnp.int32)
+        dst = jnp.asarray([6, 7, 2], jnp.int32)  # 2 is src AND dst
+        a = paged_beam._copy_pages(pool, 9, src, dst)
+        b = paged_beam._copy_pages_kernel(pool, 9, src, dst,
+                                          interpret=True)
+        for key in ("k", "v"):
+            np.testing.assert_array_equal(np.asarray(a[key]),
+                                          np.asarray(b[key]))
