@@ -46,8 +46,15 @@ from procyon_tpu.models import llama, unified
 def plan_pool_config(cfg: llama.LlamaConfig, prompt_lens, beam: int,
                      max_new: int, *, page_size: int = 64,
                      dtype=None) -> kv_pool.PagedConfig:
-    """Size a pool exactly for one beam run: shared prompt pages + private
-    generation pages per beam slot + the null page."""
+    """Size a pool exactly for one beam run: shared prompt pages + TWO
+    private generation pages per (beam slot, generation index) + the null
+    page. Private pages come in ping-pong PAIRS: step t writes the
+    phase-(t%2) page of the slot's current index, so copy-on-write
+    sources (the parent's page, last written at phase 1-t%2) and
+    destinations are always disjoint sets — the COW is then a direct
+    in-place page copy (ops/page_move.move_pages_direct) with no staging
+    pass. Costs ~n_priv*slots extra pages (~5% of a caption-shaped pool)
+    and halves the per-step COW traffic."""
     P = page_size
     n_prompt = sum(-(-int(L) // P) for L in prompt_lens)
     max_pages_per_seq = max(-(-(int(L) + max_new) // P)
@@ -58,7 +65,7 @@ def plan_pool_config(cfg: llama.LlamaConfig, prompt_lens, beam: int,
     return kv_pool.PagedConfig(
         n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
         head_dim=cfg.head_dim, page_size=P,
-        n_pages=1 + n_prompt + slots * n_priv,
+        n_pages=1 + n_prompt + slots * n_priv * 2,
         max_pages_per_seq=max_pages_per_seq, slots=slots,
         dtype=dtype or cfg.dtype)
 
@@ -67,7 +74,7 @@ def plan_pool_config(cfg: llama.LlamaConfig, prompt_lens, beam: int,
 class _BeamPlan:
     """Host-side page layout for one run (all arrays are static inputs)."""
     prompt_pages: np.ndarray   # [B, max_pages] page id per prompt page
-    private: np.ndarray        # [slots, n_priv] private page ids
+    private: np.ndarray        # [slots, n_priv, 2] ping-pong private pages
     g0: np.ndarray             # [B] first generation page index
     lens: np.ndarray           # [B] prompt lengths
 
@@ -86,8 +93,8 @@ def _plan_pages(pcfg: kv_pool.PagedConfig, prompt_lens, beam: int,
         g0[r] = int(L) // P
     n_priv = max(
         (-(-(int(L) + max_new) // P)) - int(L) // P for L in prompt_lens)
-    private = np.arange(nxt, nxt + B * beam * n_priv).reshape(
-        B * beam, n_priv)
+    private = np.arange(nxt, nxt + B * beam * n_priv * 2).reshape(
+        B * beam, n_priv, 2)
     assert private.max(initial=0) < pcfg.n_pages, "pool too small"
     return _BeamPlan(prompt_pages=prompt_pages, private=private, g0=g0,
                      lens=np.asarray(prompt_lens, np.int64))
@@ -95,7 +102,9 @@ def _plan_pages(pcfg: kv_pool.PagedConfig, prompt_lens, beam: int,
 
 def _beam_tables(plan: _BeamPlan, pcfg: kv_pool.PagedConfig, beam: int):
     """Initial per-slot page tables: shared prompt pages below g0, private
-    pages from g0 on."""
+    pages from g0 on. Generation entries start at PHASE 1 (the init
+    partial-prompt copy counts as the write of "step -1", so step 0's
+    copy-on-write destinations — phase 0 — never overlap its sources)."""
     B = plan.prompt_pages.shape[0]
     tables = np.zeros((B * beam, pcfg.max_pages_per_seq), np.int64)
     for r in range(B):
@@ -105,7 +114,7 @@ def _beam_tables(plan: _BeamPlan, pcfg: kv_pool.PagedConfig, beam: int):
             tables[s, :g] = plan.prompt_pages[r, :g]
             n_priv = plan.private.shape[1]
             end = min(g + n_priv, pcfg.max_pages_per_seq)
-            tables[s, g:end] = plan.private[s, :end - g]
+            tables[s, g:end] = plan.private[s, :end - g, 1]
     return tables
 
 
@@ -159,11 +168,13 @@ def _copy_pages_kernel(pool, n_pages, src_pages, dst_pages, *,
     offs = jnp.arange(L, dtype=jnp.int32)[:, None] * n_pages
     src_flat = (offs + src_pages[None, :].astype(jnp.int32)).reshape(-1)
     dst_flat = (offs + dst_pages[None, :].astype(jnp.int32)).reshape(-1)
+    # the ping-pong page plan guarantees src/dst disjointness, so the
+    # direct (stage-free) kernel is safe
     return {**pool,
-            "k": page_move.move_pages(pool["k"], src_flat, dst_flat,
-                                      interpret=interpret),
-            "v": page_move.move_pages(pool["v"], src_flat, dst_flat,
-                                      interpret=interpret)}
+            "k": page_move.move_pages_direct(pool["k"], src_flat, dst_flat,
+                                             interpret=interpret),
+            "v": page_move.move_pages_direct(pool["v"], src_flat, dst_flat,
+                                             interpret=interpret)}
 
 
 def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
@@ -233,7 +244,7 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
             for k in range(beam):
                 s = r * beam + k
                 src.append(plan.prompt_pages[r, plan.g0[r]])
-                dst.append(plan.private[s, 0])
+                dst.append(plan.private[s, 0, 1])  # phase 1 = "step -1"
     if src:
         pool = jax.jit(_copy_pages, static_argnums=1)(
             pool, pcfg.n_pages, jnp.asarray(src, jnp.int32),
@@ -291,14 +302,20 @@ def paged_beam_step(params, cfg: unified.UnifiedConfig,
     idx = jnp.arange(pcfg.max_pages_per_seq)[None, :]
     priv_cols = jnp.clip(idx - g0_slot[:, None], 0,
                          private.shape[1] - 1)
-    own_pages = jnp.take_along_axis(private, priv_cols, axis=1)
+    # ping-pong phase: step t writes its slots' phase-(t%2) pages, so
+    # copy-on-write sources (parent pages, last written at phase 1-t%2
+    # or at prefill) never collide with destinations
+    phase = (t % 2).astype(jnp.int32)
+    own_phased = jnp.where(phase == 0, private[..., 0], private[..., 1])
+    own_pages = jnp.take_along_axis(own_phased, priv_cols, axis=1)
     new_table = jnp.where(idx >= cur_idx[:, None], own_pages, parent_table)
 
     # copy-on-write: parent's current partial page -> own private page.
     # On TPU the Pallas page-move kernel copies exactly the moved pages
-    # at bandwidth; the CPU reference path keeps the XLA forms (matmul
-    # while the pool is small — the scatter form lowers to sequential
-    # per-page loops at ~4x the floor — scatter for big pools).
+    # at bandwidth, in place (src/dst disjoint by phase — no staging);
+    # the CPU reference path keeps the XLA forms (matmul while the pool
+    # is small — the scatter form lowers to sequential per-page loops at
+    # ~4x the floor — scatter for big pools).
     src = jnp.take_along_axis(parent_table, cur_idx[:, None], axis=1)[:, 0]
     dst = jnp.take_along_axis(new_table, cur_idx[:, None], axis=1)[:, 0]
     backend = cfg.llama.attn_backend

@@ -64,3 +64,35 @@ def move_pages(pool_arr, src, dst, *, interpret=False):
         interpret=interpret,
     )(dst.astype(jnp.int32), staged, pool_arr)
     return out
+
+
+def _kernel_direct(src_ref, dst_ref, page_in_ref, pool_out_ref):
+    del src_ref, dst_ref
+    pool_out_ref[...] = page_in_ref[...]
+
+
+def move_pages_direct(pool_arr, src, dst, *, interpret=False):
+    """In-place pool[dst[i]] = pool[src[i]] WITHOUT the staging pass.
+
+    Correct ONLY when the src and dst sets are disjoint (the beam path's
+    ping-pong private pages guarantee it: step t writes phase-t%2 pages
+    while every source is a phase-(1-t%2) page). Halves move_pages'
+    traffic: each listed page is read once and written once."""
+    n_moves = src.shape[0]
+    _, page, kd = pool_arr.shape
+    return pl.pallas_call(
+        _kernel_direct,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_moves,),
+            in_specs=[
+                pl.BlockSpec((1, page, kd),
+                             lambda i, src, dst: (src[i], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, page, kd),
+                                   lambda i, src, dst: (dst[i], 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(pool_arr.shape, pool_arr.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(src.astype(jnp.int32), dst.astype(jnp.int32), pool_arr)

@@ -91,7 +91,10 @@ class TestPagedBeamParity:
 
     def test_pool_is_smaller_than_dense_replication(self, rng):
         """The design point: beam slots share prompt pages, so pool KV is
-        far below beam * max_ctx per prompt."""
+        below beam * max_ctx per prompt even though every private
+        generation page is a ping-pong PAIR (phase-disjoint
+        copy-on-write). The prompt-dominated regime (long prompts, short
+        generations — the caption workload) keeps the big saving."""
         cfg, params = setup_model()
         lens = [64, 64]
         beam, max_new, P = 10, 32, 8
@@ -99,7 +102,11 @@ class TestPagedBeamParity:
                                            page_size=P)
         paged_tokens = pcfg.n_pages * P
         dense_tokens = len(lens) * beam * (max(lens) + max_new)
-        assert paged_tokens < dense_tokens / 2
+        assert paged_tokens < dense_tokens
+        # prompt-dominated regime: far below dense
+        pcfg2 = paged_beam.plan_pool_config(cfg.llama, [120, 120], beam,
+                                            8, page_size=P)
+        assert pcfg2.n_pages * P < len(lens) * beam * (120 + 8) / 2
 
 
 class TestFusedServing:
