@@ -390,3 +390,140 @@ def _call(x, ln_w, ln_b, w1q, s1, b1, w2q, s2, b2, *, eps, block_m,
     )(x, row2d(ln_w), row2d(ln_b), w1q, s1.reshape(1, H),
       row2d(b1), w2q, s2.reshape(1, d), row2d(b2))
     return out
+
+
+def _kernel_swiglu(x_ref, nw_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref,
+                   sd_ref, o_ref, acc_ref, xq_ref, sx_ref, *, eps,
+                   n_steps, sub_tiles):
+    """SwiGLU variant of _kernel for the Llama W8A8 prefill path:
+    rms_norm (no mean/bias) -> int8 gate & up dots -> silu(g)*u ->
+    per-(row, n-tile) requant -> int8 down dot, residual folded into the
+    emit. Same sub-tile VPU/MXU overlap trick as the GELU kernel."""
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _prep():
+        # NOTE: row-chunking these f32 temporaries to shrink the scoped
+        # stack was tried and made it WORSE (19.14M vs 16.24M at
+        # block_m 256 / d 4096 — Mosaic does not reuse the chunk
+        # buffers), so the kernel keeps whole-block prep and rides the
+        # raised scoped-vmem limit (w8a8_serving pairing contract).
+        xf = x_ref[...].astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        h = xf * jax.lax.rsqrt(ms + eps) * nw_ref[...]
+        amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        xq_ref[...] = jnp.clip(jnp.round(h / sx), -127, 127).astype(
+            jnp.int8)
+        sx_ref[...] = jnp.broadcast_to(sx, sx_ref.shape)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xq = xq_ref[...]
+    sx = sx_ref[...][:, :1]                            # [bm, 1]
+    bn = wg_ref.shape[1]
+    sub = bn // sub_tiles
+    gs, us = [], []
+    for t in range(sub_tiles):
+        sl = slice(t * sub, (t + 1) * sub)
+        gs.append(jax.lax.dot_general(
+            xq, wg_ref[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32))
+        us.append(jax.lax.dot_general(
+            xq, wu_ref[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32))
+    aqs, sas = [], []
+    for t in range(sub_tiles):
+        sl = slice(t * sub, (t + 1) * sub)
+        g = gs[t].astype(jnp.float32) * (sx * sg_ref[:, sl])
+        u = us[t].astype(jnp.float32) * (sx * su_ref[:, sl])
+        a = g * jax.nn.sigmoid(g) * u                  # silu(g) * u
+        amax = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+        sa = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        aqs.append(jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8))
+        sas.append(sa)
+    total = None
+    for t in range(sub_tiles):
+        sl = slice(t * sub, (t + 1) * sub)
+        acc2 = jax.lax.dot_general(
+            aqs[t], wd_ref[sl, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)          # [bm, d]
+        part = acc2.astype(jnp.float32) * (sas[t] * sd_ref[...])
+        total = part if total is None else total + part
+    acc_ref[...] += total
+
+    @pl.when(n == n_steps - 1)
+    def _emit():
+        # residual folded in f32 before the cast (x block resident)
+        o_ref[...] = (acc_ref[...]
+                      + x_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_rms_swiglu_int8(x, nw, wgq, sg, wuq, su, wdq, sd, *, eps=1e-5,
+                          block_m=256, block_n=512, sub_tiles=2,
+                          interpret=False):
+    """x [M, d] -> x + W8A8 SwiGLU-MLP(rms_norm(x)) for the Llama prefill
+    path. wgq/wuq int8 [d, H] with scales sg/su f32 [1, H]; wdq int8
+    [H, d] with sd f32 [1, d]; nw [d].
+
+    STATUS: NOT WIRED into the production W8A8 path — measured net
+    negative. The motivation was the XLA prefill's norm+act-quant
+    elementwise fusion (~7x its bandwidth floor, 0.56 ms/layer at B16
+    S256 d4096) plus the [M, H] hidden HBM round-trip, both absorbed
+    here. Measured end-to-end on the chip (5.6B w8a8, B16 S256, raised
+    scoped-vmem limit per the block_m-256 stack): retrieval workload
+    +3% (77.7 -> 80.2 q/s) but the bind workload -18% (96.9 -> 79.1
+    pairs/s; an XLA-path run under the SAME raised limit stayed at
+    95.3, so the regression is the kernel's interaction with that
+    program, likely the custom-call layout constraints), and at M=8
+    decode shapes Pallas matmuls lose outright
+    (scripts/probe_fused_decode.py: 358 vs 201 us/layer). Kept with its
+    parity test as the documented exploration; production stays on the
+    XLA W8A8 route."""
+    M, d = x.shape
+    H = wgq.shape[1]
+    while M % block_m:
+        block_m //= 2
+    if d >= 4096:
+        # three weight tiles live per grid cell; at d=4096 block_n 512
+        # measured a 16.24M scoped-vmem stack against the stock 16M
+        # limit (244K over) — 256 fits with margin. block_m stays >=256:
+        # weight tiles re-stream once per row-block, and at block_m 256
+        # the int8 MXU rate (394 TOPS) balances HBM (~0.8 TB/s); halving
+        # rows would leave the MXU waiting on weight DMAs
+        block_n = min(block_n, 256)
+    block_n = min(block_n, H)
+    while H % block_n:
+        block_n //= 2
+    while block_n % (sub_tiles * 128):
+        sub_tiles //= 2
+    sub_tiles = max(sub_tiles, 1)
+    n_steps = H // block_n
+    kernel = functools.partial(_kernel_swiglu, eps=eps, n_steps=n_steps,
+                               sub_tiles=sub_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=(M // block_m, n_steps),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda m, n: (m, 0)),
+            pl.BlockSpec((1, d), lambda m, n: (0, 0)),
+            pl.BlockSpec((d, block_n), lambda m, n: (0, n)),
+            pl.BlockSpec((1, block_n), lambda m, n: (0, n)),
+            pl.BlockSpec((d, block_n), lambda m, n: (0, n)),
+            pl.BlockSpec((1, block_n), lambda m, n: (0, n)),
+            pl.BlockSpec((block_n, d), lambda m, n: (n, 0)),
+            pl.BlockSpec((1, d), lambda m, n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda m, n: (m, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, d), jnp.float32),
+            pltpu.VMEM((block_m, d), jnp.int8),
+            pltpu.VMEM((block_m, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, nw.reshape(1, d), wgq, sg.reshape(1, H), wuq, su.reshape(1, H),
+      wdq, sd.reshape(1, d))
+    return out

@@ -201,3 +201,53 @@ class TestInt4PallasKernel:
         assert got.shape == (3, 1, 128)
         ref = np.asarray(x @ quant.dequantize4(q4, x.dtype))
         np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+class TestFusedRmsSwiglu:
+    def test_matches_xla_w8a8_chain(self):
+        """fused_rms_swiglu_int8 (interpret) vs the XLA W8A8 route
+        (rms_norm -> qmatmul_w8a8 gate/up -> silu*up -> qmatmul_w8a8
+        down -> residual). The kernel requantizes the SwiGLU output per
+        n-tile instead of per full row — finer grid, small differences."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from procyon_tpu.ops import quant
+        from procyon_tpu.ops.fused_mlp import fused_rms_swiglu_int8
+        from procyon_tpu.ops.norms import rms_norm
+
+        rng = np.random.default_rng(0)
+        M, d, H = 256, 256, 512
+        x = jnp.asarray(rng.standard_normal((M, d)) * 0.5, jnp.float32)
+        nw = jnp.asarray(1.0 + 0.1 * rng.standard_normal((d,)),
+                         jnp.float32)
+        wg = quant.quantize(jnp.asarray(
+            rng.standard_normal((d, H)) / np.sqrt(d), jnp.float32))
+        wu = quant.quantize(jnp.asarray(
+            rng.standard_normal((d, H)) / np.sqrt(d), jnp.float32))
+        wd = quant.quantize(jnp.asarray(
+            rng.standard_normal((H, d)) / np.sqrt(H), jnp.float32))
+
+        h = rms_norm(x, nw, eps=1e-5)
+        gated = jax.nn.silu(quant.qmatmul_w8a8(h, wg)) * \
+            quant.qmatmul_w8a8(h, wu)
+        ref = x + quant.qmatmul_w8a8(gated.astype(x.dtype), wd)
+
+        # exact-math reference (dequantized weights, fp32): both int8
+        # routes are quantization approximations OF THIS; they differ
+        # from each other by their activation-quant grids (per n-tile in
+        # the kernel vs per full row in XLA), so parity is "no worse
+        # error", not bit equality
+        wg_f, wu_f, wd_f = (quant.dequantize(w, jnp.float32)
+                            for w in (wg, wu, wd))
+        exact = x + (jax.nn.silu(h @ wg_f) * (h @ wu_f)) @ wd_f
+
+        got = fused_rms_swiglu_int8(
+            x, nw, wg["q"], wg["s"], wu["q"], wu["s"], wd["q"], wd["s"],
+            eps=1e-5, block_m=128, block_n=256, interpret=True)
+        g, r, e = np.asarray(got), np.asarray(ref), np.asarray(exact)
+        np.testing.assert_allclose(g, r, atol=8e-2, rtol=8e-2)
+        err_kernel = np.linalg.norm(g - e) / np.linalg.norm(e)
+        err_xla = np.linalg.norm(r - e) / np.linalg.norm(e)
+        assert err_kernel <= err_xla * 1.25 + 1e-4, (err_kernel, err_xla)
