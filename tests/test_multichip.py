@@ -117,6 +117,72 @@ class TestDistributedTrainStep:
             sharded = run(shard_params(params, mesh))
         np.testing.assert_allclose(sharded, ref, atol=2e-4, rtol=2e-4)
 
+    def test_paged_decode_tp_matches_single_device(
+            self, eight_devices, rng):
+        """The PAGED serving path (flat pool + block-diagonal decode
+        attention + page-table gathers) under a (data, fsdp, model) mesh
+        must equal single-device paged decode. The pool's flat-lane KD
+        axis is sharded over `model` (each shard holds its kv heads'
+        lanes); the block-diagonal score contraction runs over the
+        sharded KD axis, so GSPMD inserts the psum — cross-shard terms
+        are exact zeros by construction."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from procyon_tpu.inference import kv_pool as KP
+        from procyon_tpu.models import llama as L
+
+        cfg = L.tiny_config(attn_backend="ref", remat=False, dim=256,
+                            n_heads=4, n_kv_heads=2, intermediate=512,
+                            vocab_size=512)
+        params = L.init_params(jax.random.PRNGKey(3), cfg)
+        B, T = 4, 6
+        tokens = jnp.asarray(
+            rng.integers(4, cfg.vocab_size, (B, T)), jnp.int32)
+        pcfg = KP.PagedConfig(
+            n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
+            head_dim=cfg.head_dim, page_size=4, n_pages=16,
+            max_pages_per_seq=4, slots=B, dtype=cfg.dtype)
+        alloc = KP.PageAllocator(pcfg)
+        pt = np.zeros((B, pcfg.max_pages_per_seq), np.int64)
+        for b in range(B):
+            pages = alloc.allocate(b, T + 4)
+            pt[b, :len(pages)] = pages
+        slots = jnp.arange(B, dtype=jnp.int32)
+
+        @jax.jit
+        def prefill(params, pool, toks):
+            logits, pool = L.paged_forward(params, cfg, pool, pcfg,
+                                           slots, tokens=toks)
+            return logits[:, -1], pool
+
+        @jax.jit
+        def decode(params, tok, pool):
+            logits, pool = L.paged_forward(params, cfg, pool, pcfg,
+                                           slots, tokens=tok)
+            return logits[:, -1], pool
+
+        def run(params, pool_sharding=None):
+            pool = KP.init_pool(pcfg)
+            if pool_sharding is not None:
+                pool = {**pool,
+                        "k": jax.device_put(pool["k"], pool_sharding),
+                        "v": jax.device_put(pool["v"], pool_sharding)}
+            pool = {**pool, "page_table": jnp.asarray(pt, jnp.int32)}
+            logits, pool = prefill(params, pool, tokens)
+            outs = [np.asarray(logits)]
+            for _ in range(3):
+                tok = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+                logits, pool = decode(params, tok, pool)
+                outs.append(np.asarray(logits))
+            return np.stack(outs)
+
+        ref = run(params)
+        mesh = create_mesh(MeshConfig(2, 1, 4))
+        with jax.set_mesh(mesh):
+            kv_shard = NamedSharding(mesh, P(None, None, "model"))
+            sharded = run(shard_params(params, mesh), kv_shard)
+        np.testing.assert_allclose(sharded, ref, atol=2e-4, rtol=2e-4)
+
     def test_retrieval_global_batch_sharded(self, eight_devices, rng):
         """In-batch contrastive over a sharded batch == single device (the
         GSPMD 'global batch for free' property)."""
