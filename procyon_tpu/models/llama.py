@@ -435,6 +435,10 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     # few pages); at 2048-ctx they tie (14.31 vs 14.25 at B4) and the
     # kernel's one-pass traffic (no dense-context write+read) is the
     # asymptotic winner beyond, so long-context pools take the kernel.
+    # bench/probe override ONLY (read at TRACE time like
+    # PROCYON_INT4_IMPL: it bakes into the compiled program, so flipping
+    # it in a live process changes nothing until a fresh trace —
+    # production selection stays on the measured max_ctx heuristic)
     _kern_env = os.environ.get("PROCYON_PAGED_KERNEL", "auto")
     use_paged_kernel = (T == 1 and cfg.attn_backend != "ref"
                         and (cfg.n_kv_heads * hd) % 128 == 0

@@ -484,6 +484,8 @@ def fused_rms_swiglu_int8(x, nw, wgq, sg, wuq, su, wdq, sd, *, eps=1e-5,
     XLA W8A8 route."""
     M, d = x.shape
     H = wgq.shape[1]
+    assert H % 128 == 0 and d % 128 == 0, (
+        f"fused_rms_swiglu_int8 needs lane-multiple dims, got d={d} H={H}")
     while M % block_m:
         block_m //= 2
     if d >= 4096:
@@ -497,9 +499,8 @@ def fused_rms_swiglu_int8(x, nw, wgq, sg, wuq, su, wdq, sd, *, eps=1e-5,
     block_n = min(block_n, H)
     while H % block_n:
         block_n //= 2
-    while block_n % (sub_tiles * 128):
+    while sub_tiles > 1 and block_n % (sub_tiles * 128):
         sub_tiles //= 2
-    sub_tiles = max(sub_tiles, 1)
     n_steps = H // block_n
     kernel = functools.partial(_kernel_swiglu, eps=eps, n_steps=n_steps,
                                sub_tiles=sub_tiles)

@@ -14,7 +14,6 @@ import argparse
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -27,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from procyon_tpu.ops import quant
 from procyon_tpu.ops.norms import rms_norm
+from procyon_tpu.utils.timing import time_fn
 
 
 def _kernel(x_ref, nw_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref,
@@ -105,7 +105,6 @@ def main():
     ap.add_argument("--layers", type=int, default=80)
     ap.add_argument("--layers_small", type=int, default=16)
     ap.add_argument("--block_n", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--interpret", action="store_true")
     a = ap.parse_args()
     d, I, L, M = a.dim, a.inter, a.layers, a.m
@@ -156,21 +155,12 @@ def main():
     small = jax.tree_util.tree_map(lambda v: v[:Ls], layers)
 
     def timed(fn):
-        # two-point protocol: the tunnel RTT floor (>= several ms) would
-        # otherwise swamp per-layer time; difference two chain lengths
-        r = fn(x0, layers); float(jnp.sum(r.astype(jnp.float32)))
-        rs = fn(x0, small); float(jnp.sum(rs.astype(jnp.float32)))
-        best_big = best_small = 1e9
-        for _ in range(a.iters):
-            t0 = time.perf_counter()
-            r = fn(x0, layers)
-            float(jnp.sum(r.astype(jnp.float32)))
-            best_big = min(best_big, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            rs = fn(x0, small)
-            float(jnp.sum(rs.astype(jnp.float32)))
-            best_small = min(best_small, time.perf_counter() - t0)
-        return (best_big - best_small) / (L - Ls) * 1e6, r
+        # double differencing: time_fn's iteration two-point cancels the
+        # tunnel RTT per chain (CLAUDE.md timing rule), and differencing
+        # the two chain LENGTHS then cancels per-dispatch fixed cost
+        t_big = time_fn(fn, x0, layers)
+        t_small = time_fn(fn, x0, small)
+        return (t_big - t_small) / (L - Ls) * 1e6, fn(x0, layers)
 
     xla_us, xr = timed(xla_chain)
     pal_us, pr = timed(pallas_chain)

@@ -9,9 +9,6 @@ round 2) to find where the gap to the ~9.3 ms weight-streaming floor goes
 """
 import argparse
 import functools
-import glob
-import gzip
-import json
 import os
 import sys
 
@@ -159,34 +156,8 @@ def main():
         float(jnp.sum(tok))
         jax.profiler.stop_trace()
 
-    paths = glob.glob(os.path.join(
-        a.trace_dir, "plugins/profile/*/*.trace.json.gz"))
-    if not paths:
-        print("no trace found")
-        return
-    with gzip.open(sorted(paths)[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    pid_names = {e["pid"]: e["args"].get("name", "")
-                 for e in events
-                 if e.get("ph") == "M" and e.get("name") == "process_name"
-                 and "args" in e}
-    tpu_pids = {pid for pid, name in pid_names.items() if "TPU" in name}
-    seen = {}
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
-            nm = e.get("name", "?")
-            ar = e.get("args", {})
-            if nm not in seen:
-                seen[nm] = [0.0, 0, ar.get("long_name", "")[:200]]
-            seen[nm][0] += e.get("dur", 0) / 1e3
-            seen[nm][1] += 1
-    total = sum(v[0] for v in seen.values())
-    print(f"total (3 steps, nested): {total:.1f} ms")
-    for nm, (d, c, ln) in sorted(seen.items(), key=lambda kv: -kv[1][0])[:22]:
-        print(f"{d:9.2f} ms x{c:4d} {nm}")
-        if ln:
-            print(f"      {ln}")
+    from procyon_tpu.utils.trace import print_op_table
+    print_op_table(a.trace_dir, top=24, header="3 steps, nested")
 
 
 if __name__ == "__main__":

@@ -199,11 +199,30 @@ class TestCopyPagesMatmul:
             np.testing.assert_array_equal(np.asarray(a[key]),
                                           np.asarray(b[key]))
 
-    def test_kernel_matches_scatter_form(self, rng):
-        """The Pallas page-move COW must reproduce the functional
-        semantics: every dst receives the OLD content of its src, even
-        when one slot's private page is simultaneously another move's
-        source and its own destination (reorder chains)."""
+    def test_staged_kernel_handles_chains(self, rng):
+        """ops/page_move.move_pages (the STAGED kernel) must reproduce
+        the functional semantics: every dst receives the OLD content of
+        its src, even when one page is simultaneously another move's
+        source and its own destination (reorder chains). NOTE: interpret
+        mode simulates aliasing with a copy, so it cannot catch a
+        chain-unsafe implementation — this test documents the staged
+        kernel's contract; the wired direct kernel is covered by the
+        disjointness tests below."""
+        from procyon_tpu.ops import page_move
+
+        arr = jnp.asarray(rng.standard_normal((27, 8, 128)), jnp.bfloat16)
+        src = np.asarray([2, 2, 5], np.int32)
+        dst = np.asarray([6, 7, 2], np.int32)  # 2 is src AND dst
+        ref = np.array(arr)
+        ref[dst] = np.array(arr)[src]
+        got = page_move.move_pages(arr, jnp.asarray(src), jnp.asarray(dst),
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+    def test_direct_kernel_matches_scatter_on_disjoint_sets(self, rng):
+        """_copy_pages_kernel (move_pages_direct) == the XLA scatter form
+        for disjoint src/dst — the only regime the beam plan produces
+        (ping-pong phases)."""
         pool = {
             "k": jnp.asarray(rng.standard_normal((3 * 9, 8, 128)),
                              jnp.bfloat16),
@@ -211,10 +230,51 @@ class TestCopyPagesMatmul:
                              jnp.bfloat16),
         }
         src = jnp.asarray([2, 2, 5], jnp.int32)
-        dst = jnp.asarray([6, 7, 2], jnp.int32)  # 2 is src AND dst
+        dst = jnp.asarray([6, 7, 8], jnp.int32)
         a = paged_beam._copy_pages(pool, 9, src, dst)
         b = paged_beam._copy_pages_kernel(pool, 9, src, dst,
                                           interpret=True)
         for key in ("k", "v"):
             np.testing.assert_array_equal(np.asarray(a[key]),
                                           np.asarray(b[key]))
+
+    def test_pingpong_plan_src_dst_always_disjoint(self, rng):
+        """The load-bearing invariant behind the direct (stage-free) COW:
+        at every step, the set of copy SOURCES (parent tables' current
+        pages, under ANY parent assignment) and the set of DESTINATIONS
+        (each slot's phase-t%2 private page) must be disjoint — on real
+        hardware an overlap would let one slot's in-place write race
+        another's read (interpret mode cannot catch it)."""
+        cfg, params = setup_model()
+        lens = [9, 12, 16]  # mixed alignment vs page_size 8
+        beam, max_new, P = 4, 11, 8
+        pcfg = paged_beam.plan_pool_config(cfg.llama, lens, beam, max_new,
+                                           page_size=P)
+        plan = paged_beam._plan_pages(pcfg, lens, beam, max_new)
+        tables = paged_beam._beam_tables(plan, pcfg, beam)
+        slots = len(lens) * beam
+        seq_len = np.repeat(np.asarray(lens), beam)
+        g0_slot = np.repeat(plan.g0, beam)
+        rng2 = np.random.default_rng(7)
+        for t in range(max_new):
+            phase = t % 2
+            cur = seq_len // P
+            # adversarial parents: any slot may adopt any same-prompt row
+            parent = np.concatenate([
+                rng2.integers(0, beam, beam) + r * beam
+                for r in range(len(lens))])
+            parent_table = tables[parent]
+            src = parent_table[np.arange(slots), cur]
+            own = plan.private[np.arange(slots)[:, None],
+                               np.clip(cur[:, None] - g0_slot[:, None], 0,
+                                       plan.private.shape[1] - 1),
+                               phase][:, 0]
+            assert not set(src.tolist()) & set(own.tolist()), (t, src, own)
+            # apply the table update like paged_beam_step
+            idx = np.arange(pcfg.max_pages_per_seq)[None, :]
+            priv_cols = np.clip(idx - g0_slot[:, None], 0,
+                                plan.private.shape[1] - 1)
+            own_pages = plan.private[np.arange(slots)[:, None], priv_cols,
+                                     phase]
+            tables = np.where(idx >= cur[:, None], own_pages, parent_table)
+            seq_len = seq_len + 1
