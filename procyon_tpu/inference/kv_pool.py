@@ -20,6 +20,15 @@ Layout (all static shapes, jit-friendly):
   page_table : [slots, max_pages]  int32 (PER-LAYER page id 0..n_pages-1;
                consumers add l*n_pages for layer l)
   seq_len    : [slots] int32 (tokens cached; 0 = slot empty)
+  k_scale/v_scale : [L * n_pages, page_size, Hkv] f32 — present only when
+               cfg.quantize_kv: the pool then stores int8 K/V with
+               per-(token, kv-head) symmetric scales. Decode dequant is
+               algebraically free under the block-diagonal attention:
+               the K scale factors OUT of each head's score row (the
+               block-diagonal query zeroes every other head's lanes) and
+               the V scale folds INTO the probabilities before the PV
+               dot — so the int8 pool halves gather traffic and pool
+               memory with two cheap elementwise corrections.
 
 Decode gathers each slot's pages with one XLA gather per layer — HBM
 traffic is proportional to the LIVE context, and the gather indices come
@@ -42,6 +51,11 @@ class PagedConfig:
     max_pages_per_seq: int = 16
     slots: int = 8
     dtype: object = jnp.bfloat16
+    # store K/V pages as int8 with per-(token, head) scales: halves pool
+    # memory and decode gather traffic (the serving hot path's largest
+    # non-weight cost); quality is gated by tests/benches like the
+    # weight quantization paths
+    quantize_kv: bool = False
 
     @property
     def kv_dim(self):
@@ -53,15 +67,33 @@ class PagedConfig:
 
 
 def init_pool(cfg: PagedConfig) -> Dict:
-    return {
+    kv_dtype = jnp.int8 if cfg.quantize_kv else cfg.dtype
+    pool = {
         "k": jnp.zeros((cfg.n_layers * cfg.n_pages, cfg.page_size,
-                        cfg.kv_dim), cfg.dtype),
+                        cfg.kv_dim), kv_dtype),
         "v": jnp.zeros((cfg.n_layers * cfg.n_pages, cfg.page_size,
-                        cfg.kv_dim), cfg.dtype),
+                        cfg.kv_dim), kv_dtype),
         "page_table": jnp.zeros((cfg.slots, cfg.max_pages_per_seq),
                                 jnp.int32),
         "seq_len": jnp.zeros((cfg.slots,), jnp.int32),
     }
+    if cfg.quantize_kv:
+        shape = (cfg.n_layers * cfg.n_pages, cfg.page_size, cfg.n_kv_heads)
+        pool["k_scale"] = jnp.zeros(shape, jnp.float32)
+        pool["v_scale"] = jnp.zeros(shape, jnp.float32)
+    return pool
+
+
+def quantize_rows(x, n_kv_heads):
+    """Per-(row, kv-head) symmetric int8 quantization of flat-lane K/V
+    rows [..., Hkv*D] -> (q int8 [..., Hkv*D], scale f32 [..., Hkv])."""
+    *lead, KD = x.shape
+    hd = KD // n_kv_heads
+    xh = x.reshape(*lead, n_kv_heads, hd).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xh), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xh / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8).reshape(*lead, KD), scale
 
 
 class PageAllocator:
@@ -117,6 +149,17 @@ def write_tokens(pool: Dict, cfg: PagedConfig, layer_k, layer_v, slot_ids,
     off_f = jnp.broadcast_to(offset[None], (L, B, T)).reshape(-1)
     l_off = jnp.arange(L, dtype=page_f.dtype)[:, None] * cfg.n_pages
     flat_page = (page_f + l_off).reshape(-1)
-    k = pool["k"].at[flat_page, off_f].set(layer_k.reshape(-1, KD))
-    v = pool["v"].at[flat_page, off_f].set(layer_v.reshape(-1, KD))
-    return {**pool, "k": k, "v": v}
+    new = dict(pool)
+    if cfg.quantize_kv:
+        kq, ks = quantize_rows(layer_k.reshape(-1, KD), cfg.n_kv_heads)
+        vq, vs = quantize_rows(layer_v.reshape(-1, KD), cfg.n_kv_heads)
+        new["k"] = pool["k"].at[flat_page, off_f].set(kq)
+        new["v"] = pool["v"].at[flat_page, off_f].set(vq)
+        new["k_scale"] = pool["k_scale"].at[flat_page, off_f].set(ks)
+        new["v_scale"] = pool["v_scale"].at[flat_page, off_f].set(vs)
+    else:
+        new["k"] = pool["k"].at[flat_page, off_f].set(
+            layer_k.reshape(-1, KD))
+        new["v"] = pool["v"].at[flat_page, off_f].set(
+            layer_v.reshape(-1, KD))
+    return new

@@ -45,7 +45,8 @@ from procyon_tpu.models import llama, unified
 
 def plan_pool_config(cfg: llama.LlamaConfig, prompt_lens, beam: int,
                      max_new: int, *, page_size: int = 64,
-                     dtype=None) -> kv_pool.PagedConfig:
+                     dtype=None, quantize_kv: bool = False
+                     ) -> kv_pool.PagedConfig:
     """Size a pool exactly for one beam run: shared prompt pages + TWO
     private generation pages per (beam slot, generation index) + the null
     page. Private pages come in ping-pong PAIRS: step t writes the
@@ -67,7 +68,7 @@ def plan_pool_config(cfg: llama.LlamaConfig, prompt_lens, beam: int,
         head_dim=cfg.head_dim, page_size=P,
         n_pages=1 + n_prompt + slots * n_priv * 2,
         max_pages_per_seq=max_pages_per_seq, slots=slots,
-        dtype=dtype or cfg.dtype)
+        dtype=dtype or cfg.dtype, quantize_kv=quantize_kv)
 
 
 @dataclasses.dataclass
@@ -118,16 +119,24 @@ def _beam_tables(plan: _BeamPlan, pcfg: kv_pool.PagedConfig, beam: int):
     return tables
 
 
+_KV_KEYS = ("k", "v", "k_scale", "v_scale")
+
+
+def _kv_arrays(pool):
+    return [k for k in _KV_KEYS if k in pool]
+
+
 def _copy_pages(pool, n_pages, src_pages, dst_pages):
-    """pool k/v [L*n_pages, page, KD] (flat layer-major rows): copy page
-    src -> dst per entry, in every layer. The per-layer permutation is
-    applied on a free [L, n_pages, ...] reshape view."""
+    """pool k/v (+ int8-KV scale arrays) [L*n_pages, page, X] (flat
+    layer-major rows): copy page src -> dst per entry, in every layer.
+    The per-layer permutation is applied on a free [L, n_pages, ...]
+    reshape view."""
 
     def move(arr):
         a4 = arr.reshape(-1, n_pages, *arr.shape[1:])
         return a4.at[:, dst_pages].set(a4[:, src_pages]).reshape(arr.shape)
 
-    return {**pool, "k": move(pool["k"]), "v": move(pool["v"])}
+    return {**pool, **{k: move(pool[k]) for k in _kv_arrays(pool)}}
 
 
 def _copy_pages_matmul(pool, n_pages, src_pages, dst_pages):
@@ -141,18 +150,21 @@ def _copy_pages_matmul(pool, n_pages, src_pages, dst_pages):
     contraction the MXU streams at full rate. 0/1 weights copy bf16
     values exactly. dst pages must be distinct (each beam slot's own
     private page — guaranteed by the page plan); src may repeat."""
-    m = jnp.eye(n_pages, dtype=pool["k"].dtype)
-    m = m.at[:, dst_pages].set(0.0)
-    m = m.at[src_pages, dst_pages].set(1.0)
-
     def move(arr):
+        # int8 pools route through f32 one-hot weights (int8 matmul of
+        # raw codes with a 0/1 f32 matrix reproduces the codes exactly
+        # up to the f32 round-trip, which is exact for |x| <= 127)
+        mdt = arr.dtype if arr.dtype != jnp.int8 else jnp.float32
+        m = jnp.eye(n_pages, dtype=mdt)
+        m = m.at[:, dst_pages].set(0.0)
+        m = m.at[src_pages, dst_pages].set(1.0)
         flat = arr.reshape(-1, n_pages, int(np.prod(arr.shape[1:])))
         out = jax.lax.dot_general(
-            m, flat, dimension_numbers=(((0,), (1,)), ((), ())))
+            m, flat.astype(mdt), dimension_numbers=(((0,), (1,)), ((), ())))
         # dot_general output is [P_out, L, X]; restore [L, P, X]
-        return out.transpose(1, 0, 2).reshape(arr.shape)
+        return out.transpose(1, 0, 2).reshape(arr.shape).astype(arr.dtype)
 
-    return {**pool, "k": move(pool["k"]), "v": move(pool["v"])}
+    return {**pool, **{k: move(pool[k]) for k in _kv_arrays(pool)}}
 
 
 def _copy_pages_kernel(pool, n_pages, src_pages, dst_pages, *,
@@ -171,15 +183,15 @@ def _copy_pages_kernel(pool, n_pages, src_pages, dst_pages, *,
     # the ping-pong page plan guarantees src/dst disjointness, so the
     # direct (stage-free) kernel is safe
     return {**pool,
-            "k": page_move.move_pages_direct(pool["k"], src_flat, dst_flat,
-                                             interpret=interpret),
-            "v": page_move.move_pages_direct(pool["v"], src_flat, dst_flat,
-                                             interpret=interpret)}
+            **{k: page_move.move_pages_direct(pool[k], src_flat, dst_flat,
+                                              interpret=interpret)
+               for k in _kv_arrays(pool)}}
 
 
 def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
                     gen: GenerationConfig, *, page_size: int = 64,
-                    prefill_bucket: Optional[int] = None):
+                    prefill_bucket: Optional[int] = None,
+                    quantize_kv: bool = False):
     """Prefill prompts ONCE (not once per beam) and lay out the beam pool.
 
     batch: canonical (soft-token) model-input batch, LEFT-padded like the
@@ -193,7 +205,7 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
     lens = seg.sum(1).astype(np.int64)
 
     pcfg = plan_pool_config(cfg.llama, lens, beam, gen.max_new_tokens,
-                            page_size=page_size)
+                            page_size=page_size, quantize_kv=quantize_kv)
     plan = _plan_pages(pcfg, lens, beam, gen.max_new_tokens)
     pool = kv_pool.init_pool(pcfg)
 
@@ -340,7 +352,8 @@ def paged_beam_step(params, cfg: unified.UnifiedConfig,
 
 def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
                         gen: GenerationConfig, *, page_size: int = 64,
-                        host_loop: bool = False):
+                        host_loop: bool = False,
+                        quantize_kv: bool = False):
     """Full paged diverse-beam generation. Returns (tokens [B, beam, T],
     scores [B, beam]) ranked by score — same contract (and same tokens,
     tested) as generation.generate_beam.
@@ -350,7 +363,8 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
     False runs a lax.fori_loop on device.
     """
     state, ctx = paged_beam_init(params, cfg, batch, gen,
-                                 page_size=page_size)
+                                 page_size=page_size,
+                                 quantize_kv=quantize_kv)
     pcfg, beam = ctx["pcfg"], ctx["beam"]
 
     # static config rides the closure; every ARRAY (params, page plan,

@@ -147,8 +147,18 @@ _mm = quant.mm
 
 
 def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
-                           positions, cache_pos):
+                           positions, cache_pos, k_scale=None,
+                           v_scale=None):
     """One-token attention over the cache. q [B,1,Hq,D]; cache [B,S,Hkv,D].
+
+    With k_scale/v_scale [B,S,Hkv] the cache holds int8 rows
+    (kv_pool quantize_kv): the K scale factors OUT of each head's score
+    row (the block-diagonal query zeroes every other head's lanes, and
+    the scale is constant across a head's D lanes), and the V scale
+    folds INTO the probabilities before the PV dot — the dot outputs for
+    OTHER kv-heads' lane groups are mis-scaled but discarded by the
+    final head-slice selection. Exact algebra; the int8 convert fuses
+    into the dots like the weight-dequant path.
 
     The cache is consumed in its NATURAL flat-lane layout [B,S,Hkv*D]
     (a free reshape of a contiguous cache or of gathered KV pages).
@@ -172,21 +182,26 @@ def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
     qh = q[:, 0].reshape(B, Hkv, group, D)
     eye = jnp.eye(Hkv, dtype=qh.dtype)
     q_bd = jnp.einsum("bkgd,kj->bkgjd", qh, eye).reshape(B, Hq, Hkv * D)
-    kf = cache_k.reshape(B, S, Hkv * D)
+    sel = jnp.repeat(jnp.eye(Hkv, dtype=jnp.float32), group, axis=0)
+    kf = cache_k.reshape(B, S, Hkv * D).astype(q_bd.dtype)
     s = jax.lax.dot_general(
         q_bd, kf, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) / math.sqrt(D)   # [B,Hq,S]
+    if k_scale is not None:
+        s = s * jnp.einsum("bsk,hk->bhs", k_scale, sel)
     allowed = (cache_seg == seg_ids[:, :1]) & (cache_seg > 0) & \
         (cache_pos <= positions[:, :1])  # [B, S]
     s = jnp.where(allowed[:, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    vf = cache_v.reshape(B, S, Hkv * D)
+    if v_scale is not None:
+        p = p * jnp.einsum("bsk,hk->bhs", v_scale, sel)
+    vf = cache_v.reshape(B, S, Hkv * D).astype(q_bd.dtype)
     out = jax.lax.dot_general(
         p.astype(vf.dtype), vf, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [B,Hq,Hkv*D]
     # pick each head's own kv-head slice back out (tiny contraction)
-    sel = jnp.repeat(jnp.eye(Hkv, dtype=out.dtype), group, axis=0)
-    out = jnp.einsum("bhkd,hk->bhd", out.reshape(B, Hq, Hkv, D), sel)
+    out = jnp.einsum("bhkd,hk->bhd", out.reshape(B, Hq, Hkv, D),
+                     sel.astype(out.dtype))
     return out[:, None].astype(q.dtype)
 
 
@@ -451,6 +466,7 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     # production selection stays on the measured max_ctx heuristic)
     _kern_env = os.environ.get("PROCYON_PAGED_KERNEL", "auto")
     use_paged_kernel = (T == 1 and cfg.attn_backend != "ref"
+                        and not pcfg.quantize_kv
                         and (cfg.n_kv_heads * hd) % 128 == 0
                         and (pcfg.max_ctx >= 512
                              or cfg.attn_backend == "interpret"
@@ -468,6 +484,8 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     table = pool["page_table"][slot_ids]                    # [B, P]
     lens = pool["seq_len"][slot_ids]
     pool_k, pool_v = pool["k"], pool["v"]
+    pool_ks = pool.get("k_scale")
+    pool_vs = pool.get("v_scale")
     layer_ctx = (params["layers"],
                  jnp.arange(cfg.n_layers, dtype=jnp.int32) * pcfg.n_pages)
     if not use_paged_kernel:
@@ -512,24 +530,68 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
             # lane layout [B, ctx, KD] (invalid tail masked via ctx_seg;
             # _decode_attention_step consumes flat lanes — no head-split
             # relayout)
-            kc = pool_k[table_l].reshape(
-                B, pcfg.max_ctx, cfg.n_kv_heads, hd)
-            vc = pool_v[table_l].reshape(
-                B, pcfg.max_ctx, cfg.n_kv_heads, hd)
-            # context + the chunk itself (intra-chunk attention is causal
-            # via the positional comparison below)
-            k_all = jnp.concatenate([kc, k_new.astype(kc.dtype)], axis=1)
-            v_all = jnp.concatenate([vc, v_new.astype(vc.dtype)], axis=1)
+            KH = cfg.n_kv_heads
+            kc = pool_k[table_l].reshape(B, pcfg.max_ctx, KH, hd)
+            vc = pool_v[table_l].reshape(B, pcfg.max_ctx, KH, hd)
             seg_all = jnp.concatenate([ctx_seg, seg_ids], axis=1)
             pos_all = jnp.concatenate([ctx_pos, positions], axis=1)
-            if T == 1:
-                attn = _decode_attention_step(q, k_all, v_all, seg_ids,
-                                              seg_all, positions, pos_all)
+            if pcfg.quantize_kv:
+                ks_c = pool_ks[table_l].reshape(B, pcfg.max_ctx, KH)
+                vs_c = pool_vs[table_l].reshape(B, pcfg.max_ctx, KH)
+                if T == 1:
+                    # quantize the in-flight token's own K/V the same way
+                    # the pool stores them (it reads them quantized from
+                    # the next step anyway); the int8 context then rides
+                    # the block-diagonal dot with the K scale factored
+                    # OUT of each head's score row and the V scale folded
+                    # INTO the probabilities (exact algebra — see
+                    # kv_pool layout note)
+                    kd = KH * hd
+                    knq, kns = kv_pool.quantize_rows(
+                        k_new.reshape(B, T, kd), KH)
+                    vnq, vns = kv_pool.quantize_rows(
+                        v_new.reshape(B, T, kd), KH)
+                    k_all = jnp.concatenate(
+                        [kc, knq.reshape(B, T, KH, hd)], axis=1)
+                    v_all = jnp.concatenate(
+                        [vc, vnq.reshape(B, T, KH, hd)], axis=1)
+                    attn = _decode_attention_step(
+                        q, k_all, v_all, seg_ids, seg_all, positions,
+                        pos_all,
+                        k_scale=jnp.concatenate([ks_c, kns], axis=1),
+                        v_scale=jnp.concatenate([vs_c, vns], axis=1))
+                else:
+                    # chunked prefill: dequantize the gathered context
+                    # for the flash kernel (once per prompt, not per
+                    # decode step)
+                    kc = (kc.astype(cfg.dtype)
+                          * ks_c[..., None].astype(cfg.dtype))
+                    vc = (vc.astype(cfg.dtype)
+                          * vs_c[..., None].astype(cfg.dtype))
+                    k_all = jnp.concatenate([kc, k_new.astype(kc.dtype)],
+                                            axis=1)
+                    v_all = jnp.concatenate([vc, v_new.astype(vc.dtype)],
+                                            axis=1)
+                    attn = flash_attention(
+                        q, k_all, v_all, seg_ids, seg_all, causal=True,
+                        q_positions=positions, kv_positions=pos_all,
+                        backend=cfg.attn_backend)
             else:
-                attn = flash_attention(q, k_all, v_all, seg_ids, seg_all,
-                                       causal=True, q_positions=positions,
-                                       kv_positions=pos_all,
-                                       backend=cfg.attn_backend)
+                # context + the chunk itself (intra-chunk attention is
+                # causal via the positional comparison below)
+                k_all = jnp.concatenate([kc, k_new.astype(kc.dtype)],
+                                        axis=1)
+                v_all = jnp.concatenate([vc, v_new.astype(vc.dtype)],
+                                        axis=1)
+                if T == 1:
+                    attn = _decode_attention_step(q, k_all, v_all, seg_ids,
+                                                  seg_all, positions,
+                                                  pos_all)
+                else:
+                    attn = flash_attention(
+                        q, k_all, v_all, seg_ids, seg_all, causal=True,
+                        q_positions=positions, kv_positions=pos_all,
+                        backend=cfg.attn_backend)
         attn = attn.reshape(B, T, cfg.n_heads * hd).astype(x.dtype)
         x = x + _mm(attn, lp["attn"]["wo"])
         h = rms_norm(x, lp["mlp_norm"], eps=cfg.norm_eps)

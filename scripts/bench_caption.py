@@ -43,6 +43,9 @@ def main():
                         " shared prompt pages, page-table reorder) instead "
                         "of the dense per-beam cache")
     p.add_argument("--page_size", type=int, default=64)
+    p.add_argument("--kv8", action="store_true",
+                   help="int8 KV pool (halves beam-pool memory and "
+                        "gather traffic; paged only)")
     p.add_argument("--quality", action="store_true", default=True,
                    help="run the quantization quality probe (logit cosine "
                         "+ CE delta vs bf16) and gate the result")
@@ -121,7 +124,8 @@ def main():
         np_batch = {k: np.asarray(v) for k, v in batch.items()}
         # size the pool ONCE so the step jit is shared across runs
         state0, ctx = paged_beam.paged_beam_init(
-            params, cfg, np_batch, gen, page_size=args.page_size)
+            params, cfg, np_batch, gen, page_size=args.page_size,
+            quantize_kv=args.kv8)
         pcfg = ctx["pcfg"]
         del state0  # 8B int4 + two pool copies rides the 16GB edge:
         # keeping a spare state resident forces allocator spilling
@@ -136,7 +140,8 @@ def main():
             # fresh prefill per run (two-point timing cancels it); the
             # step donates its state buffers so exactly one state lives
             state, _ = paged_beam.paged_beam_init(
-                params, cfg, np_batch, gen, page_size=args.page_size)
+                params, cfg, np_batch, gen, page_size=args.page_size,
+                quantize_kv=args.kv8)
             # burn-in: the first donated step relayouts the fresh state
             state = pstep(params, ctx["private"], ctx["g0"], state,
                           jnp.int32(0))
@@ -180,6 +185,7 @@ def main():
             args.batch * args.beam_size / per_step, 1),
         "per_step_ms": round(per_step * 1e3, 2),
         "backend": "paged" if args.paged else "dense",
+        "kv_int8": bool(args.kv8 and args.paged),
     }
     gate_failed = False
     if args.quality and args.quant:

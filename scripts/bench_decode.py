@@ -44,6 +44,10 @@ def main():
                         "misses, profiled 1.2 ms at 6B) that the pool's "
                         "in-place page writes avoid")
     p.add_argument("--page_size", type=int, default=64)
+    p.add_argument("--kv8", action="store_true",
+                   help="int8 KV pool (per-token-per-head scales): halves "
+                        "pool memory and decode gather traffic "
+                        "(kv_pool.quantize_kv; paged only)")
     args = p.parse_args()
     if args.dim < 128 or args.dim % 128:
         p.error(f"--dim must be a multiple of 128 (head_dim=128), "
@@ -131,7 +135,7 @@ def main():
             n_layers=cfg.llama.n_layers, n_kv_heads=cfg.llama.n_kv_heads,
             head_dim=cfg.llama.head_dim, page_size=args.page_size,
             n_pages=1 + B * n_pages_seq, max_pages_per_seq=n_pages_seq,
-            slots=B, dtype=cfg.llama.dtype)
+            slots=B, dtype=cfg.llama.dtype, quantize_kv=args.kv8)
         pt = np.zeros((B, n_pages_seq), np.int64)
         alloc = kv_pool.PageAllocator(pcfg)
         for s in range(B):
@@ -211,6 +215,7 @@ def main():
                 f"{wtag}{', paged' if args.paged else ''})",
         "per_step_ms": round(per_step * 1e3, 2),
         "backend": "paged" if args.paged else "dense",
+        "kv_int8": bool(args.kv8 and args.paged),
     }
     gate_failed = False
     if args.quality and args.quant:

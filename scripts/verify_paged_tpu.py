@@ -103,6 +103,65 @@ def main():
     print(f"logit max diff gather vs kernel: {err:.5f} "
           f"(|ref| max {np.abs(g).max():.2f}, cosine {cos:.6f})", flush=True)
 
+    # --- beam parity ON THE CHIP: paged diverse beam (ping-pong COW via
+    # the in-place page-move kernel) must reproduce the dense beam's
+    # tokens on real hardware. Interpret mode simulates the kernel's
+    # input/output aliasing with a copy, so a race between one slot's
+    # in-place page write and another's read (the failure mode the
+    # phase-disjointness invariant prevents) is only observable HERE.
+    from procyon_tpu.inference import generation, paged_beam
+    from procyon_tpu.models import unified
+
+    bcfg = unified.UnifiedConfig(
+        llama=dataclasses.replace(cfg, max_seq_len=192,
+                                  attn_backend="rowblock"),
+        esm=None, protein_embed_dim=64, token_projector_layers=1,
+        token_projector_hidden=64, retrieval_dim=64, dtype=cfg.dtype)
+    bparams = {"llama": params,
+               **{k: v for k, v in unified.init_params(
+                   jax.random.PRNGKey(1), bcfg).items() if k != "llama"}}
+    Bb, Lb = 2, 96
+    batch = {
+        "input_ids": np.asarray(rng.integers(4, 32000, (Bb, Lb)), np.int32),
+        "seg_ids": np.ones((Bb, Lb), np.int32),
+        "positions": np.broadcast_to(np.arange(Lb, dtype=np.int32),
+                                     (Bb, Lb)).copy(),
+        "soft_map": np.full((Bb, Lb), -1, np.int32),
+        "protein_embeds": np.zeros((1, 64), np.float32),
+    }
+    gen = generation.GenerationConfig(
+        max_new_tokens=24, method="beam", beam_size=4, beam_group_size=2,
+        diversity_penalty=0.8, eos_token_id=2, pad_token_id=0)
+    dtoks, dsc = generation.generate_beam(bparams, bcfg, batch, gen)
+    ptoks, psc = paged_beam.paged_beam_generate(bparams, bcfg, batch, gen,
+                                                page_size=64)
+    # arm 2: the XLA matmul COW instead of the Pallas page-move kernel.
+    # THE hardware invariant: the in-place aliased kernel must be
+    # bit-identical to the functional XLA form (a src/dst aliasing race
+    # is only observable here — interpret mode simulates aliasing with a
+    # copy). Dense-vs-paged token agreement is reported informationally:
+    # the two decoders order bf16 reductions differently, so with
+    # random weights (chaotic flat logits) early beam ties can flip —
+    # measured on-chip scores agree to <1% while tokens diverge; the
+    # CPU f32 suite pins exact token parity.
+    orig = paged_beam._copy_pages_kernel
+    paged_beam._copy_pages_kernel = (
+        lambda pool, n, src, dst, interpret=False:
+            paged_beam._copy_pages_matmul(pool, n, src, dst))
+    xtoks, _ = paged_beam.paged_beam_generate(bparams, bcfg, batch, gen,
+                                              page_size=64)
+    paged_beam._copy_pages_kernel = orig
+    kernel_ok = np.array_equal(np.asarray(ptoks), np.asarray(xtoks))
+    dense_same = np.array_equal(np.asarray(dtoks), np.asarray(ptoks))
+    ds, ps = np.sort(np.asarray(dsc), -1), np.sort(np.asarray(psc), -1)
+    score_rel = float(np.max(np.abs(ds - ps) / np.abs(ds)))
+    print(f"page-move kernel == XLA COW tokens (hardware aliasing "
+          f"invariant): {kernel_ok}", flush=True)
+    print(f"dense == paged tokens: {dense_same} (informational; "
+          f"beam-score rel diff {score_rel:.4f})", flush=True)
+    if not kernel_ok:
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()
