@@ -132,6 +132,13 @@ def write_tokens(pool: Dict, cfg: PagedConfig, layer_k, layer_v, slot_ids,
     updated pool (functional). Positions past a slot's page allocation land
     on that allocation's last page — callers guarantee allocation first.
 
+    quantize_kv pools re-quantize the bf16 ys here with the SAME
+    kv_pool.quantize_rows the decode scan used for the token's own
+    attention (bit-identical by construction — one function, same
+    input); threading the int8 codes + scales through the scan ys to
+    avoid the duplicate VPU pass was measured SLOWER (633.2 vs 672.0
+    tok/s at the 6.6B kv8 shape).
+
     Kept as the POST-SCAN write: scattering each layer's rows inside the
     decode scan body (pool in the scan carry) measured ~0.5 ms/step SLOWER
     at the 6.6B shape (12.29 vs 11.82 ms) — the in-loop scatter on the

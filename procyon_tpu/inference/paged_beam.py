@@ -151,9 +151,17 @@ def _copy_pages_matmul(pool, n_pages, src_pages, dst_pages):
     values exactly. dst pages must be distinct (each beam slot's own
     private page — guaranteed by the page plan); src may repeat."""
     def move(arr):
-        # int8 pools route through f32 one-hot weights (int8 matmul of
-        # raw codes with a 0/1 f32 matrix reproduces the codes exactly
-        # up to the f32 round-trip, which is exact for |x| <= 127)
+        if arr.dtype == jnp.float32:
+            # f32 scale arrays take the exact gather+scatter form: a
+            # one-hot f32 matmul is NOT a bit-exact copy on TPU (f32
+            # dots run as bf16 passes, ~1e-2 abs error) and the scale
+            # slabs are tiny (KH lanes vs Hkv*D)
+            a4 = arr.reshape(-1, n_pages, *arr.shape[1:])
+            return a4.at[:, dst_pages].set(
+                a4[:, src_pages]).reshape(arr.shape)
+        # int8 codes route through f32 one-hot weights (a 0/1 f32 matmul
+        # of values |x| <= 127 is exact); bf16 0/1 weights copy bf16
+        # values exactly
         mdt = arr.dtype if arr.dtype != jnp.int8 else jnp.float32
         m = jnp.eye(n_pages, dtype=mdt)
         m = m.at[:, dst_pages].set(0.0)

@@ -520,6 +520,22 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
                 perm_k).reshape(B, T, cfg.n_kv_heads, hd)
         v_new = v_flat.reshape(B, T, cfg.n_kv_heads, hd)
 
+        kd = cfg.n_kv_heads * hd
+        # single-token decode on a quantized pool quantizes the in-flight
+        # token's K/V here for its own attention, and write_tokens
+        # re-quantizes the bf16 ys post-scan with the SAME
+        # kv_pool.quantize_rows (bit-identical by construction — one
+        # function, same input). Carrying the int8 codes + f32 scales
+        # through the scan ys to write once was measured SLOWER (633.2
+        # vs 672.0 tok/s at the 6.6B kv8 shape: four stacked ys arrays
+        # cost more than the duplicated VPU quantization).
+        quant_decode = pcfg.quantize_kv and T == 1
+        if quant_decode:
+            knq, kns = kv_pool.quantize_rows(k_new.reshape(B, T, kd),
+                                             cfg.n_kv_heads)
+            vnq, vns = kv_pool.quantize_rows(v_new.reshape(B, T, kd),
+                                             cfg.n_kv_heads)
+
         if use_paged_kernel:
             # the kernel walks the flat pool via the offset table
             attn = _paged_attention_with_self(
@@ -535,70 +551,51 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
             vc = pool_v[table_l].reshape(B, pcfg.max_ctx, KH, hd)
             seg_all = jnp.concatenate([ctx_seg, seg_ids], axis=1)
             pos_all = jnp.concatenate([ctx_pos, positions], axis=1)
-            if pcfg.quantize_kv:
+            k_scale = v_scale = None
+            if quant_decode:
+                # the int8 context rides the block-diagonal dot with the
+                # K scale factored OUT of each head's score row and the
+                # V scale folded INTO the probabilities (exact algebra —
+                # see kv_pool layout note)
                 ks_c = pool_ks[table_l].reshape(B, pcfg.max_ctx, KH)
                 vs_c = pool_vs[table_l].reshape(B, pcfg.max_ctx, KH)
-                if T == 1:
-                    # quantize the in-flight token's own K/V the same way
-                    # the pool stores them (it reads them quantized from
-                    # the next step anyway); the int8 context then rides
-                    # the block-diagonal dot with the K scale factored
-                    # OUT of each head's score row and the V scale folded
-                    # INTO the probabilities (exact algebra — see
-                    # kv_pool layout note)
-                    kd = KH * hd
-                    knq, kns = kv_pool.quantize_rows(
-                        k_new.reshape(B, T, kd), KH)
-                    vnq, vns = kv_pool.quantize_rows(
-                        v_new.reshape(B, T, kd), KH)
-                    k_all = jnp.concatenate(
-                        [kc, knq.reshape(B, T, KH, hd)], axis=1)
-                    v_all = jnp.concatenate(
-                        [vc, vnq.reshape(B, T, KH, hd)], axis=1)
-                    attn = _decode_attention_step(
-                        q, k_all, v_all, seg_ids, seg_all, positions,
-                        pos_all,
-                        k_scale=jnp.concatenate([ks_c, kns], axis=1),
-                        v_scale=jnp.concatenate([vs_c, vns], axis=1))
-                else:
-                    # chunked prefill: dequantize the gathered context
-                    # for the flash kernel (once per prompt, not per
-                    # decode step)
-                    kc = (kc.astype(cfg.dtype)
-                          * ks_c[..., None].astype(cfg.dtype))
-                    vc = (vc.astype(cfg.dtype)
-                          * vs_c[..., None].astype(cfg.dtype))
-                    k_all = jnp.concatenate([kc, k_new.astype(kc.dtype)],
-                                            axis=1)
-                    v_all = jnp.concatenate([vc, v_new.astype(vc.dtype)],
-                                            axis=1)
-                    attn = flash_attention(
-                        q, k_all, v_all, seg_ids, seg_all, causal=True,
-                        q_positions=positions, kv_positions=pos_all,
-                        backend=cfg.attn_backend)
+                k_scale = jnp.concatenate([ks_c, kns], axis=1)
+                v_scale = jnp.concatenate([vs_c, vns], axis=1)
+                k_tok = knq.reshape(B, T, KH, hd)
+                v_tok = vnq.reshape(B, T, KH, hd)
+            elif pcfg.quantize_kv:
+                # chunked prefill: dequantize the gathered context for
+                # the flash kernel (once per prompt, not per decode step)
+                ks_c = pool_ks[table_l].reshape(B, pcfg.max_ctx, KH)
+                vs_c = pool_vs[table_l].reshape(B, pcfg.max_ctx, KH)
+                kc = (kc.astype(cfg.dtype)
+                      * ks_c[..., None].astype(cfg.dtype))
+                vc = (vc.astype(cfg.dtype)
+                      * vs_c[..., None].astype(cfg.dtype))
+                k_tok = k_new.astype(kc.dtype)
+                v_tok = v_new.astype(vc.dtype)
             else:
-                # context + the chunk itself (intra-chunk attention is
-                # causal via the positional comparison below)
-                k_all = jnp.concatenate([kc, k_new.astype(kc.dtype)],
-                                        axis=1)
-                v_all = jnp.concatenate([vc, v_new.astype(vc.dtype)],
-                                        axis=1)
-                if T == 1:
-                    attn = _decode_attention_step(q, k_all, v_all, seg_ids,
-                                                  seg_all, positions,
-                                                  pos_all)
-                else:
-                    attn = flash_attention(
-                        q, k_all, v_all, seg_ids, seg_all, causal=True,
-                        q_positions=positions, kv_positions=pos_all,
-                        backend=cfg.attn_backend)
+                k_tok = k_new.astype(kc.dtype)
+                v_tok = v_new.astype(vc.dtype)
+            # context + the chunk itself (intra-chunk attention is
+            # causal via the positional comparison below)
+            k_all = jnp.concatenate([kc, k_tok], axis=1)
+            v_all = jnp.concatenate([vc, v_tok], axis=1)
+            if T == 1:
+                attn = _decode_attention_step(
+                    q, k_all, v_all, seg_ids, seg_all, positions, pos_all,
+                    k_scale=k_scale, v_scale=v_scale)
+            else:
+                attn = flash_attention(q, k_all, v_all, seg_ids, seg_all,
+                                       causal=True, q_positions=positions,
+                                       kv_positions=pos_all,
+                                       backend=cfg.attn_backend)
         attn = attn.reshape(B, T, cfg.n_heads * hd).astype(x.dtype)
         x = x + _mm(attn, lp["attn"]["wo"])
         h = rms_norm(x, lp["mlp_norm"], eps=cfg.norm_eps)
         gated = jax.nn.silu(_mm(h, lp["mlp"]["w_gate"])) * \
             _mm(h, lp["mlp"]["w_up"])
         x = x + _mm(gated, lp["mlp"]["w_down"])
-        kd = cfg.n_kv_heads * hd
         return x, (k_new.reshape(B, T, kd), v_new.reshape(B, T, kd))
 
     x, (new_k, new_v) = jax.lax.scan(scan_body, x, layer_ctx)

@@ -51,6 +51,9 @@ def main():
                         "+ CE delta vs bf16) and gate the result")
     p.add_argument("--no-quality", dest="quality", action="store_false")
     args = p.parse_args()
+    if args.kv8 and not args.paged:
+        p.error("--kv8 requires --paged (the dense cache has no "
+                "quantized variant)")
 
     import jax
     import jax.numpy as jnp

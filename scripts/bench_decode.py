@@ -49,6 +49,9 @@ def main():
                         "pool memory and decode gather traffic "
                         "(kv_pool.quantize_kv; paged only)")
     args = p.parse_args()
+    if args.kv8 and not args.paged:
+        p.error("--kv8 requires --paged (the dense cache has no "
+                "quantized variant)")
     if args.dim < 128 or args.dim % 128:
         p.error(f"--dim must be a multiple of 128 (head_dim=128), "
                 f"got {args.dim}")

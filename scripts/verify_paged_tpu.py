@@ -148,13 +148,16 @@ def main():
     paged_beam._copy_pages_kernel = (
         lambda pool, n, src, dst, interpret=False:
             paged_beam._copy_pages_matmul(pool, n, src, dst))
-    xtoks, _ = paged_beam.paged_beam_generate(bparams, bcfg, batch, gen,
-                                              page_size=64)
-    paged_beam._copy_pages_kernel = orig
+    try:
+        xtoks, _ = paged_beam.paged_beam_generate(bparams, bcfg, batch,
+                                                  gen, page_size=64)
+    finally:
+        paged_beam._copy_pages_kernel = orig
     kernel_ok = np.array_equal(np.asarray(ptoks), np.asarray(xtoks))
     dense_same = np.array_equal(np.asarray(dtoks), np.asarray(ptoks))
     ds, ps = np.sort(np.asarray(dsc), -1), np.sort(np.asarray(psc), -1)
-    score_rel = float(np.max(np.abs(ds - ps) / np.abs(ds)))
+    score_rel = float(np.max(np.abs(ds - ps)
+                             / np.maximum(np.abs(ds), 1e-6)))
     print(f"page-move kernel == XLA COW tokens (hardware aliasing "
           f"invariant): {kernel_ok}", flush=True)
     print(f"dense == paged tokens: {dense_same} (informational; "
