@@ -129,8 +129,11 @@ def write_tokens(pool: Dict, cfg: PagedConfig, layer_k, layer_v, slot_ids,
                  start_pos):
     """Scatter new K/V rows into the pool. layer_k/v [L, B, T, Hkv*D] for B
     slots writing T tokens each starting at their start_pos. Returns the
-    updated pool (functional). Positions past a slot's page allocation land
-    on that allocation's last page — callers guarantee allocation first.
+    updated pool (functional). Positions past max_pages_per_seq are clipped
+    to the LAST page-table column, so overflow writes land on whatever that
+    entry holds: the repeated last private page for beam tables, but page 0
+    (the null page) for PageAllocator-filled tables whose entries past the
+    allocation are 0 — callers must guarantee allocation first.
 
     quantize_kv pools re-quantize the bf16 ys here with the SAME
     kv_pool.quantize_rows the decode scan used for the token's own

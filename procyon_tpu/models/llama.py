@@ -14,7 +14,7 @@ TPU-native design choices (not present in the reference):
   * weights live in bf16; all normalization statistics in f32.
 
 Weight layout matches HF `LlamaForCausalLM` module names closely enough for a
-mechanical converter (models/checkpoint_convert.py).
+mechanical converter (models/checkpoint_io.py).
 """
 
 import dataclasses
@@ -173,7 +173,13 @@ def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
     math is unchanged up to summation order.
 
     Masking matches the flash kernel: same segment, nonzero, and cached
-    position <= query position."""
+    position <= query position.
+
+    Numerics convention: softmax probabilities are cast to the cache
+    dtype (bf16 on serving paths) before the PV dot, matching the
+    flash/paged kernels' bf16 MXU passes; scores and the PV accumulation
+    stay f32 via preferred_element_type. This intentionally applies to
+    the dense decode path too (parity-tested)."""
     import math
 
     B, _, Hq, D = q.shape

@@ -180,6 +180,21 @@ class TestPagedCaptionEval:
         assert dense.get_predictions(ids) == paged.get_predictions(ids)
 
 
+def make_int8_pool(rng, n_pages=9, L=3, page=8, kd=128, kh=2):
+    """A quantize_kv-shaped pool: int8 k/v codes + f32 per-(token, kv-head)
+    scale slabs, flat layer-major page rows."""
+    return {
+        "k": jnp.asarray(rng.integers(-127, 128, (L * n_pages, page, kd)),
+                         jnp.int8),
+        "v": jnp.asarray(rng.integers(-127, 128, (L * n_pages, page, kd)),
+                         jnp.int8),
+        "k_scale": jnp.asarray(rng.standard_normal((L * n_pages, page, kh)),
+                               jnp.float32),
+        "v_scale": jnp.asarray(rng.standard_normal((L * n_pages, page, kh)),
+                               jnp.float32),
+    }
+
+
 class TestCopyPagesMatmul:
     def test_matches_scatter_form(self, rng):
         """The one-hot-matmul page move must reproduce the gather+scatter
@@ -196,6 +211,36 @@ class TestCopyPagesMatmul:
         a = paged_beam._copy_pages(pool, 9, src, dst)
         b = paged_beam._copy_pages_matmul(pool, 9, src, dst)
         for key in ("k", "v"):
+            np.testing.assert_array_equal(np.asarray(a[key]),
+                                          np.asarray(b[key]))
+
+    def test_matmul_form_exact_on_int8_pool(self, rng):
+        """ADVICE r3: the f32 one-hot matmul of int8 codes (exact since
+        |x| <= 127 is bf16-representable with one nonzero term per output)
+        and the f32 gather+scatter scale branch must both reproduce the
+        reference scatter form bit-exactly on a quantize_kv pool."""
+        pool = make_int8_pool(rng)
+        src = jnp.asarray([2, 2, 5], jnp.int32)
+        dst = jnp.asarray([6, 7, 8], jnp.int32)
+        a = paged_beam._copy_pages(pool, 9, src, dst)
+        b = paged_beam._copy_pages_matmul(pool, 9, src, dst)
+        for key in ("k", "v", "k_scale", "v_scale"):
+            assert b[key].dtype == pool[key].dtype
+            np.testing.assert_array_equal(np.asarray(a[key]),
+                                          np.asarray(b[key]))
+
+    def test_direct_kernel_matches_scatter_on_int8_pool(self, rng):
+        """ADVICE r3: the direct page-move COW over a quantize_kv pool
+        (int8 code pages + f32 scale slabs through move_pages_direct) —
+        interpret-mode coverage for the path the TPU kv8 beam takes."""
+        pool = make_int8_pool(rng)
+        src = jnp.asarray([2, 2, 5], jnp.int32)
+        dst = jnp.asarray([6, 7, 8], jnp.int32)
+        a = paged_beam._copy_pages(pool, 9, src, dst)
+        b = paged_beam._copy_pages_kernel(pool, 9, src, dst,
+                                          interpret=True)
+        for key in ("k", "v", "k_scale", "v_scale"):
+            assert b[key].dtype == pool[key].dtype
             np.testing.assert_array_equal(np.asarray(a[key]),
                                           np.asarray(b[key]))
 
