@@ -39,7 +39,7 @@ class ModelArgs:
     # modalities
     use_drug_embeddings: bool = False
     drug_embed_dim: int = 512
-    # LoRA / MoLoRA (:mlora)
+    # LoRA / MoLoRA (:mlora) on the text decoder
     use_lora: bool = False
     # ESM prefix tuning (esm.py:42 ESMPrefix): learned post-rotary K/V rows
     # per encoder layer; base encoder freezes, prefix trains
@@ -47,6 +47,17 @@ class ModelArgs:
     lora_rank: int = 8
     lora_alpha: float = 16.0
     lora_num_experts: int = 1
+    # encoder-side (Mo)LoRA (reference freeze_protein_encoder == 'lora' /
+    # 'qlora' + protein_task_spc_lora, model_unified.py:226-234; kwargs
+    # esm.py:424-492). QLoRA = use_prot_lora + quantize_params on the tree.
+    use_prot_lora: bool = False
+    prot_lora_parameters: str = "default"   # attn | mlp | default (esm.py:424)
+    aaseq_lora_r: int = 8                   # training_args_IT.py:458
+    aaseq_lora_alpha: float = 8.0           # training_args_IT.py:452
+    prot_lora_num_experts: int = 1          # protein_task_spc_lora_num (:247)
+    # bottleneck adapter on the encoder (aaseq_adapter_rank, :464 — the
+    # reference flag is disconnected there; ours works). 0 = off
+    aaseq_adapter_rank: int = 0
     # freezing (freeze_* flags)
     freeze_protein_encoder: bool = True
     freeze_text_encoder: bool = False
@@ -167,10 +178,21 @@ def build_model_config(margs: ModelArgs, dargs: Optional[DataArgs] = None):
                              lora=lora, **spec)
     ecfg = None
     if not margs.use_aaseq_embeddings and margs.protein_encoder != "none":
+        from procyon_tpu.models.lora import LoRAConfig
+
+        prot_lora = None
+        if margs.use_prot_lora:
+            prot_lora = LoRAConfig(rank=margs.aaseq_lora_r,
+                                   alpha=margs.aaseq_lora_alpha,
+                                   num_experts=margs.prot_lora_num_experts,
+                                   dtype=_DTYPES[margs.dtype])
         size = margs.protein_encoder.split("-")[-1]
         ecfg = esm2.esm2_config(size, dtype=_DTYPES[margs.dtype],
                                 attn_backend=margs.attention_backend,
-                                prefix_len=margs.esm_prefix_len)
+                                prefix_len=margs.esm_prefix_len,
+                                lora=prot_lora,
+                                lora_targets=margs.prot_lora_parameters,
+                                adapter_rank=margs.aaseq_adapter_rank)
     return unified.UnifiedConfig(
         llama=lcfg, esm=ecfg,
         protein_embed_dim=margs.protein_embed_dim,
@@ -257,10 +279,18 @@ def freeze_fn(margs: ModelArgs):
         top = parts[0] if parts else ""
         if top == "esm":
             is_prefix = "prefix" in parts
-            if margs.esm_prefix_len and not is_prefix:
-                return True   # prefix tuning: base encoder freezes
-            if margs.freeze_protein_encoder and not (margs.esm_prefix_len
-                                                     and is_prefix):
+            is_lora = any(p.startswith("lora_") for p in parts)
+            is_adapter = "adapter" in parts
+            if margs.esm_prefix_len and is_prefix:
+                return False
+            if margs.use_prot_lora and is_lora:
+                return False  # peft semantics: banks train, base freezes
+            if margs.aaseq_adapter_rank and is_adapter:
+                return False
+            if (margs.esm_prefix_len or margs.use_prot_lora
+                    or margs.aaseq_adapter_rank):
+                return True   # a PEFT mode is active: base encoder freezes
+            if margs.freeze_protein_encoder:
                 return True
         if top == "llama":
             is_lora = any(p.startswith("lora_") for p in parts)

@@ -191,6 +191,8 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
     state_holder[task] tracks the mixer position after each stream() call;
     persist it in the trainer checkpoint and pass back as resume_states for
     exact mid-epoch resume (DistributedSamplerResume semantics)."""
+    from procyon_tpu.data import registry
+
     lib = task_library or instruct.TaskLibrary()
     rng = np.random.default_rng(seed)
 
@@ -198,6 +200,10 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
     per_task_weights: Dict[str, Dict[str, float]] = {}
     prompts: Dict[str, object] = {}
     prompt_meta: Dict[str, tuple] = {}
+    # dataset key -> task_id (keys embed the split name, which may itself
+    # contain underscores — eval_zero_shot_hard — so parsing the key back
+    # with rsplit is not safe)
+    key_task_ids: Dict[str, str] = {}
     collators: Dict[str, object] = {}
     store_cache: Dict[str, object] = {}
 
@@ -215,12 +221,18 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                 except FileNotFoundError:
                     continue
                 for split in entry.splits:
+                    # "EVAL:<alias>" splits resolve to per-dataset names
+                    # (it_data_config.py:269-277 SPLIT_MAPS semantics)
+                    if split.startswith("EVAL:"):
+                        split = registry.resolve_eval_split(
+                            entry.aaseq_type, entry.text_type, split)
                     ds = _dataset_for_entry(entry, relation, entry_store,
                                             data_dir, split, synthetic,
                                             seed)
                     key = f"{task_id}_{split}"
                     per_task_datasets.setdefault(task, {})[key] = ds
                     per_task_weights.setdefault(task, {})[key] = entry.weight
+                    key_task_ids[key] = task_id
                 if task_id not in prompts:
                     ppi = _is_ppi(entry)
                     prompt_meta[task_id] = (template, ppi, entry.aaseq_type)
@@ -279,7 +291,7 @@ def build_task_streams(cfg: MultiDatasetConfig, *, store, tokenizer,
                 key, idxs, nxt = next(it)
                 state_holder[task] = nxt.to_dict()
                 ds = dsets[key]
-                task_id = key.rsplit("_", 1)[0]
+                task_id = key_task_ids[key]
                 variants = prompts[task_id]
                 ridx = int(rng.integers(0, len(variants))) \
                     if len(variants) > 1 else 0

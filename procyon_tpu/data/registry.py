@@ -275,6 +275,73 @@ CAPTION_TRAIN_WEIGHTS = {0: {'domain_go': 0.5,
 ONTOLOGY_RAG_SUBSETS = {'go': 'description_name_type_def',
  'reactome': 'description_name_description'}
 
+# Named eval-protocol aliases -> per-dataset split names (the paper's
+# benchmark protocols). Data contract mirrored from the reference's
+# SPLIT_MAPS (procyon/evaluate/framework/constants.py:1-120), resolved at
+# dataset-config time like it_data_config.py:269-277. None = the protocol
+# does not exist for that dataset (the reference silently substitutes
+# None; here resolve_eval_split errors cleanly). Datasets mapped to None
+# (protein_protein, protein_gtop, protein_uniprot) have no named eval
+# protocols at all.
+EVAL_SPLIT_ALIASES = ("pt_ft", "few_shot", "zero_shot", "zero_shot_easy",
+                      "zero_shot_hard")
+
+_FIVE_SHOT = {"pt_ft": "eval_pt_ft", "few_shot": "eval_five_shot",
+              "zero_shot": "eval_zero_shot", "zero_shot_easy": None,
+              "zero_shot_hard": "eval_zero_shot_hard"}
+_TWO_SHOT_NO_EASY = {"pt_ft": "eval_pt_ft", "few_shot": "eval_two_shot",
+                     "zero_shot": "eval_zero_shot", "zero_shot_easy": None,
+                     "zero_shot_hard": "eval_zero_shot_hard"}
+_TWO_SHOT_FULL = {"pt_ft": "eval_pt_ft", "few_shot": "eval_two_shot",
+                  "zero_shot": "eval_zero_shot",
+                  "zero_shot_easy": "eval_zero_shot_easy",
+                  "zero_shot_hard": "eval_zero_shot_hard"}
+
+SPLIT_MAPS = {
+    "protein_go": dict(_FIVE_SHOT),
+    "domain_go": dict(_FIVE_SHOT),
+    "domain_pfam": dict(_TWO_SHOT_NO_EASY),
+    "protein_disgenet": {**_TWO_SHOT_FULL, "pt_ft": None},
+    "protein_reactome": dict(_TWO_SHOT_NO_EASY),
+    "protein_protein": None,
+    "protein_omim": dict(_TWO_SHOT_FULL),
+    "protein_drugbank": dict(_TWO_SHOT_FULL),
+    "protein_drugbank:moa": dict(_TWO_SHOT_FULL),
+    "protein_drugbank:indication": dict(_TWO_SHOT_FULL),
+    "protein_gtop": None,
+    "protein_ec": dict(_TWO_SHOT_FULL),
+    "protein_uniprot": None,
+}
+
+
+def resolve_eval_split(aaseq_type: str, text_type: str, split: str) -> str:
+    """Resolve a named eval protocol (pt_ft / few_shot / zero_shot /
+    zero_shot_easy / zero_shot_hard, optionally 'EVAL:'-prefixed like the
+    reference's YAML syntax) to the dataset's concrete split name.
+
+    Raw split strings that are not aliases pass through untouched.
+    Raises ValueError when the dataset has no SPLIT_MAPS entry or the
+    protocol is None for it (the clean-error upgrade over the reference's
+    silent None substitution)."""
+    alias = split.split(":", 1)[1] if split.startswith("EVAL:") else split
+    if alias not in EVAL_SPLIT_ALIASES:
+        return split
+    dset = f"{aaseq_type}_{text_type}"
+    table = SPLIT_MAPS.get(dset, SPLIT_MAPS.get(
+        f"{aaseq_type}_{text_type.split(':')[0]}", "missing"))
+    if table == "missing":
+        raise ValueError(f"dataset name not in SPLIT_MAPS: {dset}")
+    if table is None:
+        raise ValueError(
+            f"dataset {dset} has no named eval protocols (SPLIT_MAPS "
+            f"entry is None)")
+    resolved = table[alias]
+    if resolved is None:
+        raise ValueError(
+            f"dataset {dset} has no '{alias}' split (SPLIT_MAPS maps it "
+            f"to None)")
+    return resolved
+
 
 def column_subset(task: str, text_type: str,
                   version: int = 5) -> Optional[List[str]]:

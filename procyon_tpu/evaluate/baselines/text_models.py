@@ -382,7 +382,9 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     state = torch.load(path, map_location="cpu", weights_only=True)
     if "model" in state and isinstance(state["model"], dict):
         state = state["model"]
-    return {k: v.float().numpy() for k, v in state.items()
+    # detach: checkpoints saved from live modules can hold Parameters with
+    # requires_grad=True, on which .numpy() raises
+    return {k: v.detach().float().numpy() for k, v in state.items()
             if hasattr(v, "numpy")}
 
 

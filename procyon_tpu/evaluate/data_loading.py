@@ -77,9 +77,14 @@ def load_datasets_for_eval(data_dir: str, entries: Sequence[Dict], *,
     for e in entries:
         aaseq_type = e.get("aaseq_type", "protein")
         relation = e.get("relation", "all")
+        # named eval protocols (pt_ft / few_shot / zero_shot[_easy/_hard])
+        # resolve PER DATASET (registry.SPLIT_MAPS; the reference's
+        # framework/constants.py:1-120); raw split names pass through
+        ds_split = registry.resolve_eval_split(aaseq_type, e["text_type"],
+                                               split)
         ds_eval = D.AASeqTextRelationDataset.from_csv(
             data_dir, aaseq_type, e["text_type"],
-            e.get("relation") and [e["relation"]], split,
+            e.get("relation") and [e["relation"]], ds_split,
             split_method=split_method, store=base_store)
         ds_train = D.AASeqTextRelationDataset.from_csv(
             data_dir, aaseq_type, e["text_type"],

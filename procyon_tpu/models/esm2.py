@@ -22,6 +22,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from procyon_tpu.models import lora as lora_mod
 from procyon_tpu.ops.activations import gelu_erf_fast
 from procyon_tpu.ops.flash_attention import flash_attention
 from procyon_tpu.ops import quant
@@ -56,6 +57,21 @@ class ESM2Config:
     # prefix tuning (esm.py:42-130 ESMPrefix): P learned post-rotary K/V
     # rows prepended to every layer's attention; 0 = off
     prefix_len: int = 0
+    # encoder-side (Mo)LoRA (esm.py:424-492: peft LoraConfig / MoLoRAConfig
+    # over the ESM tower; num_experts > 1 = task-banked MoLoRA selected per
+    # phase via set_prot_lora_group, esm.py:501). Composes with
+    # quantize_params for the QLoRA recipe (NF4-equivalent int8/int4
+    # frozen base + bf16 LoRA banks).
+    lora: Optional[lora_mod.LoRAConfig] = None
+    # which projections carry LoRA (reference protein_lora_parameters,
+    # esm.py:424-429): "attn" = query/key/value; "mlp" = the HF "dense"
+    # targets (attention output + both MLP denses); "default" = all six
+    lora_targets: str = "default"
+    # bottleneck adapter rank (reference use_adapter/adapter_rank,
+    # esm.py:334-335 — accepted but DISCONNECTED there, the kwargs are
+    # commented out at esm.py:372-375; here it is a working Houlsby-style
+    # post-MLP adapter: x += up(gelu(down(x))), up zero-init). 0 = off
+    adapter_rank: int = 0
     dtype: Any = jnp.bfloat16
     attn_backend: Optional[str] = None
     remat: bool = True
@@ -119,6 +135,34 @@ def tiny_config(**kw) -> ESM2Config:
     return ESM2Config(**base)
 
 
+_LORA_DIMS = {
+    # projection name -> (in_dim, out_dim) as (dim, ffn) multipliers
+    "wq": ("dim", "proj"), "wk": ("dim", "proj"), "wv": ("dim", "proj"),
+    "wo": ("proj", "dim"), "w1": ("dim", "ffn"), "w2": ("ffn", "dim"),
+}
+
+_LORA_TARGET_SETS = {
+    # reference target_lora_modules (esm.py:424-429): attn ->
+    # ["query","key","value"]; mlp -> ["dense"] (HF module-name match =
+    # attention.output.dense + intermediate.dense + output.dense);
+    # default -> both
+    "attn": ("wq", "wk", "wv"),
+    "mlp": ("wo", "w1", "w2"),
+    "default": ("wq", "wk", "wv", "wo", "w1", "w2"),
+}
+
+
+def lora_target_names(cfg: ESM2Config):
+    return _LORA_TARGET_SETS[cfg.lora_targets]
+
+
+def _lora_dims(cfg: ESM2Config, name):
+    sizes = {"dim": cfg.dim, "proj": cfg.n_heads * cfg.head_dim,
+             "ffn": cfg.ffn_dim}
+    i, o = _LORA_DIMS[name]
+    return sizes[i], sizes[o]
+
+
 def init_params(key, cfg: ESM2Config):
     L = cfg.n_layers
     hd = cfg.head_dim
@@ -162,6 +206,26 @@ def init_params(key, cfg: ESM2Config):
             "k": dense(keys[8], (L, P, cfg.n_heads * hd), scale=0.02),
             "v": dense(keys[9], (L, P, cfg.n_heads * hd), scale=0.02),
         }
+    if cfg.lora is not None:
+        names = lora_target_names(cfg)
+        lkeys = jax.random.split(keys[10], len(names) * L)
+        for j, name in enumerate(names):
+            di, do = _lora_dims(cfg, name)
+            ps = [lora_mod.init_params(k, cfg.lora, di, do)
+                  for k in lkeys[j * L:(j + 1) * L]]
+            layers[f"lora_{name}"] = {
+                "A": jnp.stack([p["A"] for p in ps]),
+                "B": jnp.stack([p["B"] for p in ps]),
+            }
+    if cfg.adapter_rank:
+        r = cfg.adapter_rank
+        layers["adapter"] = {
+            # up zero-init: the adapter starts as identity
+            "wd": dense(keys[11], (L, cfg.dim, r), scale=0.02),
+            "bd": zeros((L, r)),
+            "wu": zeros((L, r, cfg.dim)),
+            "bu": zeros((L, cfg.dim)),
+        }
     return {
         "embed": dense(keys[6], (cfg.vocab_size, cfg.dim), scale=0.02),
         "layers": layers,
@@ -176,10 +240,26 @@ def init_params(key, cfg: ESM2Config):
     }
 
 
-def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
+def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config, lora_expert=0):
     B, S, _ = x.shape
     hd = cfg.head_dim
     cos_g, sin_g = rot
+
+    def _lora(name, inp, out):
+        key = f"lora_{name}"
+        if cfg.lora is not None and key in lp:
+            return lora_mod.apply(lp[key], cfg.lora, inp, out,
+                                  expert_idx=lora_expert)
+        return out
+
+    def _adapter(y):
+        # Houlsby-style bottleneck after the MLP residual (up zero-init);
+        # the reference's use_adapter kwarg is disconnected (esm.py:372-375)
+        if cfg.adapter_rank and "adapter" in lp:
+            a = lp["adapter"]
+            mid = gelu_erf_fast(y @ a["wd"] + a["bd"])
+            return y + (mid @ a["wu"] + a["bu"]).astype(y.dtype)
+        return y
 
     h = layer_norm(x, lp["attn_norm"]["w"], lp["attn_norm"]["b"],
                    eps=cfg.norm_eps)
@@ -232,25 +312,25 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
                     lp["mlp"]["w2"]["q"], lp["mlp"]["w2"]["s"],
                     lp["mlp"]["b2"], eps=cfg.norm_eps, add_residual=True,
                     big_blocks=cfg.mlp_big_blocks)
-                return out.reshape(B, S, cfg.dim)
+                return _adapter(out.reshape(B, S, cfg.dim))
             h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                            eps=cfg.norm_eps)
             h1 = quant.mm(h, lp["mlp"]["w1"], cfg.quant_mode) \
                 + lp["mlp"]["b1"]
             h = jax.nn.gelu(h1, approximate=True) if cfg.gelu_approx \
                 else gelu_erf_fast(h1)
-            return x + quant.mm(h, lp["mlp"]["w2"], cfg.quant_mode) \
-                + lp["mlp"]["b2"]
+            return _adapter(x + quant.mm(h, lp["mlp"]["w2"], cfg.quant_mode)
+                            + lp["mlp"]["b2"])
         q = qkv[..., :HD].reshape(B, S, cfg.n_heads, hd)
         k = qkv[..., HD:2 * HD].reshape(B, S, cfg.n_heads, hd)
         v = qkv[..., 2 * HD:].reshape(B, S, cfg.n_heads, hd)
     else:
-        q = (quant.mm(h, lp["attn"]["wq"], cfg.quant_mode)
-             + lp["attn"]["bq"]).reshape(B, S, cfg.n_heads, hd)
-        k = (quant.mm(h, lp["attn"]["wk"], cfg.quant_mode)
-             + lp["attn"]["bk"]).reshape(B, S, cfg.n_heads, hd)
-        v = (quant.mm(h, lp["attn"]["wv"], cfg.quant_mode)
-             + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
+        q = _lora("wq", h, quant.mm(h, lp["attn"]["wq"], cfg.quant_mode)
+                  + lp["attn"]["bq"]).reshape(B, S, cfg.n_heads, hd)
+        k = _lora("wk", h, quant.mm(h, lp["attn"]["wk"], cfg.quant_mode)
+                  + lp["attn"]["bk"]).reshape(B, S, cfg.n_heads, hd)
+        v = _lora("wv", h, quant.mm(h, lp["attn"]["wv"], cfg.quant_mode)
+                  + lp["attn"]["bv"]).reshape(B, S, cfg.n_heads, hd)
     seg_kv = seg_ids
     cos_k, sin_k = cos_g, sin_g
     if cfg.prefix_len:
@@ -276,23 +356,28 @@ def _block(x, lp, seg_ids, positions, rot, cfg: ESM2Config):
                            backend=cfg.attn_backend,
                            rope=(cos_g, sin_g, cos_k, sin_k))
     attn = attn.reshape(B, S, cfg.n_heads * hd).astype(x.dtype)
-    x = x + quant.mm(attn, lp["attn"]["wo"], cfg.quant_mode) + lp["attn"]["bo"]
+    x = x + _lora("wo", attn, quant.mm(attn, lp["attn"]["wo"],
+                                       cfg.quant_mode)) + lp["attn"]["bo"]
 
     h = layer_norm(x, lp["mlp_norm"]["w"], lp["mlp_norm"]["b"],
                    eps=cfg.norm_eps)
-    h1 = quant.mm(h, lp["mlp"]["w1"], cfg.quant_mode) + lp["mlp"]["b1"]
+    h1 = _lora("w1", h, quant.mm(h, lp["mlp"]["w1"], cfg.quant_mode)) \
+        + lp["mlp"]["b1"]
     h = jax.nn.gelu(h1, approximate=True) if cfg.gelu_approx \
         else gelu_erf_fast(h1)
-    x = x + quant.mm(h, lp["mlp"]["w2"], cfg.quant_mode) + lp["mlp"]["b2"]
-    return x
+    x = x + _lora("w2", h, quant.mm(h, lp["mlp"]["w2"], cfg.quant_mode)) \
+        + lp["mlp"]["b2"]
+    return _adapter(x)
 
 
 def forward(params, cfg: ESM2Config, tokens, *, seg_ids=None,
-            return_logits=False):
+            return_logits=False, lora_expert=0):
     """tokens [B,S] int32 (ESM alphabet, cls/eos included).
 
     Returns {"hidden": [B,S,dim] (post final LN), "logits": [B,S,vocab]?}.
     Padding (PAD_IDX) is masked out of attention via segment ids.
+    lora_expert selects the active (Mo)LoRA bank (may be traced) — the
+    reference's set_prot_lora_group (esm.py:501).
     """
     B, S = tokens.shape
     if seg_ids is None:
@@ -322,7 +407,8 @@ def forward(params, cfg: ESM2Config, tokens, *, seg_ids=None,
     rot = (cos_f[:S].astype(cfg.dtype), sin_f[:S].astype(cfg.dtype))
 
     def scan_body(x, lp):
-        return _block(x, lp, seg_ids, positions, rot, cfg), None
+        return _block(x, lp, seg_ids, positions, rot, cfg,
+                      lora_expert=lora_expert), None
 
     body = jax.checkpoint(scan_body) if cfg.remat else scan_body
     x, _ = jax.lax.scan(body, x, params["layers"])
@@ -351,13 +437,45 @@ def quantize_params(params, cfg: ESM2Config):
     return out
 
 
+def merge_lora_params(params, cfg: ESM2Config):
+    """Fold the (expert-averaged) LoRA deltas into the base weights and
+    drop the banks — the reference's merge-by-averaging (mlora.py:417-431)
+    for serving. Requires an unquantized tree (merge BEFORE
+    quantize_params, like peft's merge_and_unload before bnb)."""
+    assert cfg.lora is not None
+    layers = dict(params["layers"])
+    for name in lora_target_names(cfg):
+        key = f"lora_{name}"
+        if key not in layers:
+            continue
+        bank = layers.pop(key)
+        group = "attn" if name in ("wq", "wk", "wv", "wo") else "mlp"
+        w = layers[group][name]
+        assert not quant.is_quantized(w), \
+            "merge LoRA before quantize_params"
+        # [L, E, i, r] x [L, E, r, o] -> mean over E
+        delta = jnp.einsum("leir,lero->lio",
+                           bank["A"].astype(jnp.float32),
+                           bank["B"].astype(jnp.float32))
+        delta = cfg.lora.scaling * delta / bank["A"].shape[1]
+        layers[group] = {**layers[group],
+                         name: (w.astype(jnp.float32) + delta).astype(w.dtype)}
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def fuse_qkv_params(params):
     """Serving transform: concatenate the q/k/v projections into one
     [L, d, 3*H*D] weight (wqkv) + [L, 3*H*D] bias so _block issues one MXU
     dot (and one activation-quant pass under w8a8) per layer instead of
     three. Works on bf16 or int8-quantized trees; the training layout is
-    untouched (HF-parity converters keep separate q/k/v)."""
+    untouched (HF-parity converters keep separate q/k/v). LoRA banks must
+    be merged first (merge_lora_params) — the fused path does not apply
+    them."""
     layers = dict(params["layers"])
+    assert not any(k.startswith("lora_") for k in layers), \
+        "merge_lora_params before fuse_qkv_params"
     attn = dict(layers["attn"])
     ws = [attn.pop(n) for n in ("wq", "wk", "wv")]
     if quant.is_quantized(ws[0]):

@@ -138,14 +138,18 @@ def init_params(key, cfg: UnifiedConfig):
 
 
 def encode_proteins(params, cfg: UnifiedConfig, protein_tokens, *,
-                    group_ids=None, num_groups=None, row_valid=None):
+                    group_ids=None, num_groups=None, row_valid=None,
+                    lora_expert=0):
     """ESM-encode residue tokens [R, Lp] -> pooled embeddings.
 
     group_ids/num_groups activate chunk-regrouping for long proteins split
     across rows (train_utils.py:1497-1649 semantics as segment pooling).
+    lora_expert selects the encoder's (Mo)LoRA bank when cfg.esm.lora is
+    set (set_prot_lora_group, esm.py:501).
     """
     assert cfg.esm is not None, "encode_proteins requires a live ESM encoder"
-    out = esm2.forward(params["esm"], cfg.esm, protein_tokens)
+    out = esm2.forward(params["esm"], cfg.esm, protein_tokens,
+                       lora_expert=lora_expert)
     token_mask = (protein_tokens != esm2.PAD_IDX).astype(jnp.int32)
     pooled = pooling.pool_tokens(out["hidden"], token_mask,
                                  cfg.protein_pooling)  # [R, De]
@@ -195,9 +199,11 @@ def protein_embed_fn(cfg: UnifiedConfig):
     return fn
 
 
-def protein_mlm_logits(params, cfg: UnifiedConfig, protein_tokens):
+def protein_mlm_logits(params, cfg: UnifiedConfig, protein_tokens,
+                       lora_expert=0):
     return esm2.forward(params["esm"], cfg.esm, protein_tokens,
-                        return_logits=True)["logits"]
+                        return_logits=True,
+                        lora_expert=lora_expert)["logits"]
 
 
 def target_protein_embeddings(params, cfg: UnifiedConfig, protein_embeds):
@@ -303,7 +309,8 @@ def forward(params, cfg: UnifiedConfig, batch, *, retrieval=False,
             group_ids=batch.get("protein_group_ids"),
             num_groups=toks.shape[0]
             if batch.get("protein_group_ids") is not None else None,
-            row_valid=batch.get("protein_row_valid"))
+            row_valid=batch.get("protein_row_valid"),
+            lora_expert=lora_expert)
         batch = dict(batch)
         batch["protein_embeds"] = protein_embeds
     soft_bank = build_soft_bank(params, cfg, protein_embeds,

@@ -26,8 +26,7 @@ def make_combined_step(cfg: unified.UnifiedConfig, optimizer,
     def step(state, batches):
         """batches: dict with optional keys qa / caption / retrieval / mlm."""
 
-        n_experts = (cfg.llama.lora.num_experts
-                     if cfg.llama.lora is not None else 1)
+        n_experts = ts.lora_num_experts(cfg)
 
         def expert(task):
             if expert_override is not None:

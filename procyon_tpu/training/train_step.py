@@ -153,7 +153,8 @@ def retrieval_loss_fn(params, cfg, batch, weight, lora_expert=0):
 def mlm_loss_fn(params, cfg, batch, weight, lora_expert=0):
     """ESM2 masked-LM loss (compute_mlm_loss, trainIT.py:1138-1193;
     get_mlm_loss, train_utils.py:884-938)."""
-    logits = unified.protein_mlm_logits(params, cfg, batch["protein_tokens"])
+    logits = unified.protein_mlm_logits(params, cfg, batch["protein_tokens"],
+                                        lora_expert=lora_expert)
     labels = batch["mlm_labels"]  # -100 = not masked
     mask = labels != -100
     safe = jnp.where(mask, labels, 0)
@@ -178,6 +179,17 @@ _LOSS_FNS = {
 TASK_LORA_EXPERT = {"qa": 0, "retrieval": 1, "caption": 2, "mlm": 2}
 
 
+def lora_num_experts(cfg: unified.UnifiedConfig) -> int:
+    """Bank size for expert cycling, over BOTH towers: the reference calls
+    set_lora_group on the decoder AND set_prot_lora_group on the encoder
+    with the same index (trainIT.py:795-931). Mismatched bank sizes clamp
+    at each tower's own bound (JAX gather-clipping semantics)."""
+    n = cfg.llama.lora.num_experts if cfg.llama.lora is not None else 1
+    if cfg.esm is not None and cfg.esm.lora is not None:
+        n = max(n, cfg.esm.lora.num_experts)
+    return n
+
+
 def make_train_step(cfg: unified.UnifiedConfig, optimizer, task: str,
                     weight: float = 1.0, donate: bool = True,
                     accumulation_steps: int = 1, frozen_base: bool = False):
@@ -197,8 +209,7 @@ def make_train_step(cfg: unified.UnifiedConfig, optimizer, task: str,
     tower weights are non-differentiated constants).
     """
     loss_fn = _LOSS_FNS[task]
-    n_experts = (cfg.llama.lora.num_experts
-                 if cfg.llama.lora is not None else 1)
+    n_experts = lora_num_experts(cfg)
     expert = TASK_LORA_EXPERT.get(task, 0) % max(n_experts, 1)
 
     if frozen_base:
