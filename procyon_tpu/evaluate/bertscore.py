@@ -112,7 +112,9 @@ class BERTScorer:
         self.layer = layer
         self.idf = idf
         self.baseline = baseline
-        self.max_len = max_len
+        # clamp to the encoder's position table (tiny synthetic configs
+        # have max_position 64; long texts truncate like bert_score)
+        self.max_len = min(max_len, cfg.max_position)
         self.batch_size = batch_size
 
     def _encode_texts(self, texts: Sequence[str], idf_table):
@@ -177,16 +179,75 @@ class BERTScorer:
         return BERTScoreResult(precision=P, recall=R, f1=F)
 
 
+def compute_baseline(scorer: BERTScorer, sentences: Sequence[str], *,
+                     n_pairs: int = 1000, seed: int = 0
+                     ) -> Tuple[float, float, float]:
+    """Rescaling-baseline b = mean BERTScore of UNRELATED sentence pairs
+    under this scorer's (model, layer) — bert_score's baseline method
+    (its shipped en-sci file averages ~1M random Common Crawl pairs; see
+    the reference's rescale_with_baseline=True, framework/caption.py:85-95).
+
+    Deviation from bert_score, documented: this container has no Common
+    Crawl corpus, so b is computed over random pairs drawn from a
+    user-supplied corpus (e.g. the caption reference texts via
+    scripts/compute_bertscore_baseline.py). Identical (model, layer,
+    corpus, seed) reproduce the same b; rescaled scores are comparable
+    ACROSS runs that share a baseline file, and differ from bert_score's
+    shipped constants by the corpus-distribution delta.
+
+    Pairs are (s_i, s_j) with i != j (derangement-style shifted pairing
+    over shuffles), scored with the scorer's idf setting and NO baseline
+    applied. Returns the (p, r, f1) means."""
+    assert len(sentences) >= 2, "need at least two sentences"
+    rng = np.random.default_rng(seed)
+    sents = list(sentences)
+    cands: List[str] = []
+    refs: List[str] = []
+    while len(cands) < n_pairs:
+        perm = rng.permutation(len(sents))
+        shift = np.roll(perm, 1)
+        for i, j in zip(perm, shift):
+            if sents[i] != sents[j]:
+                cands.append(sents[i])
+                refs.append(sents[j])
+            if len(cands) >= n_pairs:
+                break
+    saved = scorer.baseline
+    scorer.baseline = None
+    try:
+        res = scorer.score(cands, refs)
+    finally:
+        scorer.baseline = saved
+    return (float(res.precision.mean()), float(res.recall.mean()),
+            float(res.f1.mean()))
+
+
+def load_baseline(path: str) -> Tuple[float, float, float]:
+    """Read a baseline JSON written by scripts/compute_bertscore_baseline.py
+    ({"precision": b_p, "recall": b_r, "f1": b_f, ...metadata})."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return (float(d["precision"]), float(d["recall"]), float(d["f1"]))
+
+
 def make_scorer(checkpoint_dir: Optional[str] = None, *,
                 vocab_file: Optional[str] = None,
                 layer: int = DEFAULT_LAYER, idf: bool = False,
                 dtype=jnp.bfloat16, seed: int = 0,
+                baseline_file: Optional[str] = None,
                 **kw) -> BERTScorer:
     """Build a scorer from a local HF BERT checkpoint dir (weights +
     vocab.txt), or - with no checkpoint - from synthetic weights (metric
-    math is exact either way; absolute scores need real weights)."""
+    math is exact either way; absolute scores need real weights).
+    baseline_file: JSON of rescaling constants (compute_bertscore_baseline
+    CLI) -> scores are reported rescaled (s - b) / (1 - b) like the
+    reference's rescale_with_baseline=True."""
     from procyon_tpu.data.wordpiece import WordPieceTokenizer
 
+    if baseline_file:
+        kw = {**kw, "baseline": load_baseline(baseline_file)}
     if checkpoint_dir:
         import os
 

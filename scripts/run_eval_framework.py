@@ -55,6 +55,11 @@ def parse_args():
                    help="local HF BERT/SciBERT checkpoint dir (weights + "
                         "vocab.txt); omitted = synthetic-weight scorer")
     p.add_argument("--bertscore_layer", type=int, default=None)
+    p.add_argument("--bertscore_baseline_file", type=str, default=None,
+                   help="rescaling constants JSON "
+                        "(scripts/compute_bertscore_baseline.py) -> "
+                        "bertscore_* reported rescaled (s-b)/(1-b) like "
+                        "the reference's rescale_with_baseline=True")
     # retrieval-eval knobs (reference EvalArgs surface, framework/args.py)
     p.add_argument("--retrieval_top_k", type=int, nargs="+", default=None,
                    help="top-k list for precision/recall@k")
@@ -235,7 +240,9 @@ def main():
 
         kw = {} if args.bertscore_layer is None else \
             {"layer": args.bertscore_layer}
-        ctx["bertscorer"] = make_scorer(args.bertscore_model_dir, **kw)
+        ctx["bertscorer"] = make_scorer(
+            args.bertscore_model_dir,
+            baseline_file=args.bertscore_baseline_file, **kw)
 
     ret_cfg = core.ret.RetrievalEvalConfig()
     overrides = {}

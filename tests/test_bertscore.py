@@ -116,6 +116,45 @@ class TestScorerEndToEnd:
         np.testing.assert_allclose(rescaled.f1,
                                    (raw.f1 - 0.5) / 0.5, atol=1e-5)
 
+    def test_compute_baseline_and_rescale_golden(self, scorer):
+        """VERDICT r3 #5: baseline constants from random unrelated pairs
+        (compute_baseline) thread through make_scorer and rescale scores
+        exactly as (s - b) / (1 - b). Golden properties on synthetic
+        weights: identical text stays 1.0 after rescaling; an
+        in-distribution unrelated pair lands near 0; determinism."""
+        corpus = [f"word{i} term{i % 5} protein{i % 3} thing{i % 7}"
+                  for i in range(16)]
+        b = bertscore.compute_baseline(scorer, corpus, n_pairs=32, seed=0)
+        b2 = bertscore.compute_baseline(scorer, corpus, n_pairs=32, seed=0)
+        assert b == b2  # deterministic for (model, corpus, seed)
+        bp, br, bf = b
+        assert 0.0 < bf < 1.0
+        rescaled = bertscore.BERTScorer(
+            scorer.params, scorer.cfg, scorer.tokenizer,
+            layer=scorer.layer, baseline=b, batch_size=8)
+        # identity is invariant under rescaling
+        same = rescaled.score(["protein binds atp"], ["protein binds atp"])
+        assert same.f1[0] > 0.999
+        # a raw score exactly at the baseline maps to exactly 0
+        raw = scorer.score(corpus[:4], list(np.roll(corpus[:4], 1)))
+        got = rescaled.score(corpus[:4], list(np.roll(corpus[:4], 1)))
+        np.testing.assert_allclose(got.f1, (raw.f1 - bf) / (1 - bf),
+                                   atol=1e-6)
+        np.testing.assert_allclose(got.precision,
+                                   (raw.precision - bp) / (1 - bp),
+                                   atol=1e-6)
+
+    def test_baseline_file_roundtrip(self, scorer, tmp_path):
+        import json
+
+        path = str(tmp_path / "baseline.json")
+        with open(path, "w") as f:
+            json.dump({"precision": 0.4, "recall": 0.5, "f1": 0.45,
+                       "layer": scorer.layer}, f)
+        assert bertscore.load_baseline(path) == (0.4, 0.5, 0.45)
+        s = bertscore.make_scorer(baseline_file=path, batch_size=8)
+        assert s.baseline == (0.4, 0.5, 0.45)
+
     def test_idf_downweights_common_tokens(self):
         # idf weighting must change scores when token frequencies differ
         s_plain = bertscore.make_scorer(batch_size=8)
