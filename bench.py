@@ -104,6 +104,11 @@ def main():
         "bf16_proteins_per_sec": round(bf16_rate, 2),
         "int8_embedding_cos_min": round(cos_min, 5),
     }
+    from procyon_tpu.utils.timing import canary_fields
+
+    # fixed-workload chip-state probe (VERDICT r3 weak #4): normalizes
+    # cross-session comparisons against the ~20% day-to-day chip variance
+    result.update(canary_fields())
     print(json.dumps(result))
 
 

@@ -138,6 +138,13 @@ class TrainArgs:
     mesh_data: int = 1
     mesh_fsdp: int = -1
     mesh_model: int = 1
+    # multi-host / multi-slice scale-out (parallel/multihost.py; the
+    # reference's torchrun+NCCL surface, run_pretrain.py:117). 1 = off.
+    # On TPU pods all three can stay unset (auto-detected); for manual
+    # rendezvous set coordinator host:port + per-process id.
+    dist_num_processes: int = 1
+    dist_coordinator: Optional[str] = None
+    dist_process_id: int = -1            # -1 = auto/env
     seed: int = 0
     resume: bool = False
     use_wandb: bool = False

@@ -22,6 +22,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _canary():
+    """Chip-state probe fields for the JSON line (VERDICT r3 weak #4)."""
+    from procyon_tpu.utils.timing import canary_fields
+
+    return canary_fields()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -71,6 +78,7 @@ def main():
         "note": "kernel gap over the matmul-only causal bound = softmax/"
                 "mask VPU passes + score staging; int8 QK^T attacks the "
                 "matmul share only",
+        **_canary(),
     }))
 
 

@@ -229,6 +229,9 @@ def main():
         q = probe(args.bits, "dequant")
         result.update(q.as_dict())
         gate_failed = not q.passed
+    from procyon_tpu.utils.timing import canary_fields
+
+    result.update(canary_fields())  # chip-state probe (VERDICT r3 #4)
     print(json.dumps(result))
     if gate_failed:
         sys.exit(1)

@@ -21,6 +21,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _canary():
+    """Chip-state probe fields for the JSON line (VERDICT r3 weak #4)."""
+    from procyon_tpu.utils.timing import canary_fields
+
+    return canary_fields()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dim", type=int, default=4096)
@@ -104,6 +111,7 @@ def main():
                 f"{args.quant_mode}, {args.n_targets} cached targets, "
                 f"top-10)",
         "per_batch_ms": round(t * 1e3, 2),
+        **_canary(),
     }))
 
 

@@ -1,0 +1,236 @@
+"""Serving-throughput benchmark for the continuous batcher
+(VERDICT r3 next #1 — the flagship serving redesign's missing number).
+
+Workload: N mixed requests (token prompts + fused soft-token prompts, the
+two admission paths of inference/serving.py) with STAGGERED arrivals into
+one ContinuousBatcher. The drive loop submits per the arrival schedule
+between serving rounds and measures wall-clock end to end, so the number
+includes prefill, admission queueing, page recycling, and the per-round
+host round trip (token ids only — sampling is on-device).
+
+Reported (one JSON line):
+  requests_per_sec  — completed requests / wall time
+  output_tok_per_sec — generated tokens / wall time
+  latency p50/p95   — submit->finish wall seconds per request
+  slot_utilization  — mean live-slots/slots over rounds
+  pool sizing       — n_pages under the fixed --pool_mb HBM budget
+                      (--kv8 halves page bytes -> ~2x pages = the doubled
+                      admission capacity, quantified here)
+
+python scripts/bench_serving.py [--dim 4096 --layers 34 --slots 16
+    --requests 48 --max_new 64 --step_quantum 8 --pool_mb 1024] [--kv8]
+python scripts/bench_serving.py --synthetic      # CPU smoke
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _canary():
+    from procyon_tpu.utils.timing import canary_fields
+
+    return canary_fields()
+
+
+def build_model(args):
+    import jax
+    import jax.numpy as jnp
+
+    from procyon_tpu.models import llama
+
+    if args.synthetic:
+        cfg = llama.tiny_config(attn_backend="ref", remat=False)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        return cfg, params, sum(
+            int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(params))
+
+    cfg = llama.LlamaConfig(
+        vocab_size=32000, dim=args.dim, n_layers=args.layers,
+        n_heads=args.dim // 128, n_kv_heads=max(args.dim // 512, 1),
+        intermediate=int(args.dim * 2.6875),
+        max_seq_len=args.max_prompt + args.max_new + 8,
+        dtype=jnp.bfloat16)
+
+    # int8 tree straight from eval_shape (throughput doesn't depend on
+    # weight values; a 6B bf16 init would not fit next to the pool)
+    def build():
+        return llama.quantize_params(
+            llama.init_params(jax.random.PRNGKey(0), cfg), cfg)
+
+    shapes = jax.eval_shape(build)
+
+    @jax.jit
+    def materialize():
+        return jax.tree_util.tree_map(
+            lambda sd: jnp.full(sd.shape, 1, sd.dtype)
+            if sd.dtype == jnp.int8 else jnp.full(sd.shape, 0.01, sd.dtype),
+            shapes)
+
+    params = materialize()
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(shapes))
+    return cfg, params, n_params
+
+
+def make_workload(args, cfg, rng):
+    """[(arrival_round, kind, prompt_len, payload)] — kind 'tok' or
+    'fused'. Arrivals are uniform over the first --arrival_rounds rounds
+    (a burst-then-drain profile exercises admission + recycling)."""
+    reqs = []
+    for i in range(args.requests):
+        plen = int(rng.integers(args.min_prompt, args.max_prompt + 1))
+        arrival = int(rng.integers(0, args.arrival_rounds))
+        if i % 2 == 0:
+            payload = list(rng.integers(4, cfg.vocab_size, plen))
+            kind = "tok"
+        else:
+            # fused soft-token prompt: pre-assembled embeddings row
+            payload = rng.standard_normal((plen, cfg.dim)).astype(
+                np.float32) * 0.02
+            kind = "fused"
+        reqs.append((arrival, kind, plen, payload))
+    return sorted(reqs, key=lambda r: r[0])
+
+
+def drive(batcher, workload, max_new):
+    """Submit per schedule between ticks; returns per-request latency,
+    per-round utilization, wall seconds, generated-token count."""
+    submit_t = {}
+    finish_t = {}
+    seen_done = set()
+    util = []
+    pending = list(workload)
+    t0 = time.perf_counter()
+    rounds = 0
+    while pending or batcher.live or batcher.queue:
+        while pending and pending[0][0] <= rounds:
+            _, kind, _, payload = pending.pop(0)
+            if kind == "tok":
+                rid = batcher.submit(payload, max_new=max_new)
+            else:
+                rid = batcher.submit_fused(payload, max_new=max_new)
+            submit_t[rid] = time.perf_counter()
+        batcher.tick()
+        now = time.perf_counter()
+        for rid in batcher.done:
+            if rid not in seen_done:
+                seen_done.add(rid)
+                finish_t[rid] = now
+        util.append(len(batcher.live) / batcher.pcfg.slots)
+        rounds += 1
+        assert rounds < 100000, "serving loop did not converge"
+    wall = time.perf_counter() - t0
+    lat = np.asarray([finish_t[r] - submit_t[r] for r in submit_t])
+    n_tokens = sum(len(v) for v in batcher.done.values())
+    return lat, np.asarray(util), wall, n_tokens, rounds
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dim", type=int, default=4096)
+    p.add_argument("--layers", type=int, default=34)
+    p.add_argument("--slots", type=int, default=16)
+    p.add_argument("--requests", type=int, default=48)
+    p.add_argument("--min_prompt", type=int, default=64)
+    p.add_argument("--max_prompt", type=int, default=256)
+    p.add_argument("--max_new", type=int, default=64)
+    p.add_argument("--step_quantum", type=int, default=8,
+                   help="tokens per jitted decode round (one host "
+                        "readback per round)")
+    p.add_argument("--arrival_rounds", type=int, default=12,
+                   help="arrivals spread uniformly over this many rounds")
+    p.add_argument("--page_size", type=int, default=64)
+    p.add_argument("--pool_mb", type=int, default=1024,
+                   help="fixed KV-pool HBM budget; page count derives "
+                        "from it, so --kv8 shows its capacity win")
+    p.add_argument("--kv8", action="store_true",
+                   help="int8 KV pool: half the bytes/page -> ~2x pages "
+                        "under the same --pool_mb")
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="tiny CPU model smoke (also used by tests)")
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   default=True)
+    args = p.parse_args()
+
+    if args.synthetic:
+        os.environ.setdefault("PROCYON_PLATFORM", "cpu")
+        args.dim, args.layers = 64, 2
+        args.slots = 3
+        args.requests = 8
+        args.min_prompt, args.max_prompt = 4, 12
+        args.max_new = 8
+        args.step_quantum = 2
+        args.arrival_rounds = 4
+        args.page_size = 4
+        args.pool_mb = 1
+
+    import procyon_tpu  # noqa: F401  (platform/cache hooks)
+    from procyon_tpu.inference import kv_pool, serving
+
+    cfg, params, n_params = build_model(args)
+
+    kv_bytes = 1 if args.kv8 else 2          # int8 vs bf16 per element
+    kd = cfg.n_kv_heads * cfg.head_dim
+    page_bytes = 2 * args.page_size * kd * kv_bytes   # k + v
+    if args.kv8:
+        page_bytes += 2 * args.page_size * cfg.n_kv_heads * 4  # f32 scales
+    n_pages = max(int(args.pool_mb * 2 ** 20
+                      / (page_bytes * cfg.n_layers)), 8)
+    max_pages = -(-(args.max_prompt + args.max_new
+                    + args.step_quantum) // args.page_size)
+    pcfg = kv_pool.PagedConfig(
+        n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
+        head_dim=cfg.head_dim, page_size=args.page_size, n_pages=n_pages,
+        max_pages_per_seq=max_pages, slots=args.slots, dtype=cfg.dtype,
+        quantize_kv=args.kv8)
+
+    rng = np.random.default_rng(args.seed)
+    batcher = serving.ContinuousBatcher(
+        params, cfg, pcfg, temperature=args.temperature,
+        step_quantum=args.step_quantum, seed=args.seed)
+    workload = make_workload(args, cfg, rng)
+
+    if args.warmup:
+        # compile every prefill bucket + the decode round, then reset
+        drive(batcher, workload, args.max_new)
+        batcher.reset(seed=args.seed)
+
+    lat, util, wall, n_tokens, rounds = drive(batcher, workload,
+                                              args.max_new)
+    assert len(batcher.done) == args.requests
+
+    result = {
+        "metric": "serving_requests_per_sec",
+        "value": round(args.requests / wall, 3),
+        "unit": f"requests/sec ({args.requests} mixed tok+fused reqs, "
+                f"~{n_params/1e9:.1f}B int8 decoder, {args.slots} slots, "
+                f"prompts {args.min_prompt}-{args.max_prompt}, "
+                f"max_new {args.max_new}, quantum {args.step_quantum})",
+        "output_tok_per_sec": round(n_tokens / wall, 1),
+        "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
+        "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+        "slot_utilization": round(float(util.mean()), 3),
+        "wall_s": round(wall, 2),
+        "rounds": rounds,
+        "n_tokens": n_tokens,
+        "kv_int8": bool(args.kv8),
+        "pool_mb_budget": args.pool_mb,
+        "n_pages": n_pages,
+        "concurrency_capacity_tokens": (n_pages - 1) * args.page_size,
+        **_canary(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

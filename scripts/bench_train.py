@@ -47,6 +47,13 @@ def train_flops_per_token(cfg, seq, *, frozen_base: bool, remat: bool):
     return factor * P + attn_factor * attn
 
 
+def _canary():
+    """Chip-state probe fields for the JSON line (VERDICT r3 weak #4)."""
+    from procyon_tpu.utils.timing import canary_fields
+
+    return canary_fields()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dim", type=int, default=1024)
@@ -202,6 +209,7 @@ def main():
         "mfu": round(flops_per_step / per_step / V5E_BF16_PEAK, 4),
         "model_flops_per_step": float(flops_per_step),
         "n_trainable_params": int(n_trainable),
+        **_canary(),
     }))
 
 

@@ -40,6 +40,16 @@ def main():
 
     targs, dargs, margs = cfg_mod.parse_all()
 
+    # optional multi-host init (SURVEY §2.3 comm row: DCN scale-out) —
+    # must precede the first device query
+    from procyon_tpu.parallel.multihost import initialize_multihost
+
+    proc_idx, proc_count = initialize_multihost(
+        coordinator_address=targs.dist_coordinator,
+        num_processes=targs.dist_num_processes,
+        process_id=None if targs.dist_process_id < 0
+        else targs.dist_process_id)
+
     if dargs.synthetic:
         # shrink the model for the integration path unless a recipe asked
         # for something specific via flags

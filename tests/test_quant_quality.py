@@ -58,6 +58,55 @@ class TestProbe:
         err = qq.weight_reconstruction_error(params, bad)
         assert err > qq.WEIGHT_ERR_GATES[8]
 
+    def test_mis_scaled_int4_layer_fails_spread_gate(self):
+        """VERDICT r3 #8 done criterion: a deliberately mis-scaled int4
+        config fails the gate — specifically a x1.10 scale break on ONE
+        layer, which stays UNDER the global w_err gate (the case the old
+        CE-only gate with 2x slack was blind to) but trips the per-layer
+        spread gate."""
+        cfg, params = _tiny()
+        qparams = llama.quantize_params(params, cfg, bits=4)
+        # corrupt layer 1 of one stacked int4 leaf: s is
+        # [L, k/group, 1, out]
+        bad = jax.tree_util.tree_map(lambda x: x, qparams)  # deep-ish copy
+        wg = dict(bad["layers"]["mlp"]["w_gate"])
+        wg["s"] = wg["s"].at[1].multiply(1.10)
+        bad["layers"] = {**bad["layers"],
+                         "mlp": {**bad["layers"]["mlp"], "w_gate": wg}}
+        r = qq.probe(4, "dequant", cfg=cfg, params=params, qparams=bad,
+                     batch=2, seq=32)
+        assert r.weight_rel_err <= r.gate_weight, r.as_dict()  # old gate blind
+        assert r.ce_delta <= r.gate_ce, r.as_dict()            # old gate blind
+        assert r.weight_err_spread > r.gate_spread, r.as_dict()
+        assert not r.passed
+
+    def test_topk_overlap_metric(self):
+        logits = np.zeros((2, 16), np.float32)
+        logits[0, :5] = [5, 4, 3, 2, 1]
+        got = logits.copy()
+        assert qq.topk_overlap(logits, got, k=5) == 1.0
+        got2 = logits.copy()
+        got2[0, 10] = 10.0  # one intruder replaces one of the top-5
+        assert qq.topk_overlap(logits[:1], got2[:1], k=5) == 0.8
+
+    def test_topk_gate_wiring(self):
+        """The top-k gate participates in `passed` (int8 modes get a
+        default; int4 is report-only like the cosine) and an explicit bar
+        above the measured overlap fails the probe. Note: uniform scale
+        corruptions do NOT reorder top-k (the residual stream is
+        scale-tolerant; w_err/spread own that class) — top-k exists for
+        output-reordering regressions, e.g. a wrong dequant axis."""
+        cfg, params = _tiny()
+        r = qq.probe(8, "dequant", cfg=cfg, params=params, batch=2, seq=32)
+        assert r.gate_topk is not None and r.topk_overlap >= r.gate_topk
+        r4 = qq.probe(4, "dequant", cfg=cfg, params=params, batch=2,
+                      seq=32)
+        assert r4.gate_topk is None  # report-only on random weights
+        assert "topk_overlap" in r4.as_dict()
+        r_bar = qq.probe(8, "dequant", cfg=cfg, params=params, batch=2,
+                         seq=32, gate_topk=1.01)  # impossible bar
+        assert not r_bar.passed
+
     def test_result_dict_is_self_describing(self):
         cfg, params = _tiny()
         r = qq.probe(8, "dequant", cfg=cfg, params=params, batch=2, seq=32)

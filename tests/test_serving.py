@@ -121,6 +121,76 @@ class TestContinuousBatching:
         out = b.run()
         assert out[rid][-1] == probe[0] and len(out[rid]) == 1
 
+    @pytest.mark.parametrize("quantum", [2, 4])
+    def test_step_quantum_equals_solo(self, model, quantum):
+        """step_quantum > 1 (K-token jitted decode rounds, one host
+        readback per round) must produce exactly the per-token outputs:
+        surplus in-round tokens after EOS/max_new are dropped host-side
+        and never corrupt another request."""
+        cfg, params = model
+        pcfg = _pcfg(cfg)
+        rng = np.random.default_rng(3)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (5, 11, 3)]
+        lens = [6, 5, 7]                    # deliberately not % quantum
+        solo = [_solo(cfg, params, pcfg, p, m)
+                for p, m in zip(prompts, lens)]
+        b = ContinuousBatcher(params, cfg, pcfg, step_quantum=quantum)
+        rids = [b.submit(p, max_new=m) for p, m in zip(prompts, lens)]
+        out = b.run()
+        for rid, want in zip(rids, solo):
+            assert out[rid] == want, (rid, out[rid], want)
+
+    def test_churn_mid_flight_equals_isolated(self, model):
+        """VERDICT r3 #1 soak criterion: requests joining and leaving
+        mid-flight (driven tick by tick, submissions between ticks) give
+        results equal to isolated runs."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=32)
+        rng = np.random.default_rng(7)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (6, 4, 9, 5, 7)]
+        lens = [4, 9, 3, 6, 5]
+        solo = [_solo(cfg, params, pcfg, p, m)
+                for p, m in zip(prompts, lens)]
+        b = ContinuousBatcher(params, cfg, pcfg)
+        # arrival schedule: submit request i after `arrive[i]` ticks
+        arrive = [0, 0, 2, 3, 6]
+        rids = {}
+        ticks = 0
+        while len(b.done) < len(prompts) or any(
+                i not in rids for i in range(len(prompts))):
+            for i, at in enumerate(arrive):
+                if at == ticks and i not in rids:
+                    rids[i] = b.submit(prompts[i], max_new=lens[i])
+            b.tick()
+            ticks += 1
+            assert ticks < 200, "serving loop did not converge"
+        for i, want in enumerate(solo):
+            assert b.done[rids[i]] == want, (i, b.done[rids[i]], want)
+
+    def test_soak_many_requests_small_pool(self, model):
+        """Soak: 5x more requests than slots through a small pool with
+        step_quantum rounds; every request completes with its solo
+        output and the allocator ends empty."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=24)
+        rng = np.random.default_rng(11)
+        prompts = [list(rng.integers(4, cfg.vocab_size,
+                                     int(rng.integers(3, 12))))
+                   for _ in range(10)]
+        lens = [int(rng.integers(2, 8)) for _ in range(10)]
+        solo = [_solo(cfg, params, pcfg, p, m)
+                for p, m in zip(prompts, lens)]
+        b = ContinuousBatcher(params, cfg, pcfg, step_quantum=3)
+        rids = [b.submit(p, max_new=m) for p, m in zip(prompts, lens)]
+        out = b.run()
+        assert len(out) == 10
+        for rid, want in zip(rids, solo):
+            assert out[rid] == want
+        assert not b.live and not b.queue
+        assert len(b.alloc.free) == pcfg.n_pages - 1  # all pages returned
+
     def test_oversized_request_rejected(self, model):
         cfg, params = model
         pcfg = _pcfg(cfg, max_pages_per_seq=2)   # max_ctx = 8
