@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from procyon_tpu.inference import kv_pool
+from procyon_tpu.inference import kv_pool, speculative
 from procyon_tpu.models import llama
 
 
@@ -46,6 +46,11 @@ class Request:
     # override the token prompt at prefill (VERDICT r2 missing #3 — the
     # caption/retrieval workloads reach the paged pool through this)
     embeds: Optional[np.ndarray] = None
+    # optional speculative draft proposer for THIS request,
+    # (history, k) -> k draft tokens; None = the batcher's n-gram
+    # proposer. Model-based drafters (or bench oracles) plug in here —
+    # the verify math is draft-agnostic (exact for any proposal).
+    draft_fn: Optional[object] = None
 
 
 def _bucket(n: int) -> int:
@@ -58,10 +63,16 @@ def _bucket(n: int) -> int:
 class ContinuousBatcher:
     def __init__(self, params, cfg, pcfg: kv_pool.PagedConfig, *,
                  temperature: float = 0.0, seed: int = 0,
-                 step_quantum: int = 1):
+                 step_quantum: int = 1, spec_k: int = 0):
+        if spec_k and temperature > 0:
+            raise ValueError(
+                "speculative decoding is greedy-only (temperature "
+                "sampling needs the rejection-sampling correction to "
+                "stay exact; see inference/speculative.py)")
         self.params = params
         self.cfg = cfg
         self.pcfg = pcfg
+        self.spec_k = int(spec_k)
         self.pool = kv_pool.init_pool(pcfg)
         self.alloc = kv_pool.PageAllocator(pcfg)
         self.temperature = temperature
@@ -86,6 +97,59 @@ class ContinuousBatcher:
         self._sample_on_device = sample
         self._rounds: Dict[int, object] = {}
         self._prefills = {}
+
+        @jax.jit
+        def set_slot(page_table, seq_len, slot, row):
+            # async slot-table update: admission writes the allocated page
+            # row, finish writes the null row — either way the slot's
+            # seq_len resets to 0. Replaces a host read-modify-write of the
+            # pool tables (a BLOCKING device->host sync per request over
+            # the remote runtime; measured 134.7 -> see STATUS for the
+            # serving-throughput delta when these syncs were removed).
+            return (page_table.at[slot].set(row),
+                    seq_len.at[slot].set(0))
+
+        self._set_slot = set_slot
+        self._null_row = jnp.zeros((pcfg.max_pages_per_seq,), jnp.int32)
+        # speculative-decoding acceptance telemetry (benches report
+        # emitted/rounds = mean tokens per weight stream)
+        self.spec_stats = {"rounds": 0, "emitted": 0}
+
+    def _spec_round_fn(self):
+        """Jitted speculative verify round: ONE forward over [slots, K+1]
+        token blocks (pending + K n-gram drafts), greedy argmax at every
+        position, in-graph longest-accepted-prefix + seq_len REWIND so the
+        rejected rows become invisible and are overwritten in place.
+        Returns [slots, K+2]: K+1 greedy tokens || accepted count m — one
+        host readback per round. Exact: emitted tokens are bit-identical
+        to plain greedy decode (inference/speculative.py docstring;
+        tested)."""
+        key = ("spec", self.spec_k)
+        fn = self._rounds.get(key)
+        if fn is None:
+            cfg, pcfg = self.cfg, self.pcfg
+            slot_ids = self._slot_ids
+            K = self.spec_k
+
+            @jax.jit
+            def spec_round(params, pool, tokens, live):
+                seg = jnp.broadcast_to(live[:, None], tokens.shape)
+                logits, pool = llama.paged_forward(
+                    params, cfg, pool, pcfg, slot_ids, tokens=tokens,
+                    seg_ids=seg)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = (tokens[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
+                m = 1 + jnp.cumprod(match, axis=1).sum(axis=1,
+                                                       dtype=jnp.int32)
+                # paged_forward advanced live slots by K+1; pull back to
+                # +m so positions holding rejected drafts sit past
+                # seq_len (masked from attention, overwritten next round)
+                pool = {**pool, "seq_len": pool["seq_len"].at[slot_ids]
+                        .add(-(K + 1 - m) * live)}
+                return pool, jnp.concatenate([greedy, m[:, None]], axis=1)
+
+            fn = self._rounds[key] = spec_round
+        return fn
 
     def _decode_round_fn(self, k: int):
         """Jitted K-step decode round: self-feeding lax.scan over the pool,
@@ -128,14 +192,15 @@ class ContinuousBatcher:
         self._next_rid = 0
 
     def submit(self, prompt: List[int], max_new: int = 32,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None, draft_fn=None) -> int:
         rid = self._next_rid
         self._next_rid += 1
-        self.queue.append(Request(rid, list(prompt), max_new, eos_id))
+        self.queue.append(Request(rid, list(prompt), max_new, eos_id,
+                                  draft_fn=draft_fn))
         return rid
 
     def submit_fused(self, input_embeds, max_new: int = 32,
-                     eos_id: Optional[int] = None) -> int:
+                     eos_id: Optional[int] = None, draft_fn=None) -> int:
         """Admit a soft-token (fusion) prompt: pre-assembled input
         embeddings [T, dim] (unified.assemble_input_embeds row, unpadded).
         Prefill rides llama.paged_forward(input_embeds=...)."""
@@ -143,7 +208,7 @@ class ContinuousBatcher:
         self._next_rid += 1
         embeds = np.asarray(input_embeds)
         self.queue.append(Request(rid, [0] * embeds.shape[0], max_new,
-                                  eos_id, embeds=embeds))
+                                  eos_id, embeds=embeds, draft_fn=draft_fn))
         return rid
 
     def submit_batch(self, params_unified, cfg_unified, batch,
@@ -183,7 +248,10 @@ class ContinuousBatcher:
         finishes, admit queued requests. The bench/server drive loop —
         submit() between ticks = requests joining mid-flight."""
         if self.live:
-            self._round(k or self.step_quantum)
+            if self.spec_k:
+                self._spec_round()
+            else:
+                self._round(k or self.step_quantum)
         self._admit()
 
     # -- internals ----------------------------------------------------------
@@ -243,13 +311,12 @@ class ContinuousBatcher:
                 slot = free()[0]
                 staged_slots.add(slot)
                 pages = self.alloc.allocate(slot, budget)
-                pt = np.array(self.pool["page_table"])
-                pt[slot, :] = 0
-                pt[slot, :len(pages)] = pages
-                sl = np.array(self.pool["seq_len"])
-                sl[slot] = 0
-                self.pool = {**self.pool, "page_table": jnp.asarray(pt),
-                             "seq_len": jnp.asarray(sl)}
+                row = np.zeros((self.pcfg.max_pages_per_seq,), np.int32)
+                row[:len(pages)] = pages
+                pt, sl = self._set_slot(
+                    self.pool["page_table"], self.pool["seq_len"],
+                    jnp.int32(slot), jnp.asarray(row))
+                self.pool = {**self.pool, "page_table": pt, "seq_len": sl}
 
                 T = _bucket(len(req.prompt))
                 seg = np.zeros((1, T), np.int32)
@@ -276,8 +343,13 @@ class ContinuousBatcher:
             firsts = np.asarray(jnp.stack([f for _, _, f in staged]))
             for (slot, req, _), tok in zip(staged, firsts):
                 last = int(tok)
+                # history feeds the n-gram draft proposer (spec_k > 0):
+                # token prompts contribute their text, fused prompts only
+                # their generations (their token ids are placeholders)
+                hist = ([] if req.embeds is not None
+                        else list(req.prompt)) + [last]
                 self.live[slot] = {"req": req, "generated": [last],
-                                   "pending": last}
+                                   "pending": last, "history": hist}
                 self._maybe_finish(slot)
             # a request finishing AT prefill (max_new=1 / instant EOS)
             # frees its slot: loop for another wave
@@ -305,6 +377,38 @@ class ContinuousBatcher:
                 if self._maybe_finish(slot):
                     break
 
+    def _spec_round(self):
+        """One speculative round: host-side n-gram drafts per live slot
+        (zero device cost), one jitted verify forward, host emit of the
+        accepted prefix. Each accepted draft token is a decode step the
+        weight stream never has to run; a fully-rejected draft still
+        emits one token, so the round is never slower than a plain
+        k=1 round in steps (the verify forward itself costs one weight
+        stream plus the wider-T attention/embedding margin)."""
+        K = self.spec_k
+        tokens = np.zeros((self.pcfg.slots, K + 1), np.int32)
+        live = np.zeros((self.pcfg.slots,), np.int32)
+        for slot, st in self.live.items():
+            propose = st["req"].draft_fn or speculative.ngram_propose
+            tokens[slot, 0] = st["pending"]
+            tokens[slot, 1:] = propose(st["history"], K)
+            live[slot] = 1
+        self.pool, out = self._spec_round_fn()(
+            self.params, self.pool, jnp.asarray(tokens), jnp.asarray(live))
+        out = np.asarray(out)                     # [slots, K+2] — ONE readback
+        for slot in list(self.live):
+            st = self.live[slot]
+            m = int(out[slot, K + 1])
+            self.spec_stats["rounds"] += 1
+            for t in range(m):
+                tok = int(out[slot, t])
+                st["generated"].append(tok)
+                st["history"].append(tok)
+                st["pending"] = tok
+                self.spec_stats["emitted"] += 1
+                if self._maybe_finish(slot):
+                    break
+
     def _maybe_finish(self, slot) -> bool:
         st = self.live[slot]
         req = st["req"]
@@ -317,11 +421,9 @@ class ContinuousBatcher:
             # point the dead slot at the null page and reset its length:
             # idle slots still participate in the fixed-shape decode step,
             # and their writes must not land on reallocated pages
-            pt = np.array(self.pool["page_table"])
-            pt[slot, :] = 0
-            sl = np.array(self.pool["seq_len"])
-            sl[slot] = 0
-            self.pool = {**self.pool, "page_table": jnp.asarray(pt),
-                         "seq_len": jnp.asarray(sl)}
+            pt, sl = self._set_slot(
+                self.pool["page_table"], self.pool["seq_len"],
+                jnp.int32(slot), self._null_row)
+            self.pool = {**self.pool, "page_table": pt, "seq_len": sl}
             return True
         return False

@@ -42,9 +42,12 @@ def time_fn(fn, *args, n_small=5, n_big=25, repeats=3, warmup=2):
     return max((t_big - t_small) / (n_big - n_small), 1e-9)
 
 
-def chip_canary_ms(dim: int = 4096, *, seed: int = 0) -> float:
-    """Fixed-workload chip-state probe: one pinned dim^3 bf16 matmul in
-    milliseconds, two-point timed.
+def chip_canary_ms(dim: int = 4096, *, seed: int = 0,
+                   n_small: int = 8, n_big: int = 136,
+                   repeats: int = 3) -> float:
+    """Fixed-workload chip-state probe: milliseconds per pinned dim^3 bf16
+    matmul, measured as a DATA-DEPENDENT lax.scan chain and two-pointed
+    over chain LENGTH: (T(n_big) - T(n_small)) / (n_big - n_small).
 
     VERDICT r3 weak #4: the beam-caption metric swings ~20% day to day on
     identical code (chip state / tunnel load). Every bench JSON carries
@@ -52,22 +55,45 @@ def chip_canary_ms(dim: int = 4096, *, seed: int = 0) -> float:
     (quote metric * canary_today / canary_then) and a slow-chip day is
     visible in the record instead of masquerading as a regression.
 
-    v5e reference point: a 4096^3 bf16 matmul is 2*4096^3 = 137 GFLOP
-    (~0.7 ms at the ~197 TFLOP/s bf16 peak); measured 0.84 ms on this
-    chip (2026-08-18) — treat ~0.8-0.9 as healthy and ratios against it
-    as the normalizer. The weights are fixed by seed and the shape never
-    changes, so the compile caches across sessions."""
+    Why not time_fn on a single matmul: repeated IDENTICAL sub-ms
+    dispatches are unmeasurable over this runtime — a first cut measured
+    0.014 ms, then 2.0 / 0.98 / 1e-6 ms on three successive calls (the
+    tunnel overlaps or dedupes identical requests; same micro-lesson as
+    the int4 kernel probe, STATUS r3). Here every matmul is serialized by
+    DATA dependence inside one scan, the two chain lengths are two fixed
+    jit programs (compile-cached across sessions), and the per-call
+    RTT/dispatch constant cancels in the length difference.
+
+    v5e reference point: 2*4096^3 = 137 GFLOP is ~0.7 ms at the ~197
+    TFLOP/s bf16 peak; the chain step adds a 1/64 rescale folded into the
+    matmul epilogue (keeps bf16 bounded). Measured 0.86 ms on this chip
+    (2026-08-18) — treat ~0.8-0.9 as healthy."""
     import jax
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-    a = jax.random.normal(k1, (dim, dim), jnp.bfloat16)
+    x0 = jax.random.normal(k1, (dim, dim), jnp.bfloat16)
     b = jax.random.normal(k2, (dim, dim), jnp.bfloat16)
 
-    @jax.jit
-    def mm(a, b):
-        return a @ b
+    def chain(n):
+        @jax.jit
+        def f(x, b):
+            def body(x, _):
+                return (x @ b) * jnp.bfloat16(0.015625), None
+            x, _ = jax.lax.scan(body, x, None, length=n)
+            return x
+        return f
 
-    return float(time_fn(mm, a, b) * 1e3)
+    f_small, f_big = chain(n_small), chain(n_big)
+
+    def run(f):
+        sync_scalar(f(x0, b))           # warm (compile on first call)
+        t0 = time.perf_counter()
+        sync_scalar(f(x0, b))
+        return time.perf_counter() - t0
+
+    t_small = min(run(f_small) for _ in range(repeats))
+    t_big = min(run(f_big) for _ in range(repeats))
+    return max((t_big - t_small) / (n_big - n_small), 1e-9) * 1e3
 
 
 def canary_fields() -> dict:

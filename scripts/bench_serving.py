@@ -100,23 +100,27 @@ def make_workload(args, cfg, rng):
     return sorted(reqs, key=lambda r: r[0])
 
 
-def drive(batcher, workload, max_new):
+def drive(batcher, workload, max_new, draft_for=None):
     """Submit per schedule between ticks; returns per-request latency,
-    per-round utilization, wall seconds, generated-token count."""
+    per-round utilization, wall seconds, generated-token count.
+    draft_for: optional {workload index -> draft_fn} (oracle mode)."""
     submit_t = {}
     finish_t = {}
     seen_done = set()
     util = []
-    pending = list(workload)
+    pending = list(enumerate(workload))
     t0 = time.perf_counter()
     rounds = 0
     while pending or batcher.live or batcher.queue:
-        while pending and pending[0][0] <= rounds:
-            _, kind, _, payload = pending.pop(0)
+        while pending and pending[0][1][0] <= rounds:
+            i, (_, kind, _, payload) = pending.pop(0)
+            dfn = draft_for.get(i) if draft_for else None
             if kind == "tok":
-                rid = batcher.submit(payload, max_new=max_new)
+                rid = batcher.submit(payload, max_new=max_new,
+                                     draft_fn=dfn)
             else:
-                rid = batcher.submit_fused(payload, max_new=max_new)
+                rid = batcher.submit_fused(payload, max_new=max_new,
+                                           draft_fn=dfn)
             submit_t[rid] = time.perf_counter()
         batcher.tick()
         now = time.perf_counter()
@@ -154,6 +158,15 @@ def main():
     p.add_argument("--kv8", action="store_true",
                    help="int8 KV pool: half the bytes/page -> ~2x pages "
                         "under the same --pool_mb")
+    p.add_argument("--spec_k", type=int, default=0,
+                   help="self-speculative greedy decoding: K n-gram draft "
+                        "tokens verified per forward (exact; replaces "
+                        "step_quantum rounds)")
+    p.add_argument("--spec_oracle", action="store_true",
+                   help="draft with an oracle built from a plain greedy "
+                        "pass (upper bound: what spec_k buys at ~100%% "
+                        "acceptance — real text sits between the n-gram "
+                        "and oracle numbers)")
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true",
@@ -197,16 +210,41 @@ def main():
     rng = np.random.default_rng(args.seed)
     batcher = serving.ContinuousBatcher(
         params, cfg, pcfg, temperature=args.temperature,
-        step_quantum=args.step_quantum, seed=args.seed)
+        step_quantum=args.step_quantum, seed=args.seed,
+        spec_k=args.spec_k)
     workload = make_workload(args, cfg, rng)
+
+    draft_for = None
+    if args.spec_k and args.spec_oracle:
+        # plain greedy pass records each request's true continuation;
+        # oracle drafts then measure the all-accept upper bound (on-chip
+        # bf16 verify logits can still diverge from the T=1 decode path
+        # on near-ties, so report the measured acceptance too)
+        plain = serving.ContinuousBatcher(
+            params, cfg, pcfg, temperature=0.0,
+            step_quantum=args.step_quantum, seed=args.seed)
+        drive(plain, workload, args.max_new)
+
+        def mk_oracle(tokens_list, plen):
+            def f(history, k, **kw):
+                e = len(history) - plen
+                return (tokens_list[e:e + k] + [0] * k)[:k]
+            return f
+
+        draft_for = {
+            i: mk_oracle(plain.done[i],
+                         len(w[3]) if w[1] == "tok" else 0)
+            for i, w in enumerate(workload)}
+        del plain
 
     if args.warmup:
         # compile every prefill bucket + the decode round, then reset
-        drive(batcher, workload, args.max_new)
+        drive(batcher, workload, args.max_new, draft_for)
         batcher.reset(seed=args.seed)
+        batcher.spec_stats = {"rounds": 0, "emitted": 0}
 
     lat, util, wall, n_tokens, rounds = drive(batcher, workload,
-                                              args.max_new)
+                                              args.max_new, draft_for)
     assert len(batcher.done) == args.requests
 
     result = {
@@ -224,6 +262,12 @@ def main():
         "rounds": rounds,
         "n_tokens": n_tokens,
         "kv_int8": bool(args.kv8),
+        "spec_k": args.spec_k,
+        **({"spec_accept_per_round": round(
+            batcher.spec_stats["emitted"]
+            / max(batcher.spec_stats["rounds"], 1), 3),
+            "spec_oracle": bool(args.spec_oracle)}
+           if args.spec_k else {}),
         "pool_mb_budget": args.pool_mb,
         "n_pages": n_pages,
         "concurrency_capacity_tokens": (n_pages - 1) * args.page_size,

@@ -1,0 +1,191 @@
+"""Self-speculative greedy decoding (inference/speculative.py + the
+ContinuousBatcher spec_k path).
+
+Correctness bar: the emitted tokens are EXACTLY the plain greedy tokens —
+the draft only changes how many weight streams the server pays, never what
+it emits. The reference has no speculative path (one token per forward,
+procyon/app/main.py); this is a TPU-serving capability on top of parity.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from procyon_tpu.inference import speculative
+from procyon_tpu.inference import kv_pool as KP
+from procyon_tpu.inference.serving import ContinuousBatcher
+from procyon_tpu.models import llama as L
+
+
+class TestNgramPropose:
+    def test_repeats_continuation_of_last_match(self):
+        #          0  1  2  3  4  5  6  7
+        history = [9, 5, 6, 7, 8, 5, 6, 7]   # suffix (6,7) matched at 2..3
+        assert speculative.ngram_propose(history, 3) == [8, 5, 6]
+
+    def test_most_recent_match_wins(self):
+        history = [5, 6, 1, 5, 6, 2, 5, 6]
+        # suffix (5,6) occurs at 0 (->1) and 3 (->2): take the recent one
+        assert speculative.ngram_propose(history, 1) == [2]
+
+    def test_short_continuation_pads_with_last(self):
+        history = [1, 2, 3, 1, 2]
+        # match (1,2) at 0 -> continuation [3,1,2]; padded with its last
+        assert speculative.ngram_propose(history, 4) == [3, 1, 2, 2]
+
+    def test_no_match_falls_back_to_last_token(self):
+        assert speculative.ngram_propose([4, 8, 15], 3) == [15, 15, 15]
+        assert speculative.ngram_propose([7], 2) == [7, 7]
+        assert speculative.ngram_propose([], 2) == [0, 0]
+
+
+class TestAcceptCounts:
+    def test_prefix_match_rule(self):
+        draft = np.array([[5, 6, 7],       # all match -> emit K+1
+                          [5, 9, 7],       # first matches, second doesn't
+                          [9, 6, 7]])      # none match -> emit 1
+        greedy = np.array([[5, 6, 7, 8],
+                           [5, 6, 7, 8],
+                           [5, 6, 7, 8]])
+        assert list(speculative.accept_counts(draft, greedy)) == [4, 2, 1]
+
+    def test_matches_in_graph_rule(self):
+        rng = np.random.default_rng(0)
+        draft = rng.integers(0, 4, (16, 5))
+        greedy = rng.integers(0, 4, (16, 6))
+        want = speculative.accept_counts(draft, greedy)
+        # the jitted rule in serving._spec_round_fn
+        match = (draft == greedy[:, :-1]).astype(np.int64)
+        m = 1 + np.cumprod(match, axis=1).sum(axis=1)
+        assert (want == m).all()
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = L.tiny_config(attn_backend="ref", remat=False)
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _pcfg(cfg, **kw):
+    base = dict(n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
+                head_dim=cfg.head_dim, page_size=4, n_pages=64,
+                max_pages_per_seq=12, slots=3, dtype=cfg.dtype)
+    base.update(kw)
+    return KP.PagedConfig(**base)
+
+
+def _run(cfg, params, pcfg, prompts, lens, spec_k, **kw):
+    b = ContinuousBatcher(params, cfg, pcfg, spec_k=spec_k, **kw)
+    rids = [b.submit(p, max_new=m) for p, m in zip(prompts, lens)]
+    out = b.run()
+    return [out[r] for r in rids], b
+
+
+class TestSpeculativeBatcher:
+    def test_tokens_equal_plain_greedy(self, model):
+        """The exactness guarantee: spec_k > 0 emits token-for-token what
+        plain (spec_k=0) greedy decoding emits, for every request,
+        including staggered admission through a small slot count."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2)
+        rng = np.random.default_rng(5)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (6, 11, 4, 9)]
+        lens = [8, 5, 12, 7]
+        plain, _ = _run(cfg, params, pcfg, prompts, lens, spec_k=0)
+        spec, b = _run(cfg, params, pcfg, prompts, lens, spec_k=3)
+        assert spec == plain
+        assert b.spec_stats["rounds"] > 0
+        assert b.spec_stats["emitted"] >= b.spec_stats["rounds"]
+
+    def test_fused_prompts_equal_plain(self, model):
+        """Fused (soft-token) prompts ride the same verify round; their
+        n-gram history is generation-only (prompt ids are placeholders)."""
+        cfg, params = model
+        pcfg = _pcfg(cfg)
+        rng = np.random.default_rng(9)
+        embeds = [rng.standard_normal((n, cfg.dim)).astype(np.float32) * 0.3
+                  for n in (5, 9)]
+
+        def run(spec_k):
+            b = ContinuousBatcher(params, cfg, pcfg, spec_k=spec_k)
+            rids = [b.submit_fused(e, max_new=7) for e in embeds]
+            out = b.run()
+            return [out[r] for r in rids]
+
+        assert run(3) == run(0)
+
+    def test_eos_mid_accept_stops_exactly(self, model):
+        """EOS inside an accepted block finishes the request at the EOS
+        token; surplus accepted tokens are dropped."""
+        cfg, params = model
+        pcfg = _pcfg(cfg)
+        plain, _ = _run(cfg, params, pcfg, [[5, 6, 7]], [10], spec_k=0)
+        eos = plain[0][3]                 # stop 4 tokens in
+        want = plain[0][:plain[0].index(eos) + 1]
+
+        b = ContinuousBatcher(params, cfg, pcfg, spec_k=4)
+        rid = b.submit([5, 6, 7], max_new=10, eos_id=eos)
+        assert b.run()[rid] == want
+
+    def test_kv8_pool_equal_plain(self, model):
+        """Verify rounds on a quantize_kv pool (T>1 takes the dequantized
+        flash path) emit the plain kv8 greedy tokens."""
+        import dataclasses
+
+        cfg, params = model
+        pcfg = dataclasses.replace(_pcfg(cfg), quantize_kv=True)
+        rng = np.random.default_rng(13)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (6, 10)]
+        lens = [9, 6]
+        plain, _ = _run(cfg, params, pcfg, prompts, lens, spec_k=0)
+        spec, _ = _run(cfg, params, pcfg, prompts, lens, spec_k=3)
+        assert spec == plain
+
+    def test_oracle_drafts_accept_in_full(self, model, monkeypatch):
+        """With a draft oracle that proposes the TRUE greedy continuation,
+        every verify round must accept all K+1 tokens (the speedup
+        mechanism demonstrably skips decode steps); with an always-wrong
+        oracle every round emits exactly 1 (graceful floor). Both outputs
+        equal plain greedy. Random tiny-model continuations are not
+        repetitive enough for the n-gram proposer to show this naturally,
+        so the oracle isolates the accept/rewind machinery."""
+        cfg, params = model
+        pcfg = _pcfg(cfg)
+        prompt = [5, 9, 13, 21]
+        plain, _ = _run(cfg, params, pcfg, [prompt], [13], spec_k=0)
+        G = plain[0]
+
+        def run_with(oracle):
+            from procyon_tpu.inference import serving as S
+            monkeypatch.setattr(S.speculative, "ngram_propose", oracle)
+            b = ContinuousBatcher(params, cfg, pcfg, spec_k=3)
+            rid = b.submit(prompt, max_new=13)
+            out = b.run()[rid]
+            return out, b.spec_stats
+
+        def true_oracle(history, k, **kw):
+            e = len(history) - len(prompt)     # tokens emitted so far
+            return (G[e:e + k] + [0] * k)[:k]
+
+        out, stats = run_with(true_oracle)
+        assert out == G
+        # 12 post-prefill tokens in ceil(12/4)=3 rounds, all-accepted
+        assert stats == {"rounds": 3, "emitted": 12}, stats
+
+        def wrong_oracle(history, k, **kw):
+            e = len(history) - len(prompt)
+            nxt = G[e:e + k] + [0] * k
+            return [(t + 1) % cfg.vocab_size for t in nxt[:k]]
+
+        out, stats = run_with(wrong_oracle)
+        assert out == G
+        assert stats["emitted"] == stats["rounds"] == 12, stats
+
+    def test_temperature_rejected(self, model):
+        cfg, params = model
+        with pytest.raises(ValueError):
+            ContinuousBatcher(params, cfg, _pcfg(cfg), spec_k=3,
+                              temperature=0.7)
