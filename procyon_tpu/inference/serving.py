@@ -63,7 +63,7 @@ def _bucket(n: int) -> int:
 class ContinuousBatcher:
     def __init__(self, params, cfg, pcfg: kv_pool.PagedConfig, *,
                  temperature: float = 0.0, seed: int = 0,
-                 step_quantum: int = 1, spec_k: int = 0):
+                 step_quantum: int = 1, spec_k: int = 0, mesh=None):
         if spec_k and temperature > 0:
             raise ValueError(
                 "speculative decoding is greedy-only (temperature "
@@ -73,7 +73,23 @@ class ContinuousBatcher:
         self.cfg = cfg
         self.pcfg = pcfg
         self.spec_k = int(spec_k)
-        self.pool = kv_pool.init_pool(pcfg)
+        # tensor-parallel serving: shard weights + the pool's flat-lane KD
+        # axis over the mesh's `model` axis (each shard holds its kv
+        # heads' lanes; the block-diagonal decode contraction runs over
+        # the sharded axis, so GSPMD inserts the psum — cross-shard terms
+        # are exact zeros, see tests/test_multichip.py TP paged decode).
+        # Page/slot tables stay replicated: admission/finish updates are
+        # tiny and every shard needs them for its gathers.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from procyon_tpu.parallel import shard_params
+
+            self.params = shard_params(params, mesh)
+            self._kd_sharding = NamedSharding(
+                mesh, PartitionSpec(None, None, "model"))
+            self._repl_sharding = NamedSharding(mesh, PartitionSpec())
+        self.pool = self._init_pool()
         self.alloc = kv_pool.PageAllocator(pcfg)
         self.temperature = temperature
         self.key = jax.random.PRNGKey(seed)
@@ -178,12 +194,32 @@ class ContinuousBatcher:
             fn = self._rounds[k] = decode_round
         return fn
 
+    def _init_pool(self):
+        pool = kv_pool.init_pool(self.pcfg)
+        if self.mesh is not None:
+            import jax as _jax
+            kd = {"k", "v", "k_scale", "v_scale"}
+            model_ax = self.mesh.shape.get("model", 1)
+            can_split = {
+                "k": self.pcfg.kv_dim % model_ax == 0,
+                "v": self.pcfg.kv_dim % model_ax == 0,
+                "k_scale": self.pcfg.n_kv_heads % model_ax == 0,
+                "v_scale": self.pcfg.n_kv_heads % model_ax == 0,
+            }
+            pool = {
+                name: _jax.device_put(
+                    arr, self._kd_sharding
+                    if name in kd and can_split[name]
+                    else self._repl_sharding)
+                for name, arr in pool.items()}
+        return pool
+
     # -- public -------------------------------------------------------------
     def reset(self, seed: int = 0) -> None:
         """Clear all serving state (pool, allocator, queues) but KEEP the
         compiled prefill/decode functions — benches warm up the jits on a
         throwaway workload, reset, then measure steady state."""
-        self.pool = kv_pool.init_pool(self.pcfg)
+        self.pool = self._init_pool()
         self.alloc = kv_pool.PageAllocator(self.pcfg)
         self.key = jax.random.PRNGKey(seed)
         self.queue = []

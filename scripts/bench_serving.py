@@ -59,8 +59,12 @@ def build_model(args):
         max_seq_len=args.max_prompt + args.max_new + 8,
         dtype=jnp.bfloat16)
 
-    # int8 tree straight from eval_shape (throughput doesn't depend on
-    # weight values; a 6B bf16 init would not fit next to the pool)
+    # int8 tree straight from eval_shape (a 6B bf16 init would not fit
+    # next to the pool). Weights must be VARIED, not constant: a
+    # constant-weight model greedy-decodes the same token forever, which
+    # makes every n-gram draft accept and fakes a perfect speculative
+    # acceptance rate (observed: 7.875/8 "n-gram" acceptance on the
+    # all-ones tree). Cheap per-leaf randint keeps greedy chaotic.
     def build():
         return llama.quantize_params(
             llama.init_params(jax.random.PRNGKey(0), cfg), cfg)
@@ -69,10 +73,23 @@ def build_model(args):
 
     @jax.jit
     def materialize():
-        return jax.tree_util.tree_map(
-            lambda sd: jnp.full(sd.shape, 1, sd.dtype)
-            if sd.dtype == jnp.int8 else jnp.full(sd.shape, 0.01, sd.dtype),
-            shapes)
+        counter = [0]
+
+        def fill(path, sd):
+            counter[0] += 1
+            name = jax.tree_util.keystr(path)
+            key = jax.random.PRNGKey(counter[0])
+            if sd.dtype == jnp.int8:
+                return jax.random.randint(key, sd.shape, -8, 9,
+                                          jnp.int32).astype(jnp.int8)
+            if "norm" in name:
+                return jnp.ones(sd.shape, sd.dtype)
+            if "embed" in name:
+                return (jax.random.normal(key, sd.shape, jnp.float32)
+                        * 0.02).astype(sd.dtype)
+            return jnp.full(sd.shape, 0.01, sd.dtype)   # quant scales
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
 
     params = materialize()
     n_params = sum(int(np.prod(x.shape))

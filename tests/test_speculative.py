@@ -189,3 +189,39 @@ class TestSpeculativeBatcher:
         with pytest.raises(ValueError):
             ContinuousBatcher(params, cfg, _pcfg(cfg), spec_k=3,
                               temperature=0.7)
+
+
+class TestTensorParallelServing:
+    def test_tp_batcher_equals_single_device(self, model):
+        """ContinuousBatcher(mesh=...) — weights and the pool's flat-lane
+        KD axis sharded over the `model` mesh axis, tables replicated —
+        must emit the single-device greedy tokens (the multi-chip serving
+        story: SURVEY §2.3 TP row on the serving path, not just training).
+        Covers plain rounds AND speculative rounds over the mesh."""
+        import pytest
+
+        jax.config.update("jax_platforms", "cpu")
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual CPU mesh")
+        from procyon_tpu.parallel import MeshConfig, create_mesh
+
+        cfg = L.tiny_config(attn_backend="ref", remat=False, dim=256,
+                            n_heads=4, n_kv_heads=2, intermediate=512,
+                            vocab_size=512)
+        params = L.init_params(jax.random.PRNGKey(3), cfg)
+        pcfg = KP.PagedConfig(
+            n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
+            head_dim=cfg.head_dim, page_size=4, n_pages=64,
+            max_pages_per_seq=12, slots=3, dtype=cfg.dtype)
+        rng = np.random.default_rng(17)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (6, 9, 4, 7)]
+        lens = [7, 5, 8, 6]
+        mesh = create_mesh(MeshConfig(2, 2, 2))
+
+        for spec_k in (0, 3):
+            single, _ = _run(cfg, params, pcfg, prompts, lens,
+                             spec_k=spec_k)
+            tp, _ = _run(cfg, params, pcfg, prompts, lens,
+                         spec_k=spec_k, mesh=mesh)
+            assert tp == single, spec_k
