@@ -63,7 +63,8 @@ def _bucket(n: int) -> int:
 class ContinuousBatcher:
     def __init__(self, params, cfg, pcfg: kv_pool.PagedConfig, *,
                  temperature: float = 0.0, seed: int = 0,
-                 step_quantum: int = 1, spec_k: int = 0, mesh=None):
+                 step_quantum: int = 1, spec_k: int = 0, mesh=None,
+                 prefill_chunk: Optional[int] = None):
         if spec_k and temperature > 0:
             raise ValueError(
                 "speculative decoding is greedy-only (temperature "
@@ -94,6 +95,14 @@ class ContinuousBatcher:
         self.temperature = temperature
         self.key = jax.random.PRNGKey(seed)
         self.step_quantum = max(int(step_quantum), 1)
+        # chunked prefill: every prompt runs as ceil(T/C) fixed-shape
+        # [1, C] continuation forwards instead of one power-of-two
+        # bucketed forward. ONE compiled program serves every prompt
+        # length (vs a 20 s-10 min remote compile per bucket over this
+        # runtime) and per-round prefill work is bounded by C. Short
+        # prompts pad to C (wasted lanes); the crossover is measured in
+        # bench_serving --prefill_chunk.
+        self.prefill_chunk = prefill_chunk
         self.queue: List[Request] = []
         self.live: Dict[int, dict] = {}          # slot -> state
         self.done: Dict[int, List[int]] = {}     # rid -> generated tokens
@@ -354,24 +363,7 @@ class ContinuousBatcher:
                     jnp.int32(slot), jnp.asarray(row))
                 self.pool = {**self.pool, "page_table": pt, "seq_len": sl}
 
-                T = _bucket(len(req.prompt))
-                seg = np.zeros((1, T), np.int32)
-                seg[0, :len(req.prompt)] = 1
-                if req.embeds is not None:
-                    dim = req.embeds.shape[-1]
-                    emb = np.zeros((1, T, dim), np.float32)
-                    emb[0, :len(req.prompt)] = req.embeds
-                    first = jnp.asarray(emb, self.cfg.dtype)
-                    prefill = self._prefill_fn(T, fused=True)
-                else:
-                    toks = np.zeros((1, T), np.int32)
-                    toks[0, :len(req.prompt)] = req.prompt
-                    first = jnp.asarray(toks)
-                    prefill = self._prefill_fn(T)
-                first, self.pool, self.key = prefill(
-                    self.params, self.pool, first, jnp.asarray(seg),
-                    jnp.asarray([slot], jnp.int32),
-                    jnp.int32(len(req.prompt)), self.key)
+                first = self._dispatch_prefill(req, slot)
                 # keep `first` on device; resolve the whole wave below
                 staged.append((slot, req, first))
             if not staged:
@@ -389,6 +381,44 @@ class ContinuousBatcher:
                 self._maybe_finish(slot)
             # a request finishing AT prefill (max_new=1 / instant EOS)
             # frees its slot: loop for another wave
+
+    def _dispatch_prefill(self, req: Request, slot: int):
+        """Dispatch a request's prefill (async — no host sync; the wave
+        resolver reads the returned first-token array). Bucketed mode
+        runs one power-of-two-length forward; chunked mode
+        (prefill_chunk=C) runs ceil(T/C) fixed-shape [1, C] continuation
+        forwards — one compiled program for every prompt length, per-
+        round prefill work bounded by C. Chunk tails pad with seg 0:
+        pad KV rows land past seq_len (invisible, overwritten by later
+        writes). Mid chunks reuse the same jit and discard its sampled
+        token, so under temperature sampling the RNG stream differs from
+        bucketed mode (greedy outputs are identical — tested)."""
+        plen = len(req.prompt)
+        fused = req.embeds is not None
+        C = self.prefill_chunk
+        chunks = ([(lo, min(plen - lo, C))
+                   for lo in range(0, plen, C)] if C
+                  else [(0, plen)])
+        first = None
+        for lo, valid in chunks:
+            T = C if C else _bucket(plen)
+            seg = np.zeros((1, T), np.int32)
+            seg[0, :valid] = 1
+            if fused:
+                dim = req.embeds.shape[-1]
+                emb = np.zeros((1, T, dim), np.float32)
+                emb[0, :valid] = req.embeds[lo:lo + valid]
+                x = jnp.asarray(emb, self.cfg.dtype)
+            else:
+                toks = np.zeros((1, T), np.int32)
+                toks[0, :valid] = req.prompt[lo:lo + valid]
+                x = jnp.asarray(toks)
+            prefill = self._prefill_fn(T, fused=fused)
+            first, self.pool, self.key = prefill(
+                self.params, self.pool, x, jnp.asarray(seg),
+                jnp.asarray([slot], jnp.int32), jnp.int32(valid),
+                self.key)
+        return first
 
     def _round(self, k: int):
         """One jitted K-step decode round + host-side finish processing.

@@ -179,6 +179,10 @@ def main():
                    help="self-speculative greedy decoding: K n-gram draft "
                         "tokens verified per forward (exact; replaces "
                         "step_quantum rounds)")
+    p.add_argument("--prefill_chunk", type=int, default=0,
+                   help="chunked prefill: fixed [1, C] continuation "
+                        "forwards instead of per-bucket jits (one "
+                        "compile for all prompt lengths)")
     p.add_argument("--spec_oracle", action="store_true",
                    help="draft with an oracle built from a plain greedy "
                         "pass (upper bound: what spec_k buys at ~100%% "
@@ -228,7 +232,7 @@ def main():
     batcher = serving.ContinuousBatcher(
         params, cfg, pcfg, temperature=args.temperature,
         step_quantum=args.step_quantum, seed=args.seed,
-        spec_k=args.spec_k)
+        spec_k=args.spec_k, prefill_chunk=args.prefill_chunk or None)
     workload = make_workload(args, cfg, rng)
 
     draft_for = None
@@ -279,6 +283,7 @@ def main():
         "rounds": rounds,
         "n_tokens": n_tokens,
         "kv_int8": bool(args.kv8),
+        "prefill_chunk": args.prefill_chunk,
         "spec_k": args.spec_k,
         **({"spec_accept_per_round": round(
             batcher.spec_stats["emitted"]

@@ -338,3 +338,42 @@ class TestQuantizedKVPool:
             params, cfg, batch, gen, page_size=4, quantize_kv=True)
         assert toks.shape == (B, 4, 7)
         assert np.isfinite(np.asarray(scores)).all()
+
+
+class TestChunkedPrefill:
+    def test_chunked_equals_bucketed(self, model):
+        """prefill_chunk=C (fixed-shape [1, C] continuation forwards,
+        one compile for all prompt lengths) must emit exactly the
+        bucketed-prefill greedy tokens — prompt lengths off and on the
+        chunk boundary, token and fused prompts."""
+        cfg, params = model
+        pcfg = _pcfg(cfg)
+        rng = np.random.default_rng(23)
+        # 8 = exactly 2 chunks of 4; 3 < one chunk; 9/5 ragged tails
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (8, 3, 9, 5)]
+        lens = [6, 7, 4, 5]
+
+        e = rng.standard_normal((7, cfg.dim)).astype(np.float32) * 0.3
+
+        def run(chunk):
+            b = ContinuousBatcher(params, cfg, pcfg, prefill_chunk=chunk)
+            rids = [b.submit(p, max_new=m)
+                    for p, m in zip(prompts, lens)]
+            rids.append(b.submit_fused(e, max_new=5))
+            out = b.run()
+            return [out[r] for r in rids]
+
+        assert run(4) == run(None)
+
+    def test_single_compiled_prefill_program(self, model):
+        """Chunked mode must reuse ONE prefill jit per prompt kind no
+        matter the mix of prompt lengths (the point: a 20s-10min remote
+        compile per bucket collapses to one)."""
+        cfg, params = model
+        b = ContinuousBatcher(params, cfg, _pcfg(cfg), prefill_chunk=4)
+        rng = np.random.default_rng(29)
+        for n in (3, 8, 11, 2):
+            b.submit(list(rng.integers(4, cfg.vocab_size, n)), max_new=3)
+        b.run()
+        assert set(b._prefills) == {(4, False)}
