@@ -1,8 +1,17 @@
-"""Dependency-free HTTP retrieval server (stdlib http.server).
+"""Dependency-free HTTP serving (stdlib http.server).
 
 Same endpoint contract as app/main.py's FastAPI variant (POST /retrieve with
 {task_desc, disease_desc, instruction_source_dataset, k}; GET /healthz) for
-environments without fastapi/uvicorn.
+environments without fastapi/uvicorn — plus POST /generate, which the
+reference app does not offer (its service is retrieval-only and serves one
+request per forward, /root/reference/procyon/app/main.py:56-80): generation
+requests from concurrent HTTP clients are admitted into ONE
+inference/serving.ContinuousBatcher (paged pool, continuous batching) by a
+single driver thread, so simultaneous requests share decode rounds instead
+of queueing behind each other.
+
+POST /generate {"tokens": [...], "max_new": 32, "eos_id": null}
+             -> {"tokens": [...]}   (token-level; tokenize client-side)
 
 Run: python -m procyon_tpu.app.server [--port 8000] [--synthetic]
 """
@@ -16,7 +25,46 @@ from typing import Optional
 from procyon_tpu.inference.retrieval_service import RetrievalService
 
 
-def make_handler(service: RetrievalService):
+class GenerationService:
+    """Thread-safe facade over ContinuousBatcher for HTTP handlers: each
+    request thread submits and blocks on its own event; one driver thread
+    ticks the batcher whenever work exists (requests arriving between
+    ticks join the next round — the batcher's whole design)."""
+
+    def __init__(self, batcher):
+        self.batcher = batcher
+        self._cv = threading.Condition()
+        self._events = {}
+        self._results = {}
+        self._thread = threading.Thread(target=self._drive, daemon=True)
+        self._thread.start()
+
+    def generate(self, prompt, max_new=32, eos_id=None, timeout=300.0):
+        with self._cv:
+            rid = self.batcher.submit(list(prompt), max_new=max_new,
+                                      eos_id=eos_id)
+            ev = self._events[rid] = threading.Event()
+            self._cv.notify()
+        if not ev.wait(timeout):
+            raise TimeoutError(f"request {rid} timed out")
+        with self._cv:
+            return self._results.pop(rid)
+
+    def _drive(self):
+        while True:
+            with self._cv:
+                while not (self.batcher.queue or self.batcher.live):
+                    self._cv.wait()
+                self.batcher.tick()
+                for rid in list(self.batcher.done):
+                    ev = self._events.pop(rid, None)
+                    if ev is not None:
+                        self._results[rid] = self.batcher.done.pop(rid)
+                        ev.set()
+
+
+def make_handler(service: RetrievalService,
+                 gen: Optional[GenerationService] = None):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code, payload):
             body = json.dumps(payload).encode()
@@ -33,6 +81,9 @@ def make_handler(service: RetrievalService):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/generate":
+                self._generate()
+                return
             if self.path != "/retrieve":
                 self._json(404, {"error": "not found"})
                 return
@@ -61,6 +112,33 @@ def make_handler(service: RetrievalService):
                 return
             self._json(200, {"results": results})
 
+        def _generate(self):
+            if gen is None:
+                self._json(503, {"error": "generation service not "
+                                          "configured (retrieval-only)"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._json(400, {"error": "invalid JSON body"})
+                return
+            tokens = req.get("tokens")
+            if not isinstance(tokens, list) or not tokens:
+                self._json(422, {"error": "tokens (non-empty int list) "
+                                          "is required"})
+                return
+            try:
+                out = gen.generate(
+                    [int(t) for t in tokens],
+                    max_new=int(req.get("max_new", 32)),
+                    eos_id=(None if req.get("eos_id") is None
+                            else int(req["eos_id"])))
+            except Exception as e:
+                self._json(500, {"error": str(e)})
+                return
+            self._json(200, {"tokens": [int(t) for t in out]})
+
         def log_message(self, fmt, *args):
             pass
 
@@ -68,8 +146,10 @@ def make_handler(service: RetrievalService):
 
 
 def serve(service: RetrievalService, port: int = 8000, *,
+          gen: Optional[GenerationService] = None,
           background: bool = False) -> Optional[ThreadingHTTPServer]:
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    httpd = ThreadingHTTPServer(("0.0.0.0", port),
+                                make_handler(service, gen))
     if background:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()

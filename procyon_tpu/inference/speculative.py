@@ -8,9 +8,15 @@ drafted tokens in ONE forward costs barely more than decoding one token —
 the [B, K+1] token block rides the same weight stream, and every accepted
 draft token is a decode step the server never has to run.
 
-Greedy speculative decoding is EXACT: the emitted sequence is bit-identical
-to plain argmax decoding regardless of what the draft proposes (tested).
-One verify round:
+Greedy speculative decoding is EXACT: the emitted sequence is the verify
+forward's own greedy sequence regardless of what the draft proposes —
+drafts change COST, never tokens (the verify forward is causal, so an
+accepted prefix reproduces its logits bit-exactly on re-run). On the CPU
+f32 suite this equals the plain T=1 decode path token-for-token (tested);
+on-chip bf16 the T=K+1 and T=1 programs can argmax-diverge on near-ties
+(chaotic random-weight logits: almost always, since top-1 gaps among 32k
+entries sit below bf16 cross-program noise; trained checkpoints: rarely —
+same effect as the r3 dense-vs-paged beam-token note). One verify round:
 
     feed   [t0, d1 .. dK]      t0 = the pending (last emitted) token
     greedy g_i = argmax logits at position i

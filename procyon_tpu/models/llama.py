@@ -149,7 +149,9 @@ _mm = quant.mm
 def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
                            positions, cache_pos, k_scale=None,
                            v_scale=None):
-    """One-token attention over the cache. q [B,1,Hq,D]; cache [B,S,Hkv,D].
+    """Short-block attention over the cache. q [B,T,Hq,D] for small T
+    (T=1 decode steps; T=K+1 speculative verify blocks); cache
+    [B,S,Hkv,D].
 
     With k_scale/v_scale [B,S,Hkv] the cache holds int8 rows
     (kv_pool quantize_kv): the K scale factors OUT of each head's score
@@ -182,33 +184,42 @@ def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
     the dense decode path too (parity-tested)."""
     import math
 
-    B, _, Hq, D = q.shape
+    B, T, Hq, D = q.shape
     _, S, Hkv, _ = cache_k.shape
     group = Hq // Hkv
-    qh = q[:, 0].reshape(B, Hkv, group, D)
+    # T > 1 (speculative verify blocks): every query position gets its
+    # own block-diagonal row — the flattened [B, T*Hq, S] contraction
+    # rides the same natural-layout cache consumption as T == 1, with a
+    # per-position causal mask. T == 1 lowers to the original program.
+    qh = q.reshape(B, T, Hkv, group, D)
     eye = jnp.eye(Hkv, dtype=qh.dtype)
-    q_bd = jnp.einsum("bkgd,kj->bkgjd", qh, eye).reshape(B, Hq, Hkv * D)
+    q_bd = jnp.einsum("btkgd,kj->btkgjd", qh, eye).reshape(
+        B, T * Hq, Hkv * D)
     sel = jnp.repeat(jnp.eye(Hkv, dtype=jnp.float32), group, axis=0)
+    sel_t = jnp.tile(sel, (T, 1))                            # [T*Hq, Hkv]
     kf = cache_k.reshape(B, S, Hkv * D).astype(q_bd.dtype)
     s = jax.lax.dot_general(
         q_bd, kf, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) / math.sqrt(D)   # [B,Hq,S]
+        preferred_element_type=jnp.float32) / math.sqrt(D)   # [B,T*Hq,S]
     if k_scale is not None:
-        s = s * jnp.einsum("bsk,hk->bhs", k_scale, sel)
-    allowed = (cache_seg == seg_ids[:, :1]) & (cache_seg > 0) & \
-        (cache_pos <= positions[:, :1])  # [B, S]
-    s = jnp.where(allowed[:, None, :], s, -1e30)
+        s = s * jnp.einsum("bsk,hk->bhs", k_scale, sel_t)
+    allowed = (cache_seg[:, None, :] == seg_ids[:, :, None]) & \
+        (cache_seg[:, None, :] > 0) & \
+        (cache_pos[:, None, :] <= positions[:, :, None])     # [B, T, S]
+    allowed = jnp.broadcast_to(allowed[:, :, None, :],
+                               (B, T, Hq, S)).reshape(B, T * Hq, S)
+    s = jnp.where(allowed, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     if v_scale is not None:
-        p = p * jnp.einsum("bsk,hk->bhs", v_scale, sel)
+        p = p * jnp.einsum("bsk,hk->bhs", v_scale, sel_t)
     vf = cache_v.reshape(B, S, Hkv * D).astype(q_bd.dtype)
     out = jax.lax.dot_general(
         p.astype(vf.dtype), vf, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [B,Hq,Hkv*D]
+        preferred_element_type=jnp.float32)                # [B,T*Hq,Hkv*D]
     # pick each head's own kv-head slice back out (tiny contraction)
-    out = jnp.einsum("bhkd,hk->bhd", out.reshape(B, Hq, Hkv, D),
-                     sel.astype(out.dtype))
-    return out[:, None].astype(q.dtype)
+    out = jnp.einsum("bhkd,hk->bhd", out.reshape(B, T * Hq, Hkv, D),
+                     sel_t.astype(out.dtype))
+    return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
 def _paged_attention_with_self(q, k_new, v_new, k_pool_l, v_pool_l, table,
@@ -434,6 +445,13 @@ def _paged_rot_tables(cfg: LlamaConfig, positions):
             sin_fk[positions].astype(cfg.dtype), perm_k)
 
 
+# widest token block routed to the block-diagonal short-block attention
+# (and, on quantized pools, to the exact scale-algebra path) instead of
+# the flash kernel; speculative verify blocks are K+1 <= 16 in practice.
+# Override for probes: PROCYON_SHORT_BLOCK_T=1 restores the r3 behavior.
+_SHORT_BLOCK_T = int(os.environ.get("PROCYON_SHORT_BLOCK_T", "16"))
+
+
 def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
                   tokens=None, input_embeds=None, seg_ids=None,
                   lora_expert=0):
@@ -535,7 +553,7 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
         # through the scan ys to write once was measured SLOWER (633.2
         # vs 672.0 tok/s at the 6.6B kv8 shape: four stacked ys arrays
         # cost more than the duplicated VPU quantization).
-        quant_decode = pcfg.quantize_kv and T == 1
+        quant_decode = pcfg.quantize_kv and T <= _SHORT_BLOCK_T
         if quant_decode:
             knq, kns = kv_pool.quantize_rows(k_new.reshape(B, T, kd),
                                              cfg.n_kv_heads)
@@ -587,7 +605,12 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
             # causal via the positional comparison below)
             k_all = jnp.concatenate([kc, k_tok], axis=1)
             v_all = jnp.concatenate([vc, v_tok], axis=1)
-            if T == 1:
+            if T <= _SHORT_BLOCK_T:
+                # decode steps AND speculative verify blocks: the
+                # block-diagonal short-block attention consumes gathered
+                # pages in natural flat-lane layout (the flash path at
+                # tiny T pads the query to a 128 tile and relayouts the
+                # gathered cache per layer)
                 attn = _decode_attention_step(
                     q, k_all, v_all, seg_ids, seg_all, positions, pos_all,
                     k_scale=k_scale, v_scale=v_scale)

@@ -96,12 +96,37 @@ def chip_canary_ms(dim: int = 4096, *, seed: int = 0,
     return max((t_big - t_small) / (n_big - n_small), 1e-9) * 1e3
 
 
+def dispatch_rtt_ms(n: int = 12) -> float:
+    """Median host->device->host round-trip of a trivial dispatch+readback,
+    in milliseconds. The chain canary two-points this constant AWAY — by
+    design — so a congested tunnel shows a healthy canary while any
+    wall-clock-measured serving loop (one readback per round) slows by
+    rounds x RTT. Recording both separates chip state from tunnel state:
+    observed same-day serving runs at 2.28 vs 8.51 req/s on identical
+    code with canary_ms 0.728 vs 0.721."""
+    import jax
+
+    x = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(lambda x: x + 1)
+    sync_scalar(f(x))                      # warm/compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        sync_scalar(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3
+
+
 def canary_fields() -> dict:
-    """{"canary_ms": ...} for bench JSON lines, or {} on CPU (synthetic
-    smokes would pay ~90 host matmuls for a number that means nothing
-    off-chip)."""
+    """{"canary_ms": ..., "rtt_ms": ...} for bench JSON lines, or {} on
+    CPU (synthetic smokes would pay ~90 host matmuls for numbers that
+    mean nothing off-chip). canary_ms = chip compute state (RTT-free);
+    rtt_ms = tunnel dispatch state (dominates wall-clock serving loops).
+    Cross-session comparisons need BOTH pinned."""
     import jax
 
     if jax.devices()[0].platform == "cpu":
         return {}
-    return {"canary_ms": round(chip_canary_ms(), 3)}
+    return {"canary_ms": round(chip_canary_ms(), 3),
+            "rtt_ms": round(dispatch_rtt_ms(), 1)}

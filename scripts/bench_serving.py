@@ -237,13 +237,20 @@ def main():
 
     draft_for = None
     if args.spec_k and args.spec_oracle:
-        # plain greedy pass records each request's true continuation;
-        # oracle drafts then measure the all-accept upper bound (on-chip
-        # bf16 verify logits can still diverge from the T=1 decode path
-        # on near-ties, so report the measured acceptance too)
+        # a SPEC-mode pass records each request's verify-program greedy
+        # continuation; oracle drafts from it then accept in full — the
+        # verify forward is causal, so an accepted prefix reproduces its
+        # logits bit-exactly on re-run. (Drafting from a PLAIN T=1 pass
+        # instead measured acceptance 1.07 on chip: with chaotic
+        # random-weight logits the top-1 gap among 32k entries sits far
+        # below bf16 cross-program noise, so the two forward shapes
+        # argmax-diverge almost everywhere — same effect as the r3
+        # dense-vs-paged beam-token divergence. Trained checkpoints have
+        # peaked distributions and do not do this.)
         plain = serving.ContinuousBatcher(
             params, cfg, pcfg, temperature=0.0,
-            step_quantum=args.step_quantum, seed=args.seed)
+            step_quantum=args.step_quantum, seed=args.seed,
+            spec_k=args.spec_k)
         drive(plain, workload, args.max_new)
 
         def mk_oracle(tokens_list, plen):

@@ -377,3 +377,55 @@ class TestChunkedPrefill:
             b.submit(list(rng.integers(4, cfg.vocab_size, n)), max_new=3)
         b.run()
         assert set(b._prefills) == {(4, False)}
+
+
+class TestGenerateEndpoint:
+    def test_concurrent_http_generate_equals_solo(self, model):
+        """POST /generate from concurrent clients through one
+        ContinuousBatcher (GenerationService driver thread) returns each
+        request's solo greedy tokens — the serving-API completion of the
+        reference's retrieval-only, one-request-per-forward app
+        (/root/reference/procyon/app/main.py:56-80)."""
+        import json as _json
+        import threading
+        import urllib.request
+
+        from procyon_tpu.app import server as srv
+
+        cfg, params = model
+        pcfg = _pcfg(cfg)
+        rng = np.random.default_rng(31)
+        prompts = [list(map(int, rng.integers(4, cfg.vocab_size, n)))
+                   for n in (5, 9, 4, 7)]
+        lens = [6, 4, 8, 5]
+        solo = [_solo(cfg, params, pcfg, p, m)
+                for p, m in zip(prompts, lens)]
+
+        gen = srv.GenerationService(ContinuousBatcher(params, cfg, pcfg))
+        httpd = srv.serve(None, port=0, gen=gen, background=True)
+        port = httpd.server_address[1]
+        try:
+            results = [None] * len(prompts)
+
+            def post(i):
+                body = _json.dumps({"tokens": prompts[i],
+                                    "max_new": lens[i]}).encode()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate", data=body,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    results[i] = _json.loads(r.read())["tokens"]
+
+            threads = [threading.Thread(target=post, args=(i,))
+                       for i in range(len(prompts))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            assert results == solo
+            # retrieval-only paths still respond
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+                assert _json.loads(r.read())["ok"]
+        finally:
+            httpd.shutdown()
