@@ -295,7 +295,18 @@ def main():
         **({"spec_accept_per_round": round(
             batcher.spec_stats["emitted"]
             / max(batcher.spec_stats["rounds"], 1), 3),
-            "spec_oracle": bool(args.spec_oracle)}
+            "spec_oracle": bool(args.spec_oracle),
+            # measured serving-round time and the arithmetic all-accept
+            # ceiling slots*(K+1)/round — the end-to-end ceiling is NOT
+            # reachable on random weights on-chip: ~1/32k top-1 logit
+            # gaps flip under ANY reduction reassociation (cached-row vs
+            # in-chunk-row concat positions), so even self-consistent
+            # oracle drafts mostly reject (measured acceptance 1.37).
+            # Trained checkpoints have peaked logits; acceptance there is
+            # a text-repetitiveness property, bounded by this ceiling.
+            "spec_round_ms": round(wall / max(rounds, 1) * 1e3, 1),
+            "spec_ceiling_tok_per_sec": round(
+                args.slots * (args.spec_k + 1) * max(rounds, 1) / wall, 1)}
            if args.spec_k else {}),
         "pool_mb_budget": args.pool_mb,
         "n_pages": n_pages,
