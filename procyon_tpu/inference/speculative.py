@@ -92,3 +92,46 @@ def accept_counts(draft_tail: np.ndarray, greedy: np.ndarray) -> np.ndarray:
     # cumulative prefix: stop at the first mismatch
     prefix = np.cumprod(match.astype(np.int64), axis=1)
     return 1 + prefix.sum(axis=1)
+
+
+def device_ngram_draft(hist, lens, k: int):
+    """In-graph n-gram drafter: the jnp counterpart of `ngram_propose` for
+    DEVICE-side speculative rounds (serving spec_quantum > 1), where R
+    verify rounds run as one lax.scan per host trip and the draft must be
+    computed between rounds without a host round trip (~30 ms each over
+    the tunnel — the profiled majority of a spec round's wall time).
+
+    hist [B, H] int32 (prompt + generated, front-aligned), lens [B] valid
+    lengths. Matches the most recent earlier occurrence of the trailing
+    2-gram, falling back to the trailing 1-gram, then to repeating the
+    last token. Simpler than the host proposer's 3->1-gram ladder — the
+    draft only affects COST, never tokens, so the two proposers need not
+    agree. Rows with lens == 0 return garbage (callers mask dead slots).
+
+    Fully vectorized [B, H] compare/argmax passes — microseconds next to
+    a verify forward."""
+    import jax.numpy as jnp
+
+    B, H = hist.shape
+    idx = jnp.arange(H, dtype=jnp.int32)
+    rows = jnp.arange(B)
+    last = hist[rows, jnp.maximum(lens - 1, 0)]                  # [B]
+    prev = hist[rows, jnp.maximum(lens - 2, 0)]
+    # 2-gram matches at p: hist[p] == prev, hist[p+1] == last, with the
+    # continuation starting inside the valid region and the suffix's own
+    # occurrence (p = lens-2) excluded
+    m2 = (hist[:, :-1] == prev[:, None]) & (hist[:, 1:] == last[:, None])
+    m2 &= (idx[None, :H - 1] < (lens - 2)[:, None]) & (lens > 2)[:, None]
+    has2 = m2.any(axis=1)
+    p2 = jnp.argmax(jnp.where(m2, idx[None, :H - 1], -1), axis=1)
+    # 1-gram fallback: hist[p] == last, p < lens-1
+    m1 = (hist == last[:, None]) & (idx[None] < (lens - 1)[:, None])
+    has1 = m1.any(axis=1)
+    p1 = jnp.argmax(jnp.where(m1, idx[None], -1), axis=1)
+    start = jnp.where(has2, p2 + 2, p1 + 1)
+    cont_idx = start[:, None] + jnp.arange(k, dtype=jnp.int32)[None]
+    cont = jnp.take_along_axis(hist, jnp.clip(cont_idx, 0, H - 1), axis=1)
+    # positions past the valid history repeat the last token
+    cont = jnp.where(cont_idx < lens[:, None], cont, last[:, None])
+    return jnp.where((has2 | has1)[:, None], cont,
+                     jnp.broadcast_to(last[:, None], (B, k)))

@@ -179,6 +179,10 @@ def main():
                    help="self-speculative greedy decoding: K n-gram draft "
                         "tokens verified per forward (exact; replaces "
                         "step_quantum rounds)")
+    p.add_argument("--spec_quantum", type=int, default=1,
+                   help="R > 1: R device-drafted verify rounds per host "
+                        "trip (one readback per R rounds; in-graph "
+                        "n-gram drafting)")
     p.add_argument("--prefill_chunk", type=int, default=0,
                    help="chunked prefill: fixed [1, C] continuation "
                         "forwards instead of per-bucket jits (one "
@@ -232,7 +236,8 @@ def main():
     batcher = serving.ContinuousBatcher(
         params, cfg, pcfg, temperature=args.temperature,
         step_quantum=args.step_quantum, seed=args.seed,
-        spec_k=args.spec_k, prefill_chunk=args.prefill_chunk or None)
+        spec_k=args.spec_k, spec_quantum=args.spec_quantum,
+        prefill_chunk=args.prefill_chunk or None)
     workload = make_workload(args, cfg, rng)
 
     draft_for = None
@@ -304,9 +309,12 @@ def main():
             # oracle drafts mostly reject (measured acceptance 1.37).
             # Trained checkpoints have peaked logits; acceptance there is
             # a text-repetitiveness property, bounded by this ceiling.
-            "spec_round_ms": round(wall / max(rounds, 1) * 1e3, 1),
+            "spec_quantum": args.spec_quantum,
+            "spec_round_ms": round(
+                wall / max(rounds * args.spec_quantum, 1) * 1e3, 1),
             "spec_ceiling_tok_per_sec": round(
-                args.slots * (args.spec_k + 1) * max(rounds, 1) / wall, 1)}
+                args.slots * (args.spec_k + 1)
+                * max(rounds * args.spec_quantum, 1) / wall, 1)}
            if args.spec_k else {}),
         "pool_mb_budget": args.pool_mb,
         "n_pages": n_pages,

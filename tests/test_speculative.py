@@ -225,3 +225,57 @@ class TestTensorParallelServing:
             tp, _ = _run(cfg, params, pcfg, prompts, lens,
                          spec_k=spec_k, mesh=mesh)
             assert tp == single, spec_k
+
+
+class TestDeviceDraftTrips:
+    def test_device_ngram_draft_matches_expectations(self):
+        import jax.numpy as jnp
+
+        hist = np.zeros((4, 12), np.int32)
+        hist[0, :8] = [9, 5, 6, 7, 8, 5, 6, 7]   # 2-gram (6,7) at 2 -> 8,5,6
+        hist[1, :5] = [5, 6, 1, 5, 6]            # 2-gram (5,6) at 0 -> 1,5
+        hist[2, :4] = [3, 9, 4, 9]               # 1-gram fallback: 9 -> 4,9
+        hist[3, :2] = [4, 8]                     # no match -> repeat last
+        lens = jnp.asarray([8, 5, 4, 2], jnp.int32)
+        draft = np.asarray(speculative.device_ngram_draft(
+            jnp.asarray(hist), lens, 3))
+        assert list(draft[0]) == [8, 5, 6]
+        assert list(draft[1]) == [1, 5, 6]
+        assert list(draft[2]) == [4, 9, 9]       # past-lens pads with last
+        assert list(draft[3]) == [8, 8, 8]
+
+    def test_spec_quantum_tokens_equal_plain(self, model):
+        """spec_quantum > 1 (R device-drafted verify rounds per host
+        trip, in-graph history) emits exactly the plain greedy tokens —
+        staggered admission, mid-trip finishes, fused prompts, EOS."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2)
+        rng = np.random.default_rng(41)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (6, 11, 4, 9)]
+        lens = [8, 5, 12, 7]
+        plain, _ = _run(cfg, params, pcfg, prompts, lens, spec_k=0)
+        spec, b = _run(cfg, params, pcfg, prompts, lens, spec_k=3,
+                       spec_quantum=3)
+        assert spec == plain
+        assert b.spec_stats["emitted"] >= b.spec_stats["rounds"] > 0
+
+        # fused prompts through the same trip
+        e = rng.standard_normal((7, cfg.dim)).astype(np.float32) * 0.3
+
+        def run_fused(**kw):
+            b = ContinuousBatcher(params, cfg, _pcfg(cfg), **kw)
+            rid = b.submit_fused(e, max_new=6)
+            return b.run()[rid]
+
+        assert run_fused(spec_k=3, spec_quantum=4) == run_fused()
+
+    def test_spec_quantum_eos_stops(self, model):
+        cfg, params = model
+        pcfg = _pcfg(cfg)
+        plain, _ = _run(cfg, params, pcfg, [[5, 6, 7]], [10], spec_k=0)
+        eos = plain[0][3]
+        want = plain[0][:4]
+        b = ContinuousBatcher(params, cfg, pcfg, spec_k=2, spec_quantum=3)
+        rid = b.submit([5, 6, 7], max_new=10, eos_id=eos)
+        assert b.run()[rid] == want
