@@ -53,7 +53,8 @@ class GenerationService:
     def _drive(self):
         while True:
             with self._cv:
-                while not (self.batcher.queue or self.batcher.live):
+                while not (self.batcher.queue or self.batcher.live
+                           or self.batcher._inflight):
                     self._cv.wait()
                 self.batcher.tick()
                 for rid in list(self.batcher.done):

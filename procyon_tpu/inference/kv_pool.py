@@ -36,9 +36,11 @@ from the on-device page table (no host sync per step).
 """
 
 import dataclasses
-from typing import Dict, List
+import hashlib
+from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,11 +110,15 @@ class PageAllocator:
     def pages_for(self, n_tokens: int) -> int:
         return -(-n_tokens // self.cfg.page_size)
 
-    def can_admit(self, n_tokens: int) -> bool:
-        return len(self.free) >= self.pages_for(n_tokens)
+    def can_admit(self, n_tokens: int, reserved: int = 0) -> bool:
+        """reserved = page-table entries already covered by shared
+        prefix-cache pages (they cost no private budget)."""
+        return len(self.free) >= self.pages_for(n_tokens) - reserved
 
-    def allocate(self, slot: int, n_tokens: int) -> List[int]:
-        need = self.pages_for(n_tokens) - len(self.owned.get(slot, []))
+    def allocate(self, slot: int, n_tokens: int,
+                 reserved: int = 0) -> List[int]:
+        need = (self.pages_for(n_tokens) - reserved
+                - len(self.owned.get(slot, [])))
         if need > len(self.free):
             raise MemoryError(
                 f"paged KV pool exhausted: need {need} pages, "
@@ -123,6 +129,133 @@ class PageAllocator:
 
     def release(self, slot: int):
         self.free.extend(reversed(self.owned.pop(slot, [])))
+
+    def disown(self, slot: int, page: int):
+        """Transfer a page OUT of this slot's ownership (prefix-cache
+        promotion: the page's lifetime is now the cache's refcount, not
+        the slot's release)."""
+        self.owned[slot].remove(page)
+
+
+class PrefixCache:
+    """Host-side shared-prefix page cache (automatic prefix caching).
+
+    Protein serving workloads share long instruction templates (the
+    reference rebuilds and re-forwards the full prompt per request,
+    procyon/app/main.py:56-80 + inference_utils.py prompt builders). Here
+    every FULL page-size block of a prompt is content-addressed by a
+    rolling hash chain (block digest keyed by the digest of everything
+    before it, so a block is only shared under an identical prefix); on
+    admission the longest chain of cached blocks is reused directly as
+    shared page-table entries — the prefill forward starts AFTER the
+    shared region (compute skipped) and the shared pages cost no pool
+    budget (capacity freed). Pages are refcounted: a live slot holds a
+    reference on every shared page in its table; zero-ref pages stay
+    cached and are evicted LRU back to the free list only when admission
+    needs them.
+
+    Exactness: a cache hit reuses the BYTES an earlier identical prefill
+    wrote — positions, rotary phases, and page layout are absolute from
+    0, so the gathered KV is exactly what this request's own prefill
+    would have produced under the same prefill program (CPU-f32 parity is
+    bit-exact and tested; on-chip bf16 the usual same-program caveat from
+    CLAUDE.md applies across different prefill shapes).
+
+    Safety invariant: only FULL blocks strictly inside the prompt are
+    ever shared, and at least the final prompt token is always left to
+    the private tail — decode/speculative writes land at positions
+    >= prompt_len, i.e. in private pages, so shared pages are write-once.
+    """
+
+    _ROOT = b"procyon-prefix-root"
+
+    def __init__(self, page_size: int):
+        self.page_size = page_size
+        self.chain: Dict[bytes, int] = {}    # node key -> page id
+        self.meta: Dict[int, dict] = {}      # page -> {key, ref, clock}
+        self._clock = 0
+        self.stats = {"hit_tokens": 0, "miss_tokens": 0, "evicted": 0}
+
+    # -- content addressing ---------------------------------------------
+    @staticmethod
+    def block_digests(prompt=None, embeds=None, page_size: int = 64
+                      ) -> List[bytes]:
+        """Digests of the prompt's full blocks, shareable region only
+        (the last prompt token is excluded so the prefill tail is never
+        empty — its logits produce the first sampled token). Token and
+        fused (embedding) prompts hash in disjoint domains."""
+        if embeds is not None:
+            n = embeds.shape[0]
+            tag = b"emb:"
+            block = lambda j: np.ascontiguousarray(
+                embeds[j * page_size:(j + 1) * page_size]).tobytes()
+        else:
+            arr = np.asarray(prompt, np.int32)
+            n = arr.shape[0]
+            tag = b"tok:"
+            block = lambda j: arr[j * page_size:(j + 1) * page_size
+                                  ].tobytes()
+        n_full = max((n - 1) // page_size, 0)
+        return [hashlib.blake2b(tag + block(j), digest_size=16).digest()
+                for j in range(n_full)]
+
+    def _node_keys(self, digests: List[bytes]) -> List[bytes]:
+        keys, parent = [], self._ROOT
+        for d in digests:
+            parent = hashlib.blake2b(parent + d, digest_size=16).digest()
+            keys.append(parent)
+        return keys
+
+    # -- lookup / lifetime ------------------------------------------------
+    def match(self, digests: List[bytes]) -> Tuple[List[int], List[bytes]]:
+        """Longest cached chain for these block digests. Returns
+        (shared page ids, node keys for ALL blocks — hits then misses;
+        the caller promotes the miss blocks after prefilling them)."""
+        keys = self._node_keys(digests)
+        pages = []
+        for k in keys:
+            p = self.chain.get(k)
+            if p is None:
+                break
+            pages.append(p)
+        return pages, keys
+
+    def acquire(self, pages: List[int]) -> None:
+        self._clock += 1
+        for p in pages:
+            m = self.meta[p]
+            m["ref"] += 1
+            m["clock"] = self._clock
+
+    def release(self, pages: List[int]) -> None:
+        for p in pages:
+            self.meta[p]["ref"] -= 1
+
+    def promote(self, key: bytes, page: int) -> bool:
+        """Register a freshly-prefilled full-block page under its chain
+        key with ref 1 (the prefilling slot's own use). Returns False if
+        the key is already cached (the page stays slot-private)."""
+        if key in self.chain:
+            return False
+        self._clock += 1
+        self.chain[key] = page
+        self.meta[page] = {"key": key, "ref": 1, "clock": self._clock}
+        return True
+
+    def evict(self, n: int) -> List[int]:
+        """Evict up to n zero-ref pages, least recently used first;
+        returns the page ids (caller hands them to the allocator's free
+        list)."""
+        victims = sorted(
+            (p for p, m in self.meta.items() if m["ref"] <= 0),
+            key=lambda p: self.meta[p]["clock"])[:n]
+        for p in victims:
+            del self.chain[self.meta.pop(p)["key"]]
+        self.stats["evicted"] += len(victims)
+        return victims
+
+    def n_evictable(self) -> int:
+        return sum(1 for m in self.meta.values() if m["ref"] <= 0)
 
 
 def write_tokens(pool: Dict, cfg: PagedConfig, layer_k, layer_v, slot_ids,

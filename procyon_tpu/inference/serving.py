@@ -52,6 +52,11 @@ class Request:
     # proposer. Model-based drafters (or bench oracles) plug in here —
     # the verify math is draft-agnostic (exact for any proposal).
     draft_fn: Optional[object] = None
+    # task-LoRA expert bank index for THIS request (multi-tenant adapter
+    # serving): different task adapters share one decode batch via
+    # lora.apply_routed's exact one-hot mixing. Ignored when the model
+    # has no LoRA banks.
+    lora_expert: int = 0
 
 
 def _bucket(n: int) -> int:
@@ -66,7 +71,10 @@ class ContinuousBatcher:
                  temperature: float = 0.0, seed: int = 0,
                  step_quantum: int = 1, spec_k: int = 0,
                  spec_quantum: int = 1, mesh=None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 prefix_cache: bool = False,
+                 prefill_batch: int = 1,
+                 async_rounds: bool = False):
         if spec_k and temperature > 0:
             raise ValueError(
                 "speculative decoding is greedy-only (temperature "
@@ -113,6 +121,50 @@ class ContinuousBatcher:
         # prompts pad to C (wasted lanes); the crossover is measured in
         # bench_serving --prefill_chunk.
         self.prefill_chunk = prefill_chunk
+        # batched wave prefill: chunks of up to W DIFFERENT admissions
+        # share one [W, C] forward (per-row slot ids + seg masks — the
+        # paged pool handles ragged continuation natively). A [1, C]
+        # prefill leaves the MXU mostly idle at serving dims; batching
+        # admission waves W-wide cuts the wave's prefill cost up to W-x.
+        # Requires prefill_chunk (the fixed-shape program); rows beyond
+        # the last real chunk pad with seg 0 onto a slot outside the
+        # group (their writes land past that slot's seq_len: invisible,
+        # overwritten by its own later writes).
+        if prefill_batch > 1 and not prefill_chunk:
+            raise ValueError("prefill_batch needs prefill_chunk")
+        self.prefill_batch = min(max(int(prefill_batch), 1), pcfg.slots)
+        # pipelined decode rounds: round k+1 is DISPATCHED before round
+        # k's token block is read back, feeding from a device-resident
+        # pending-token array — the per-round host readback (tunnel RTT
+        # here; host dispatch latency on any deployment) overlaps the
+        # next round's compute. Finishes are discovered one round late:
+        # a finished slot wastes at most one extra K-token round of
+        # garbage compute, whose writes stay past-seq_len/overwritten
+        # (the same visibility invariant as mid-round EOS waste), and
+        # its surplus tokens are dropped host-side. Greedy-exact
+        # (tested == synchronous); temperature/spec modes keep their own
+        # round batching (a garbage round would shift the RNG stream).
+        if async_rounds and (temperature > 0 or spec_k):
+            raise ValueError("async_rounds is greedy-plain-decode only")
+        self.async_rounds = bool(async_rounds)
+        self._inflight: List[tuple] = []
+        self._pending_dev = jnp.zeros((pcfg.slots,), jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def set_pending(pending, slot, tok):
+            return pending.at[slot].set(tok)
+
+        self._set_pending = set_pending
+        # automatic prefix caching: full page-size blocks of every prompt
+        # (token or fused) are content-addressed in a hash chain
+        # (kv_pool.PrefixCache); admissions reuse the longest cached
+        # chain as shared refcounted page-table entries — prefill skips
+        # the shared region entirely and the shared pages cost no pool
+        # budget. Zero-ref cached pages are evicted LRU when admission
+        # needs them.
+        self.pcache = (kv_pool.PrefixCache(pcfg.page_size)
+                       if prefix_cache else None)
+        self._slot_shared: Dict[int, List[int]] = {}
         self.queue: List[Request] = []
         self.live: Dict[int, dict] = {}          # slot -> state
         self.done: Dict[int, List[int]] = {}     # rid -> generated tokens
@@ -133,19 +185,25 @@ class ContinuousBatcher:
         self._rounds: Dict[int, object] = {}
         self._prefills = {}
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def set_slot(page_table, seq_len, slot, row):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def set_slot(page_table, seq_len, experts, slot, row, n, e):
             # async slot-table update: admission writes the allocated page
-            # row, finish writes the null row — either way the slot's
-            # seq_len resets to 0. Replaces a host read-modify-write of the
-            # pool tables (a BLOCKING device->host sync per request over
-            # the remote runtime; measured 134.7 -> see STATUS for the
-            # serving-throughput delta when these syncs were removed).
+            # row, the slot's starting seq_len (0, or the shared-prefix
+            # length on a prefix-cache hit) and its LoRA expert id;
+            # finish writes the null row + 0. Replaces a host
+            # read-modify-write of the pool tables (a BLOCKING
+            # device->host sync per request over the remote runtime;
+            # measured 134.7 -> see STATUS for the serving-throughput
+            # delta when these syncs were removed).
             return (page_table.at[slot].set(row),
-                    seq_len.at[slot].set(0))
+                    seq_len.at[slot].set(n),
+                    experts.at[slot].set(e))
 
         self._set_slot = set_slot
         self._null_row = jnp.zeros((pcfg.max_pages_per_seq,), jnp.int32)
+        # per-slot task-LoRA expert table (multi-tenant adapter serving;
+        # unused by the jits when cfg.lora is None)
+        self.experts = jnp.zeros((pcfg.slots,), jnp.int32)
 
         # device history for in-graph drafting (spec_quantum > 1): the
         # cap leaves room for one trip's worth of appends past max_ctx
@@ -181,12 +239,14 @@ class ContinuousBatcher:
             slot_ids = self._slot_ids
             K = self.spec_k
 
+            use_lora = cfg.lora is not None
+
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def spec_round(params, pool, tokens, live):
+            def spec_round(params, pool, tokens, live, experts):
                 seg = jnp.broadcast_to(live[:, None], tokens.shape)
                 logits, pool = llama.paged_forward(
                     params, cfg, pool, pcfg, slot_ids, tokens=tokens,
-                    seg_ids=seg)
+                    seg_ids=seg, lora_expert=experts if use_lora else 0)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 match = (tokens[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
                 m = 1 + jnp.cumprod(match, axis=1).sum(axis=1,
@@ -218,8 +278,11 @@ class ContinuousBatcher:
             K, R = self.spec_k, self.spec_quantum
             Hh = self._hist_cap
 
+            use_lora = cfg.lora is not None
+
             @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
-            def spec_trip(params, pool, hist, hlen, pending, live):
+            def spec_trip(params, pool, hist, hlen, pending, live,
+                          experts):
                 rows = jnp.arange(pcfg.slots)
 
                 def body(carry, _):
@@ -231,7 +294,8 @@ class ContinuousBatcher:
                     seg = jnp.broadcast_to(live[:, None], tokens.shape)
                     logits, pool = llama.paged_forward(
                         params, cfg, pool, pcfg, slot_ids, tokens=tokens,
-                        seg_ids=seg)
+                        seg_ids=seg,
+                        lora_expert=experts if use_lora else 0)
                     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     match = (tokens[:, 1:]
                              == greedy[:, :-1]).astype(jnp.int32)
@@ -277,20 +341,25 @@ class ContinuousBatcher:
             cfg, pcfg = self.cfg, self.pcfg
             sample = self._sample_on_device
             slot_ids = self._slot_ids
+            use_lora = cfg.lora is not None
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def decode_round(params, pool, tokens, seg, key):
+            def decode_round(params, pool, tokens, seg, key, experts):
                 def body(carry, _):
                     pool, toks, key = carry
                     logits, pool = llama.paged_forward(
                         params, cfg, pool, pcfg, slot_ids,
-                        tokens=toks[:, None], seg_ids=seg[:, None])
+                        tokens=toks[:, None], seg_ids=seg[:, None],
+                        lora_expert=experts if use_lora else 0)
                     nxt, key = sample(logits[:, -1], key)
                     return (pool, nxt, key), nxt
 
-                (pool, _, key), ys = jax.lax.scan(
+                (pool, nxt, key), ys = jax.lax.scan(
                     body, (pool, tokens, key), None, length=k)
-                return pool, ys, key
+                # nxt = the final carry tokens, returned as a DEVICE
+                # array so async_rounds can feed the next round without
+                # reading ys back
+                return pool, nxt, ys, key
 
             fn = self._rounds[k] = decode_round
         return fn
@@ -322,6 +391,13 @@ class ContinuousBatcher:
         throwaway workload, reset, then measure steady state."""
         self.pool = self._init_pool()
         self.alloc = kv_pool.PageAllocator(self.pcfg)
+        if self.pcache is not None:
+            # the pool's pages were just zeroed: drop every cached chain
+            self.pcache = kv_pool.PrefixCache(self.pcfg.page_size)
+        self._slot_shared = {}
+        self.experts = jnp.zeros((self.pcfg.slots,), jnp.int32)
+        self._inflight = []
+        self._pending_dev = jnp.zeros((self.pcfg.slots,), jnp.int32)
         if self.hist is not None:
             self.hist = jnp.zeros((self.pcfg.slots, self._hist_cap),
                                   jnp.int32)
@@ -333,15 +409,18 @@ class ContinuousBatcher:
         self._next_rid = 0
 
     def submit(self, prompt: List[int], max_new: int = 32,
-               eos_id: Optional[int] = None, draft_fn=None) -> int:
+               eos_id: Optional[int] = None, draft_fn=None,
+               lora_expert: int = 0) -> int:
         rid = self._next_rid
         self._next_rid += 1
         self.queue.append(Request(rid, list(prompt), max_new, eos_id,
-                                  draft_fn=draft_fn))
+                                  draft_fn=draft_fn,
+                                  lora_expert=lora_expert))
         return rid
 
     def submit_fused(self, input_embeds, max_new: int = 32,
-                     eos_id: Optional[int] = None, draft_fn=None) -> int:
+                     eos_id: Optional[int] = None, draft_fn=None,
+                     lora_expert: int = 0) -> int:
         """Admit a soft-token (fusion) prompt: pre-assembled input
         embeddings [T, dim] (unified.assemble_input_embeds row, unpadded).
         Prefill rides llama.paged_forward(input_embeds=...)."""
@@ -349,7 +428,8 @@ class ContinuousBatcher:
         self._next_rid += 1
         embeds = np.asarray(input_embeds)
         self.queue.append(Request(rid, [0] * embeds.shape[0], max_new,
-                                  eos_id, embeds=embeds, draft_fn=draft_fn))
+                                  eos_id, embeds=embeds, draft_fn=draft_fn,
+                                  lora_expert=lora_expert))
         return rid
 
     def submit_batch(self, params_unified, cfg_unified, batch,
@@ -379,7 +459,7 @@ class ContinuousBatcher:
         """Drive until every submitted request finishes; returns
         rid -> generated token list."""
         self._admit()
-        while self.live:
+        while self.live or self._inflight:
             self.tick()
         return self.done
 
@@ -387,8 +467,17 @@ class ContinuousBatcher:
         """One serving round: advance every live slot by up to k
         (default step_quantum) tokens in one jitted call, process
         finishes, admit queued requests. The bench/server drive loop —
-        submit() between ticks = requests joining mid-flight."""
-        if self.live:
+        submit() between ticks = requests joining mid-flight.
+
+        async_rounds: dispatch round k+1 from the device pending array,
+        THEN read back round k (its readback overlaps k+1's compute);
+        with nothing live, drain the backlog."""
+        if self.async_rounds:
+            if self.live:
+                self._dispatch_round_async(k or self.step_quantum)
+            while len(self._inflight) > (1 if self.live else 0):
+                self._process_round_async()
+        elif self.live:
             if self.spec_k and self.spec_quantum > 1:
                 self._spec_trip()
             elif self.spec_k:
@@ -396,6 +485,34 @@ class ContinuousBatcher:
             else:
                 self._round(k or self.step_quantum)
         self._admit()
+
+    def _dispatch_round_async(self, k: int) -> None:
+        seg = np.zeros((self.pcfg.slots,), np.int32)
+        for slot in self.live:
+            seg[slot] = 1
+        # snapshot slot->rid: by processing time a slot may have been
+        # finished + re-admitted; its garbage tokens from THIS round must
+        # not be attributed to the new request
+        snap = {slot: st["req"].rid for slot, st in self.live.items()}
+        (self.pool, self._pending_dev, ys,
+         self.key) = self._decode_round_fn(k)(
+            self.params, self.pool, self._pending_dev, jnp.asarray(seg),
+            self.key, self.experts)
+        self._inflight.append((ys, snap, k))
+
+    def _process_round_async(self) -> None:
+        ys, snap, k = self._inflight.pop(0)
+        ys = np.asarray(ys)                       # the ONE blocking read
+        for slot, rid in snap.items():
+            st = self.live.get(slot)
+            if st is None or st["req"].rid != rid:
+                continue                          # finished a round ago
+            for t in range(k):
+                tok = int(ys[t, slot])
+                st["generated"].append(tok)
+                st["pending"] = tok
+                if self._maybe_finish(slot):
+                    break
 
     # -- internals ----------------------------------------------------------
     def _free_slots(self):
@@ -406,26 +523,130 @@ class ContinuousBatcher:
         if key not in self._prefills:
             cfg, pcfg = self.cfg, self.pcfg
             sample = self._sample_on_device
+            use_lora = cfg.lora is not None
 
             if fused:
                 @functools.partial(jax.jit, donate_argnums=(1,))
-                def prefill(params, pool, embeds, seg, slot, plen, rkey):
+                def prefill(params, pool, embeds, seg, slot, plen, rkey,
+                            expert):
                     logits, pool = llama.paged_forward(
                         params, cfg, pool, pcfg, slot,
-                        input_embeds=embeds, seg_ids=seg)
+                        input_embeds=embeds, seg_ids=seg,
+                        lora_expert=expert if use_lora else 0)
                     first, rkey = sample(logits[0, plen - 1][None], rkey)
                     return first[0], pool, rkey
             else:
                 @functools.partial(jax.jit, donate_argnums=(1,))
-                def prefill(params, pool, tokens, seg, slot, plen, rkey):
+                def prefill(params, pool, tokens, seg, slot, plen, rkey,
+                            expert):
                     logits, pool = llama.paged_forward(
                         params, cfg, pool, pcfg, slot, tokens=tokens,
-                        seg_ids=seg)
+                        seg_ids=seg,
+                        lora_expert=expert if use_lora else 0)
                     first, rkey = sample(logits[0, plen - 1][None], rkey)
                     return first[0], pool, rkey
 
             self._prefills[key] = prefill
         return self._prefills[key]
+
+    def _promote_blocks(self, slot, row, n_shared, keys):
+        """Move a freshly-prefilled request's full blocks into the
+        prefix cache (blocks n_shared..len(keys)-1 of its page row)."""
+        for j in range(n_shared, len(keys)):
+            page = int(row[j])
+            if self.pcache.promote(keys[j], page):
+                self.alloc.disown(slot, page)
+                self._slot_shared.setdefault(slot, []).append(page)
+
+    def _wave_prefill_fn(self, fused: bool, W: int):
+        """Jitted [W, C] batched chunk prefill: W admissions' chunks in
+        one forward (per-row slots/seg/valids), sampling each row's
+        last-valid-position logits on device. W is bucketed to powers of
+        two up to prefill_batch — staggered arrivals make many SMALL
+        waves, and padding a 1-request wave to the full fixed W costs
+        W x the needed compute (measured: fixed W=8 LOST 7.38 -> 4.66
+        req/s end to end; bucketed widths keep the compile count at
+        log2(W)+1 per prompt kind while small waves pay near-[1, C]
+        cost)."""
+        key = ("wave", W, fused)
+        fn = self._prefills.get(key)
+        if fn is None:
+            cfg, pcfg = self.cfg, self.pcfg
+            sample = self._sample_on_device
+            use_lora = cfg.lora is not None
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def wave_prefill(params, pool, x, seg, slots, valids, rkey,
+                             experts):
+                kw = ({"input_embeds": x} if fused else {"tokens": x})
+                logits, pool = llama.paged_forward(
+                    params, cfg, pool, pcfg, slots, seg_ids=seg,
+                    lora_expert=experts if use_lora else 0, **kw)
+                last = logits[jnp.arange(W), valids - 1]      # [W, vocab]
+                first, rkey = sample(last, rkey)
+                return first, pool, rkey
+
+            fn = self._prefills[key] = wave_prefill
+        return fn
+
+    def _dispatch_prefill_wave(self, items):
+        """Batched-wave prefill of this admission wave's requests:
+        `items` = [(slot, req, start)]. Token and fused prompts batch
+        separately (different input kinds). Returns {slot: first-token
+        device scalar}. Greedy outputs equal the [1, C] chunked path
+        (same chunk boundaries per request — tested); under temperature
+        sampling the RNG stream differs, like chunked vs bucketed."""
+        C, Wmax = self.prefill_chunk, self.prefill_batch
+        first = {}
+        for fused in (False, True):
+            queue = [[slot, req, start] for slot, req, start in items
+                     if (req.embeds is not None) == fused]
+            while queue:
+                n = min(len(queue), Wmax)
+                # bucket the program width to the next power of two (or
+                # Wmax): small waves pay near-[1, C] cost instead of a
+                # Wmax-wide padded forward
+                W = 1 << (n - 1).bit_length()
+                W = min(W, Wmax)
+                group = queue[:min(n, W)]
+                group_slots = {it[0] for it in group}
+                pad_slot = next((s for s in range(self.pcfg.slots)
+                                 if s not in group_slots), group[0][0])
+                slots = np.full((W,), pad_slot, np.int32)
+                seg = np.zeros((W, C), np.int32)
+                valids = np.ones((W,), np.int32)
+                experts = np.zeros((W,), np.int32)
+                if fused:
+                    x = np.zeros((W, C, self.cfg.dim), np.float32)
+                else:
+                    x = np.zeros((W, C), np.int32)
+                for i, it in enumerate(group):
+                    slot, req, pos = it
+                    plen = len(req.prompt)
+                    valid = min(C, plen - pos)
+                    slots[i] = slot
+                    seg[i, :valid] = 1
+                    valids[i] = valid
+                    experts[i] = req.lora_expert
+                    if fused:
+                        x[i, :valid] = req.embeds[pos:pos + valid]
+                    else:
+                        x[i, :valid] = req.prompt[pos:pos + valid]
+                    it[2] = pos + valid
+                xs = (jnp.asarray(x, self.cfg.dtype) if fused
+                      else jnp.asarray(x))
+                fw, self.pool, self.key = self._wave_prefill_fn(
+                    fused, W)(
+                    self.params, self.pool, xs, jnp.asarray(seg),
+                    jnp.asarray(slots), jnp.asarray(valids), self.key,
+                    jnp.asarray(experts))
+                done_rows = [i for i, it in enumerate(group)
+                             if it[2] >= len(it[1].prompt)]
+                for i in done_rows:
+                    first[group[i][0]] = fw[i]
+                queue = [it for it in queue
+                         if it[2] < len(it[1].prompt)]
+        return first
 
     def _admit(self):
         # admissions happen in WAVES: every prefill of a wave is
@@ -433,9 +654,12 @@ class ContinuousBatcher:
         # device round trip per wave instead of one per request (over a
         # remote runtime, per-request syncs dominated admission cost —
         # measured 48 prefill syncs inside an 11.8 s serving run)
+        batched = self.prefill_batch > 1
         while True:
             staged = []
             staged_slots = set()
+            wave_items = []
+            wave_promote = []
 
             def free():
                 return [s for s in self._free_slots()
@@ -448,24 +672,75 @@ class ContinuousBatcher:
                     raise ValueError(
                         f"request {req.rid} needs {budget} tokens > "
                         f"max_ctx {self.pcfg.max_ctx}")
-                if not self.alloc.can_admit(budget):
-                    break  # wait for pages
+                shared, keys = [], []
+                if self.pcache is not None:
+                    digests = kv_pool.PrefixCache.block_digests(
+                        prompt=req.prompt if req.embeds is None else None,
+                        embeds=req.embeds,
+                        page_size=self.pcfg.page_size)
+                    shared, keys = self.pcache.match(digests)
+                if not self.alloc.can_admit(budget, reserved=len(shared)):
+                    # reclaim idle cached pages before giving up
+                    if self.pcache is not None:
+                        short = (self.alloc.pages_for(budget)
+                                 - len(shared) - len(self.alloc.free))
+                        self.alloc.free.extend(self.pcache.evict(short))
+                    if not self.alloc.can_admit(budget,
+                                                reserved=len(shared)):
+                        break  # wait for pages
                 self.queue.pop(0)
                 slot = free()[0]
                 staged_slots.add(slot)
-                pages = self.alloc.allocate(slot, budget)
+                if shared:
+                    self.pcache.acquire(shared)
+                    self._slot_shared[slot] = list(shared)
+                pages = self.alloc.allocate(slot, budget,
+                                            reserved=len(shared))
                 row = np.zeros((self.pcfg.max_pages_per_seq,), np.int32)
-                row[:len(pages)] = pages
-                pt, sl = self._set_slot(
+                row[:len(shared)] = shared
+                row[len(shared):len(shared) + len(pages)] = pages
+                start = len(shared) * self.pcfg.page_size
+                pt, sl, self.experts = self._set_slot(
                     self.pool["page_table"], self.pool["seq_len"],
-                    jnp.int32(slot), jnp.asarray(row))
+                    self.experts, jnp.int32(slot), jnp.asarray(row),
+                    jnp.int32(start), jnp.int32(req.lora_expert))
                 self.pool = {**self.pool, "page_table": pt, "seq_len": sl}
 
-                first = self._dispatch_prefill(req, slot)
+                if batched:
+                    first = None
+                    wave_items.append([slot, req, start])
+                else:
+                    first = self._dispatch_prefill(req, slot, start=start)
+                if self.pcache is not None:
+                    # promote the freshly-prefilled full blocks: their
+                    # lifetime moves from the slot's release to the
+                    # cache's refcount (this slot holds one reference).
+                    # In batched-wave mode promotion is DEFERRED to the
+                    # end of the wave: same-wave chunks interleave, so a
+                    # same-wave hit could gather pages whose writes are
+                    # not yet dispatched (sequential mode fully prefills
+                    # each request before the next one's dispatch).
+                    if batched:
+                        wave_promote.append(
+                            (slot, row, len(shared), keys))
+                    else:
+                        self._promote_blocks(slot, row, len(shared),
+                                             keys)
+                    # start <= plen-1 by construction (block_digests
+                    # leaves the final prompt token to the private tail)
+                    self.pcache.stats["hit_tokens"] += start
+                    self.pcache.stats["miss_tokens"] += (
+                        len(req.prompt) - start)
                 # keep `first` on device; resolve the whole wave below
                 staged.append((slot, req, first))
             if not staged:
                 return
+            if batched:
+                by_slot = self._dispatch_prefill_wave(wave_items)
+                staged = [(slot, req, by_slot[slot])
+                          for slot, req, _ in staged]
+                for slot, row, n_shared, keys in wave_promote:
+                    self._promote_blocks(slot, row, n_shared, keys)
             firsts = np.asarray(jnp.stack([f for _, _, f in staged]))
             for (slot, req, _), tok in zip(staged, firsts):
                 last = int(tok)
@@ -476,6 +751,12 @@ class ContinuousBatcher:
                         else list(req.prompt)) + [last]
                 self.live[slot] = {"req": req, "generated": [last],
                                    "pending": last, "history": hist}
+                if self.async_rounds:
+                    # seed the device pending array so the next round
+                    # can be dispatched without a host round trip
+                    self._pending_dev = self._set_pending(
+                        self._pending_dev, jnp.int32(slot),
+                        jnp.int32(last))
                 if self.hist is not None:
                     row = np.zeros((self._hist_cap,), np.int32)
                     row[:len(hist)] = hist
@@ -486,7 +767,7 @@ class ContinuousBatcher:
             # a request finishing AT prefill (max_new=1 / instant EOS)
             # frees its slot: loop for another wave
 
-    def _dispatch_prefill(self, req: Request, slot: int):
+    def _dispatch_prefill(self, req: Request, slot: int, start: int = 0):
         """Dispatch a request's prefill (async — no host sync; the wave
         resolver reads the returned first-token array). Bucketed mode
         runs one power-of-two-length forward; chunked mode
@@ -496,16 +777,20 @@ class ContinuousBatcher:
         pad KV rows land past seq_len (invisible, overwritten by later
         writes). Mid chunks reuse the same jit and discard its sampled
         token, so under temperature sampling the RNG stream differs from
-        bucketed mode (greedy outputs are identical — tested)."""
+        bucketed mode (greedy outputs are identical — tested).
+
+        `start` > 0 = prefix-cache hit: the slot's seq_len already sits
+        at the shared-prefix boundary and the forward continues from
+        there — only the tail [start, plen) is computed."""
         plen = len(req.prompt)
         fused = req.embeds is not None
         C = self.prefill_chunk
         chunks = ([(lo, min(plen - lo, C))
-                   for lo in range(0, plen, C)] if C
-                  else [(0, plen)])
+                   for lo in range(start, plen, C)] if C
+                  else [(start, plen - start)])
         first = None
         for lo, valid in chunks:
-            T = C if C else _bucket(plen)
+            T = C if C else _bucket(plen - start)
             seg = np.zeros((1, T), np.int32)
             seg[0, :valid] = 1
             if fused:
@@ -521,7 +806,7 @@ class ContinuousBatcher:
             first, self.pool, self.key = prefill(
                 self.params, self.pool, x, jnp.asarray(seg),
                 jnp.asarray([slot], jnp.int32), jnp.int32(valid),
-                self.key)
+                self.key, jnp.int32(req.lora_expert))
         return first
 
     def _round(self, k: int):
@@ -534,9 +819,9 @@ class ContinuousBatcher:
         for slot, st in self.live.items():
             tokens[slot] = st["pending"]
             seg[slot] = 1
-        self.pool, ys, self.key = self._decode_round_fn(k)(
+        self.pool, _, ys, self.key = self._decode_round_fn(k)(
             self.params, self.pool, jnp.asarray(tokens), jnp.asarray(seg),
-            self.key)
+            self.key, self.experts)
         ys = np.asarray(ys)                       # [k, slots] — ONE readback
         for slot in list(self.live):
             st = self.live[slot]
@@ -560,7 +845,7 @@ class ContinuousBatcher:
         (self.pool, self.hist, self.hist_len, _), ys = \
             self._spec_trip_fn()(
                 self.params, self.pool, self.hist, self.hist_len,
-                jnp.asarray(pending), jnp.asarray(live))
+                jnp.asarray(pending), jnp.asarray(live), self.experts)
         ys = np.asarray(ys)                   # [R, slots, K+2] — ONE readback
         for r in range(R):
             for slot in list(self.live):
@@ -593,7 +878,8 @@ class ContinuousBatcher:
             tokens[slot, 1:] = propose(st["history"], K)
             live[slot] = 1
         self.pool, out = self._spec_round_fn()(
-            self.params, self.pool, jnp.asarray(tokens), jnp.asarray(live))
+            self.params, self.pool, jnp.asarray(tokens),
+            jnp.asarray(live), self.experts)
         out = np.asarray(out)                     # [slots, K+2] — ONE readback
         for slot in list(self.live):
             st = self.live[slot]
@@ -616,13 +902,17 @@ class ContinuousBatcher:
         if hit_eos or len(gen) >= req.max_new:
             self.done[req.rid] = gen
             self.alloc.release(slot)
+            sh = self._slot_shared.pop(slot, None)
+            if sh:
+                self.pcache.release(sh)
             del self.live[slot]
             # point the dead slot at the null page and reset its length:
             # idle slots still participate in the fixed-shape decode step,
             # and their writes must not land on reallocated pages
-            pt, sl = self._set_slot(
+            pt, sl, self.experts = self._set_slot(
                 self.pool["page_table"], self.pool["seq_len"],
-                jnp.int32(slot), self._null_row)
+                self.experts, jnp.int32(slot), self._null_row,
+                jnp.int32(0), jnp.int32(0))
             self.pool = {**self.pool, "page_table": pt, "seq_len": sl}
             return True
         return False

@@ -457,13 +457,22 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
                   lora_expert=0):
     """Forward T tokens per slot against the paged pool, then append their
     K/V. T=1 is the decode step; T>1 is (chunked) prefill. Returns
-    (logits [B,T,vocab], new_pool)."""
+    (logits [B,T,vocab], new_pool).
+
+    `lora_expert` is a scalar (one adapter for the whole batch) OR a [B]
+    int array (per-SLOT adapter: multi-tenant task-LoRA serving via
+    lora.apply_routed's exact one-hot mixing)."""
     from procyon_tpu.inference import kv_pool
 
     if input_embeds is None:
         input_embeds = params["embed"][tokens].astype(cfg.dtype)
     x = input_embeds.astype(cfg.dtype)
     B, T, _ = x.shape
+    expert_oh = None
+    if (cfg.lora is not None and hasattr(lora_expert, "ndim")
+            and getattr(lora_expert, "ndim", 0) == 1):
+        expert_oh = jax.nn.one_hot(lora_expert, cfg.lora.num_experts,
+                                   dtype=cfg.dtype)               # [B, E]
     hd = cfg.head_dim
     start = pool["seq_len"][slot_ids]                       # [B]
     positions = start[:, None] + jnp.arange(T)[None, :]     # [B, T]
@@ -526,10 +535,16 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
         q_flat = _mm(h, lp["attn"]["wq"])
         v_flat = _mm(h, lp["attn"]["wv"])
         if cfg.lora is not None:
-            q_flat = lora_mod.apply(lp["lora_wq"], cfg.lora, h, q_flat,
-                                    expert_idx=lora_expert)
-            v_flat = lora_mod.apply(lp["lora_wv"], cfg.lora, h, v_flat,
-                                    expert_idx=lora_expert)
+            if expert_oh is not None:
+                q_flat = lora_mod.apply_routed(lp["lora_wq"], cfg.lora,
+                                               h, q_flat, expert_oh)
+                v_flat = lora_mod.apply_routed(lp["lora_wv"], cfg.lora,
+                                               h, v_flat, expert_oh)
+            else:
+                q_flat = lora_mod.apply(lp["lora_wq"], cfg.lora, h,
+                                        q_flat, expert_idx=lora_expert)
+                v_flat = lora_mod.apply(lp["lora_wv"], cfg.lora, h,
+                                        v_flat, expert_idx=lora_expert)
         if T == 1:
             q = apply_rotary_flat_decode(
                 q_flat, cos_q, sin_q, hd).reshape(B, T, cfg.n_heads, hd)

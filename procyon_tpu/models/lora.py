@@ -45,6 +45,28 @@ def apply(params, cfg: LoRAConfig, x, base_out, expert_idx=0):
     return base_out + cfg.scaling * ((x @ a) @ b)
 
 
+def apply_routed(params, cfg: LoRAConfig, x, base_out, expert_onehot):
+    """Per-ROW expert selection: base_out + s * (x @ A[e_b]) @ B[e_b] with
+    a different expert per batch row (multi-tenant adapter serving — the
+    reference can only switch adapters globally via module surgery,
+    mlora.py set_lora_group; here different task adapters share one
+    decode batch).
+
+    TPU-native selection: instead of gathering per-row [in_dim, rank]
+    weight slices (HBM gather traffic per layer per step), ALL E rank-r
+    paths are computed — the rank-r matmul is ~r*E/out_dim ≈ 1% of the
+    base matmul's FLOPs — and mixed with the one-hot [B, E], which XLA
+    fuses into the tiny einsums. One-hot mixing is EXACT in any dtype
+    (multiply by 1, add 0), so each row matches `apply(expert_idx=e_b)`.
+    expert_onehot [B, E]."""
+    oh = expert_onehot.astype(x.dtype)
+    xa = jnp.einsum("btd,edr->betr", x, params["A"])
+    xa = jnp.einsum("betr,be->btr", xa, oh)
+    db = jnp.einsum("btr,ero->beto", xa, params["B"])
+    delta = jnp.einsum("beto,be->bto", db, oh)
+    return base_out + cfg.scaling * delta
+
+
 def merged_delta(params, cfg: LoRAConfig):
     """Average-of-experts merge (mlora.py:417-431): mean_e A_e @ B_e * s."""
     deltas = jnp.einsum("eir,ero->eio", params["A"].astype(jnp.float32),

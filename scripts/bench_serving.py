@@ -100,20 +100,35 @@ def build_model(args):
 def make_workload(args, cfg, rng):
     """[(arrival_round, kind, prompt_len, payload)] — kind 'tok' or
     'fused'. Arrivals are uniform over the first --arrival_rounds rounds
-    (a burst-then-drain profile exercises admission + recycling)."""
+    (a burst-then-drain profile exercises admission + recycling).
+
+    --shared_prefix S prepends ONE S-token instruction prefix to every
+    token prompt and one S-row embedding prefix to every fused prompt —
+    the protein-serving shape (requests share the task's instruction
+    template; only the protein + question tail differs), which is what
+    --prefix_cache converts into skipped prefill + freed pool pages."""
+    shared_tok = (list(rng.integers(4, cfg.vocab_size,
+                                    args.shared_prefix))
+                  if args.shared_prefix else [])
+    shared_emb = (rng.standard_normal(
+        (args.shared_prefix, cfg.dim)).astype(np.float32) * 0.02
+        if args.shared_prefix else None)
     reqs = []
     for i in range(args.requests):
         plen = int(rng.integers(args.min_prompt, args.max_prompt + 1))
         arrival = int(rng.integers(0, args.arrival_rounds))
         if i % 2 == 0:
-            payload = list(rng.integers(4, cfg.vocab_size, plen))
+            payload = shared_tok + list(
+                rng.integers(4, cfg.vocab_size, plen))
             kind = "tok"
         else:
             # fused soft-token prompt: pre-assembled embeddings row
-            payload = rng.standard_normal((plen, cfg.dim)).astype(
+            tail = rng.standard_normal((plen, cfg.dim)).astype(
                 np.float32) * 0.02
+            payload = (np.concatenate([shared_emb, tail])
+                       if shared_emb is not None else tail)
             kind = "fused"
-        reqs.append((arrival, kind, plen, payload))
+        reqs.append((arrival, kind, plen + args.shared_prefix, payload))
     return sorted(reqs, key=lambda r: r[0])
 
 
@@ -187,6 +202,22 @@ def main():
                    help="chunked prefill: fixed [1, C] continuation "
                         "forwards instead of per-bucket jits (one "
                         "compile for all prompt lengths)")
+    p.add_argument("--prefill_batch", type=int, default=1,
+                   help="batched wave prefill: chunks of up to W "
+                        "admissions share one [W, C] forward (needs "
+                        "--prefill_chunk)")
+    p.add_argument("--async_rounds", action="store_true",
+                   help="pipelined decode rounds: dispatch round k+1 "
+                        "from the device pending array before round k's "
+                        "readback (greedy-exact)")
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="automatic prefix caching: page-aligned prompt "
+                        "blocks shared across requests by content hash "
+                        "(skipped prefill + freed pool pages)")
+    p.add_argument("--shared_prefix", type=int, default=0,
+                   help="prepend one shared S-token instruction prefix "
+                        "to every request (the workload prefix caching "
+                        "exploits)")
     p.add_argument("--spec_oracle", action="store_true",
                    help="draft with an oracle built from a plain greedy "
                         "pass (upper bound: what spec_k buys at ~100%% "
@@ -224,7 +255,7 @@ def main():
         page_bytes += 2 * args.page_size * cfg.n_kv_heads * 4  # f32 scales
     n_pages = max(int(args.pool_mb * 2 ** 20
                       / (page_bytes * cfg.n_layers)), 8)
-    max_pages = -(-(args.max_prompt + args.max_new
+    max_pages = -(-(args.max_prompt + args.shared_prefix + args.max_new
                     + args.step_quantum) // args.page_size)
     pcfg = kv_pool.PagedConfig(
         n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
@@ -237,7 +268,10 @@ def main():
         params, cfg, pcfg, temperature=args.temperature,
         step_quantum=args.step_quantum, seed=args.seed,
         spec_k=args.spec_k, spec_quantum=args.spec_quantum,
-        prefill_chunk=args.prefill_chunk or None)
+        prefill_chunk=args.prefill_chunk or None,
+        prefix_cache=args.prefix_cache,
+        prefill_batch=args.prefill_batch,
+        async_rounds=args.async_rounds)
     workload = make_workload(args, cfg, rng)
 
     draft_for = None
@@ -296,6 +330,8 @@ def main():
         "n_tokens": n_tokens,
         "kv_int8": bool(args.kv8),
         "prefill_chunk": args.prefill_chunk,
+        "prefill_batch": args.prefill_batch,
+        "async_rounds": bool(args.async_rounds),
         "spec_k": args.spec_k,
         **({"spec_accept_per_round": round(
             batcher.spec_stats["emitted"]
@@ -316,6 +352,17 @@ def main():
                 args.slots * (args.spec_k + 1)
                 * max(rounds * args.spec_quantum, 1) / wall, 1)}
            if args.spec_k else {}),
+        **({"prefix_cache": True,
+            "shared_prefix": args.shared_prefix,
+            "prefix_hit_tokens": batcher.pcache.stats["hit_tokens"],
+            "prefix_hit_rate": round(
+                batcher.pcache.stats["hit_tokens"]
+                / max(batcher.pcache.stats["hit_tokens"]
+                      + batcher.pcache.stats["miss_tokens"], 1), 3),
+            "prefix_pages_evicted": batcher.pcache.stats["evicted"]}
+           if args.prefix_cache else
+           {"shared_prefix": args.shared_prefix}
+           if args.shared_prefix else {}),
         "pool_mb_budget": args.pool_mb,
         "n_pages": n_pages,
         "concurrency_capacity_tokens": (n_pages - 1) * args.page_size,

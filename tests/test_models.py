@@ -264,6 +264,25 @@ class TestLoRA:
         o1 = lora.apply(p, cfg, x, base, expert_idx=1)
         assert not np.allclose(np.asarray(o0), np.asarray(o1))
 
+    def test_apply_routed_matches_per_row_apply(self, rng):
+        """apply_routed (one-hot-mixed per-ROW experts, multi-tenant
+        serving) must equal apply(expert_idx=e_b) row by row."""
+        cfg = lora.LoRAConfig(rank=4, num_experts=3, dtype=jnp.float32)
+        p = lora.init_params(jax.random.PRNGKey(1), cfg, 16, 8)
+        p["B"] = jnp.asarray(rng.standard_normal(p["B"].shape) * 0.2,
+                             jnp.float32)
+        x = jnp.asarray(rng.standard_normal((4, 5, 16)), jnp.float32)
+        base = jnp.asarray(rng.standard_normal((4, 5, 8)), jnp.float32)
+        idx = jnp.asarray([2, 0, 1, 2], jnp.int32)
+        routed = lora.apply_routed(p, cfg, x, base,
+                                   jax.nn.one_hot(idx, 3))
+        for b in range(4):
+            want = lora.apply(p, cfg, x[b:b + 1], base[b:b + 1],
+                              expert_idx=int(idx[b]))
+            np.testing.assert_allclose(np.asarray(routed[b:b + 1]),
+                                       np.asarray(want),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_router_losses_finite(self, rng):
         logits = jnp.asarray(rng.standard_normal((10, 4)), jnp.float32)
         assign = jnp.argmax(logits, -1)

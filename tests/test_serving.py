@@ -379,6 +379,382 @@ class TestChunkedPrefill:
         assert set(b._prefills) == {(4, False)}
 
 
+class TestAsyncRounds:
+    """async_rounds=True: round k+1 dispatches from the device pending
+    array before round k's readback. Greedy outputs must be exactly the
+    synchronous batcher's; finishes discovered one round late must never
+    leak tokens into a reused slot's new request."""
+
+    @pytest.mark.parametrize("quantum", [1, 3])
+    def test_async_equals_sync(self, model, quantum):
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=32)
+        rng = np.random.default_rng(103)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (6, 4, 9, 5, 7)]
+        lens = [4, 9, 3, 6, 5]
+
+        def run(async_rounds):
+            b = ContinuousBatcher(params, cfg, pcfg,
+                                  step_quantum=quantum,
+                                  async_rounds=async_rounds)
+            rids = [b.submit(p, max_new=m)
+                    for p, m in zip(prompts, lens)]
+            out = b.run()
+            return [out[r] for r in rids]
+
+        assert run(True) == run(False)
+
+    def test_async_churn_and_slot_reuse(self, model):
+        """Staggered arrivals through 1 slot: every reuse crosses an
+        in-flight garbage round; the rid snapshot must drop it."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=1, n_pages=24)
+        rng = np.random.default_rng(107)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (5, 8, 3, 6)]
+        lens = [3, 5, 7, 4]
+        solo = [_solo(cfg, params, pcfg, p, m)
+                for p, m in zip(prompts, lens)]
+        b = ContinuousBatcher(params, cfg, pcfg, step_quantum=2,
+                              async_rounds=True)
+        rids = {}
+        ticks = 0
+        while len(b.done) < 4 or any(i not in rids for i in range(4)):
+            for i in range(4):
+                if i * 2 == ticks and i not in rids:
+                    rids[i] = b.submit(prompts[i], max_new=lens[i])
+            b.tick()
+            ticks += 1
+            assert ticks < 300
+        for i, want in enumerate(solo):
+            assert b.done[rids[i]] == want, (i, b.done[rids[i]], want)
+        assert not b._inflight or not b.live
+
+    def test_async_composes_with_wave_and_prefix(self, model):
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=48)
+        rng = np.random.default_rng(109)
+        prefix = list(rng.integers(4, cfg.vocab_size, 9))
+        prompts = [prefix + list(rng.integers(4, cfg.vocab_size, t))
+                   for t in (4, 7, 3)]
+        solo = [_solo(cfg, params, pcfg, p, 5) for p in prompts]
+        b = ContinuousBatcher(params, cfg, pcfg, step_quantum=2,
+                              async_rounds=True, prefix_cache=True,
+                              prefill_chunk=4, prefill_batch=2)
+        rids = [b.submit(p, max_new=5) for p in prompts]
+        out = b.run()
+        assert [out[r] for r in rids] == solo
+
+    def test_async_rejects_temperature_and_spec(self, model):
+        cfg, params = model
+        pcfg = _pcfg(cfg)
+        with pytest.raises(ValueError):
+            ContinuousBatcher(params, cfg, pcfg, async_rounds=True,
+                              temperature=0.5)
+        with pytest.raises(ValueError):
+            ContinuousBatcher(params, cfg, pcfg, async_rounds=True,
+                              spec_k=2)
+
+
+class TestBatchedWavePrefill:
+    """prefill_batch=W: chunks of up to W different admissions share one
+    [W, C] forward (per-row slots/segs on the paged pool). Greedy tokens
+    must equal the sequential chunked path exactly."""
+
+    def test_wave_equals_sequential(self, model):
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=4, n_pages=64)
+        rng = np.random.default_rng(83)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (9, 3, 12, 5)]
+        lens = [5, 6, 4, 5]
+        e = rng.standard_normal((10, cfg.dim)).astype(np.float32) * 0.3
+
+        def run(batch):
+            b = ContinuousBatcher(params, cfg, pcfg, prefill_chunk=4,
+                                  prefill_batch=batch)
+            rids = [b.submit(p, max_new=m)
+                    for p, m in zip(prompts, lens)]
+            rids.append(b.submit_fused(e, max_new=5))
+            out = b.run()
+            return [out[r] for r in rids]
+
+        assert run(3) == run(1)
+
+    def test_wave_bounded_program_set(self, model):
+        """Wave prefill compiles at most log2(W)+1 width buckets per
+        prompt kind (powers of two up to prefill_batch) — small waves
+        must not pay a full-width padded forward."""
+        cfg, params = model
+        b = ContinuousBatcher(params, cfg, _pcfg(cfg, slots=4),
+                              prefill_chunk=4, prefill_batch=4)
+        rng = np.random.default_rng(89)
+        for n in (3, 9, 12, 2):
+            b.submit(list(rng.integers(4, cfg.vocab_size, n)), max_new=3)
+        b.run()
+        assert all(k[0] == "wave" and k[2] is False and k[1] in (1, 2, 4)
+                   for k in b._prefills), set(b._prefills)
+        # a lone late request must take the width-1 program
+        b.submit(list(rng.integers(4, cfg.vocab_size, 6)), max_new=3)
+        b.run()
+        assert ("wave", 1, False) in b._prefills
+
+    def test_wave_with_prefix_cache_same_wave_duplicates(self, model):
+        """Two identical prompts admitted in ONE wave: promotion is
+        deferred past the wave's dispatches, so the second request must
+        prefill privately (no read of not-yet-written pages) and still
+        match its solo output; a third request in a LATER wave hits."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=48)
+        rng = np.random.default_rng(97)
+        prompt = list(rng.integers(4, cfg.vocab_size, 11))
+        want = _solo(cfg, params, pcfg, prompt, 4)
+        b = ContinuousBatcher(params, cfg, pcfg, prefill_chunk=4,
+                              prefill_batch=2, prefix_cache=True)
+        r = [b.submit(prompt, max_new=4) for _ in range(3)]
+        out = b.run()
+        assert [out[x] for x in r] == [want] * 3
+        assert b.pcache.stats["hit_tokens"] > 0
+
+    def test_wave_with_experts_and_quantum(self, model):
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=3)
+        rng = np.random.default_rng(101)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (7, 5, 10)]
+        solo = [_solo(cfg, params, pcfg, p, 5) for p in prompts]
+        b = ContinuousBatcher(params, cfg, pcfg, prefill_chunk=4,
+                              prefill_batch=3, step_quantum=2)
+        rids = [b.submit(p, max_new=5) for p in prompts]
+        out = b.run()
+        for rid, want in zip(rids, solo):
+            assert out[rid] == want
+
+
+class TestPrefixCache:
+    """Automatic prefix caching (kv_pool.PrefixCache + serving wiring):
+    page-aligned prompt blocks are shared across requests by content
+    hash; prefill skips the shared region and shared pages cost no pool
+    budget. Correctness bar: cached outputs equal uncached outputs
+    exactly (CPU f32), page accounting never leaks, and sharing admits
+    workloads a private-only pool cannot."""
+
+    def _shared_prompts(self, cfg, rng, prefix_len=13, tails=(4, 7, 2, 5)):
+        prefix = list(rng.integers(4, cfg.vocab_size, prefix_len))
+        return [prefix + list(rng.integers(4, cfg.vocab_size, t))
+                for t in tails]
+
+    @pytest.mark.parametrize("chunk", [None, 4])
+    def test_cached_equals_uncached(self, model, chunk):
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=48)
+        rng = np.random.default_rng(41)
+        # page_size=4: a 13-token shared prefix = 3 shareable full blocks
+        prompts = self._shared_prompts(cfg, rng)
+        lens = [5, 3, 6, 4]
+        solo = [_solo(cfg, params, pcfg, p, m)
+                for p, m in zip(prompts, lens)]
+        b = ContinuousBatcher(params, cfg, pcfg, prefix_cache=True,
+                              prefill_chunk=chunk)
+        rids = [b.submit(p, max_new=m) for p, m in zip(prompts, lens)]
+        out = b.run()
+        for rid, want in zip(rids, solo):
+            assert out[rid] == want, (rid, out[rid], want)
+        # later requests must actually have hit the cached prefix
+        assert b.pcache.stats["hit_tokens"] >= 3 * 4 * (len(prompts) - 1)
+
+    def test_fused_prompts_share_prefix(self, model):
+        """Fused (soft-token) prompts sharing an instruction-prefix
+        embedding block reuse its pages; outputs match uncached runs."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=48)
+        rng = np.random.default_rng(43)
+        prefix = rng.standard_normal((9, cfg.dim)).astype(np.float32) * .3
+        tails = [rng.standard_normal((t, cfg.dim)).astype(np.float32) * .3
+                 for t in (3, 6, 2)]
+        embeds = [np.concatenate([prefix, t]) for t in tails]
+
+        def run(cache):
+            b = ContinuousBatcher(params, cfg, pcfg, prefix_cache=cache)
+            rids = [b.submit_fused(e, max_new=5) for e in embeds]
+            out = b.run()
+            return [out[r] for r in rids], b
+
+        want, _ = run(False)
+        got, b = run(True)
+        assert got == want
+        # 9-row prefix = 2 full pages shared by requests 2 and 3
+        assert b.pcache.stats["hit_tokens"] == 2 * 4 * 2
+
+    def test_kv8_pool_shares_scales(self, model):
+        """int8-KV pools share quantized pages AND their scale slabs
+        through the same page ids; cached == uncached."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=48, quantize_kv=True)
+        rng = np.random.default_rng(47)
+        prompts = self._shared_prompts(cfg, rng)
+        lens = [4, 5, 3, 6]
+        solo = [_solo(cfg, params, pcfg, p, m)
+                for p, m in zip(prompts, lens)]
+        b = ContinuousBatcher(params, cfg, pcfg, prefix_cache=True)
+        rids = [b.submit(p, max_new=m) for p, m in zip(prompts, lens)]
+        out = b.run()
+        for rid, want in zip(rids, solo):
+            assert out[rid] == want
+
+    def test_speculative_over_cached_prefix(self, model):
+        """spec_k decode on top of a cache-hit prefix stays exact (the
+        verify writes land past the prompt, never on shared pages)."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=48)
+        rng = np.random.default_rng(53)
+        prompts = self._shared_prompts(cfg, rng, tails=(4, 6))
+        lens = [6, 7]
+        solo = [_solo(cfg, params, pcfg, p, m)
+                for p, m in zip(prompts, lens)]
+        b = ContinuousBatcher(params, cfg, pcfg, prefix_cache=True,
+                              spec_k=3)
+        rids = [b.submit(p, max_new=m) for p, m in zip(prompts, lens)]
+        out = b.run()
+        for rid, want in zip(rids, solo):
+            assert out[rid] == want
+
+    def test_page_accounting_and_eviction(self, model):
+        """Soak through a small pool: cached pages evict LRU when
+        admission needs them, refcounts gate eviction, and after the
+        drain every page is either free or idle-cached (none leaked)."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=12, max_pages_per_seq=6)
+        rng = np.random.default_rng(59)
+        # three distinct 2-block prefixes x two tails each: the 12-page
+        # pool cannot hold all three prefix chains + live tails at once
+        outs = {}
+        b = ContinuousBatcher(params, cfg, pcfg, prefix_cache=True)
+        reqs = []
+        for _ in range(3):
+            prefix = list(rng.integers(4, cfg.vocab_size, 9))
+            for t in (3, 5):
+                p = prefix + list(rng.integers(4, cfg.vocab_size, t))
+                reqs.append((p, 4))
+        solo = [_solo(cfg, params, pcfg, p, m) for p, m in reqs]
+        rids = [b.submit(p, max_new=m) for p, m in reqs]
+        out = b.run()
+        for rid, want in zip(rids, solo):
+            assert out[rid] == want
+        assert not b.live and not b.queue
+        cached = len(b.pcache.meta)
+        assert all(m["ref"] == 0 for m in b.pcache.meta.values())
+        assert len(b.alloc.free) + cached == pcfg.n_pages - 1
+        assert b.pcache.stats["evicted"] > 0 or cached <= 6
+
+    def test_sharing_admits_what_private_cannot(self, model):
+        """Capacity win: a pool too small to hold two private copies of
+        a long prompt serves both when the prefix is shared."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=8, max_pages_per_seq=6)
+        rng = np.random.default_rng(61)
+        prompt = list(rng.integers(4, cfg.vocab_size, 17))  # 5 pages
+        # private: 2 x 5 pages > 7 free pages -> requests serialize
+        b0 = ContinuousBatcher(params, cfg, pcfg)
+        r0 = [b0.submit(prompt, max_new=3), b0.submit(prompt, max_new=3)]
+        b0._admit()
+        assert len(b0.live) == 1  # second waits for pages
+        out0 = b0.run()
+        # shared: 4 prefix pages + 1 private tail each -> both fit live
+        b1 = ContinuousBatcher(params, cfg, pcfg, prefix_cache=True)
+        r1 = [b1.submit(prompt, max_new=3), b1.submit(prompt, max_new=3)]
+        b1._admit()
+        assert len(b1.live) == 2  # concurrent under sharing
+        out1 = b1.run()
+        assert out1[r1[0]] == out1[r1[1]] == out0[r0[0]] == out0[r0[1]]
+
+
+class TestMultiTenantLoRA:
+    """Per-request task-LoRA adapter serving: requests tagged with
+    different expert-bank indices share one decode batch
+    (lora.apply_routed one-hot mixing — the reference can only switch
+    adapters globally, procyon/model/mlora.py set_lora_group)."""
+
+    @pytest.fixture(scope="class")
+    def lora_model(self):
+        from procyon_tpu.models import lora as lora_mod
+        cfg = L.tiny_config(
+            attn_backend="ref", remat=False,
+            lora=lora_mod.LoRAConfig(rank=4, num_experts=3,
+                                     dtype=jnp.float32))
+        params = L.init_params(jax.random.PRNGKey(5), cfg)
+        # distinct nonzero B per expert so adapters actually differ
+        rng = np.random.default_rng(67)
+        for name in ("lora_wq", "lora_wv"):
+            b = params["layers"][name]["B"]
+            params["layers"][name]["B"] = jnp.asarray(
+                rng.standard_normal(b.shape) * 0.1, b.dtype)
+        return cfg, params
+
+    def _solo_expert(self, cfg, params, pcfg, prompt, max_new, expert,
+                     **kw):
+        b = ContinuousBatcher(params, cfg, pcfg, **kw)
+        rid = b.submit(prompt, max_new=max_new, lora_expert=expert)
+        return b.run()[rid]
+
+    def test_mixed_experts_equal_solo(self, lora_model):
+        cfg, params = lora_model
+        pcfg = _pcfg(cfg, slots=4)
+        rng = np.random.default_rng(71)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (5, 7, 4, 6)]
+        experts = [0, 1, 2, 1]
+        solo = [self._solo_expert(cfg, params, pcfg, p, 5, e)
+                for p, e in zip(prompts, experts)]
+        b = ContinuousBatcher(params, cfg, pcfg)
+        rids = [b.submit(p, max_new=5, lora_expert=e)
+                for p, e in zip(prompts, experts)]
+        out = b.run()
+        for rid, want in zip(rids, solo):
+            assert out[rid] == want, (rid, out[rid], want)
+        # sanity: the adapters genuinely change behavior on this prompt
+        other = self._solo_expert(cfg, params, pcfg, prompts[0], 5, 2)
+        assert other != solo[0] or self._solo_expert(
+            cfg, params, pcfg, prompts[1], 5, 0) != solo[1]
+
+    def test_experts_with_quantum_and_spec(self, lora_model):
+        """Expert routing composes with K-step rounds and speculative
+        verify (the expert table rides every serving jit)."""
+        cfg, params = lora_model
+        pcfg = _pcfg(cfg, slots=3)
+        rng = np.random.default_rng(73)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (6, 4, 8)]
+        experts = [2, 0, 1]
+        solo = [self._solo_expert(cfg, params, pcfg, p, 6, e)
+                for p, e in zip(prompts, experts)]
+        for kw in ({"step_quantum": 3}, {"spec_k": 2},
+                   {"spec_k": 2, "spec_quantum": 2}):
+            b = ContinuousBatcher(params, cfg, pcfg, **kw)
+            rids = [b.submit(p, max_new=6, lora_expert=e)
+                    for p, e in zip(prompts, experts)]
+            out = b.run()
+            for rid, want in zip(rids, solo):
+                assert out[rid] == want, (kw, rid, out[rid], want)
+
+    def test_slot_reuse_resets_expert(self, lora_model):
+        """A slot freed by an expert-2 request must serve a later
+        expert-0 request with expert 0 (the finish path resets the
+        expert table)."""
+        cfg, params = lora_model
+        pcfg = _pcfg(cfg, slots=1)
+        rng = np.random.default_rng(79)
+        p1 = list(rng.integers(4, cfg.vocab_size, 5))
+        p2 = list(rng.integers(4, cfg.vocab_size, 7))
+        want = self._solo_expert(cfg, params, pcfg, p2, 5, 0)
+        b = ContinuousBatcher(params, cfg, pcfg)
+        r1 = b.submit(p1, max_new=4, lora_expert=2)
+        r2 = b.submit(p2, max_new=5, lora_expert=0)
+        out = b.run()
+        assert out[r2] == want and r1 in out
+
+
 class TestGenerateEndpoint:
     def test_concurrent_http_generate_equals_solo(self, model):
         """POST /generate from concurrent clients through one
