@@ -446,6 +446,18 @@ class TestAsyncRounds:
         out = b.run()
         assert [out[r] for r in rids] == solo
 
+    def test_async_eos_stops_early(self, model):
+        """EOS under async: the finish is discovered one round late but
+        the emitted tokens still stop AT the eos token."""
+        cfg, params = model
+        pcfg = _pcfg(cfg)
+        probe = _solo(cfg, params, pcfg, [5, 6, 7], 1)
+        b = ContinuousBatcher(params, cfg, pcfg, step_quantum=2,
+                              async_rounds=True)
+        rid = b.submit([5, 6, 7], max_new=16, eos_id=probe[0])
+        out = b.run()
+        assert out[rid][-1] == probe[0] and len(out[rid]) == 1
+
     def test_async_rejects_temperature_and_spec(self, model):
         cfg, params = model
         pcfg = _pcfg(cfg)
@@ -647,6 +659,30 @@ class TestPrefixCache:
         assert all(m["ref"] == 0 for m in b.pcache.meta.values())
         assert len(b.alloc.free) + cached == pcfg.n_pages - 1
         assert b.pcache.stats["evicted"] > 0 or cached <= 6
+
+    def test_prefix_cache_unit_eviction_order_and_orphans(self):
+        """PrefixCache bookkeeping without a model: LRU eviction skips
+        referenced pages, evicting a middle block orphans (but keeps
+        evictable) its chain tail, and stats count evictions."""
+        pc = KP.PrefixCache(page_size=4)
+        digests = [bytes([i]) * 16 for i in range(3)]
+        _, keys = pc.match(digests)
+        for k, page in zip(keys, (10, 11, 12)):
+            assert pc.promote(k, page)
+        pc.release([10, 11, 12])               # writer finished: refs 0
+        hit, _ = pc.match(digests)
+        assert hit == [10, 11, 12]
+        pc.acquire([10])                       # a live user of block 0
+        assert pc.evict(1) == [11]             # LRU zero-ref: middle
+        # chain now broken at block 1: match stops before it,
+        # the orphan tail (12) stays evictable
+        hit, _ = pc.match(digests)
+        assert hit == [10]
+        assert pc.n_evictable() == 1
+        assert pc.evict(5) == [12]             # 10 is referenced: kept
+        pc.release([10])
+        assert pc.evict(5) == [10]
+        assert pc.stats["evicted"] == 3 and not pc.chain and not pc.meta
 
     def test_sharing_admits_what_private_cannot(self, model):
         """Capacity win: a pool too small to hold two private copies of
