@@ -148,7 +148,7 @@ class ProcyonCaptionEval(AbstractCaptionModel):
                  batch_size: int = 8,
                  gen: Optional[generation.GenerationConfig] = None,
                  collator_cfg=None, use_paged: bool = False,
-                 page_size: int = 64):
+                 page_size: int = 64, shared_prefix: bool = False):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -160,9 +160,13 @@ class ProcyonCaptionEval(AbstractCaptionModel):
             pad_token_id=tokenizer.spec.pad_id)
         # paged beam decode (inference/paged_beam.py): beams share the
         # prompt's KV pages; identical tokens to the dense path — the
-        # memory/throughput pick for the flagship 8B captioner
+        # memory/throughput pick for the flagship 8B captioner.
+        # shared_prefix additionally dedups the batch's identical leading
+        # prompt blocks (one instruction template per caption batch):
+        # they are prefilled once and shared read-only across rows
         self.use_paged = use_paged
         self.page_size = page_size
+        self.shared_prefix = shared_prefix
         ccfg = collator_cfg or C.CollatorConfig(
             protein_embed_dim=cfg.encoder_out_dim)
         self.prompt = instruct.get_prompt(task, num_examples=1)
@@ -181,7 +185,8 @@ class ProcyonCaptionEval(AbstractCaptionModel):
 
                 tokens, _ = paged_beam_generate(
                     self.params, self.cfg, batch, self.gen,
-                    page_size=self.page_size)
+                    page_size=self.page_size,
+                    shared_prefix=self.shared_prefix)
                 tokens = np.asarray(tokens)[:, 0]
             elif self.gen.method == "beam":
                 tokens, _ = generation.generate_beam(

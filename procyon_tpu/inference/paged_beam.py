@@ -45,7 +45,8 @@ from procyon_tpu.models import llama, unified
 
 def plan_pool_config(cfg: llama.LlamaConfig, prompt_lens, beam: int,
                      max_new: int, *, page_size: int = 64,
-                     dtype=None, quantize_kv: bool = False
+                     dtype=None, quantize_kv: bool = False,
+                     n_prompt_pages: Optional[int] = None
                      ) -> kv_pool.PagedConfig:
     """Size a pool exactly for one beam run: shared prompt pages + TWO
     private generation pages per (beam slot, generation index) + the null
@@ -55,9 +56,13 @@ def plan_pool_config(cfg: llama.LlamaConfig, prompt_lens, beam: int,
     destinations are always disjoint sets — the COW is then a direct
     in-place page copy (ops/page_move.move_pages_direct) with no staging
     pass. Costs ~n_priv*slots extra pages (~5% of a caption-shaped pool)
-    and halves the per-step COW traffic."""
+    and halves the per-step COW traffic.
+
+    n_prompt_pages overrides the per-row prompt-page sum (the
+    shared-prefix planner passes the DEDUPED count)."""
     P = page_size
-    n_prompt = sum(-(-int(L) // P) for L in prompt_lens)
+    n_prompt = (n_prompt_pages if n_prompt_pages is not None
+                else sum(-(-int(L) // P) for L in prompt_lens))
     max_pages_per_seq = max(-(-(int(L) + max_new) // P)
                             for L in prompt_lens)
     n_priv = max(
@@ -78,6 +83,10 @@ class _BeamPlan:
     private: np.ndarray        # [slots, n_priv, 2] ping-pong private pages
     g0: np.ndarray             # [B] first generation page index
     lens: np.ndarray           # [B] prompt lengths
+    start: np.ndarray          # [B] shared-prefix tokens (prefill resumes
+    #                            here; 0 without shared_prefix)
+    wave: np.ndarray           # [B] prefill wave (a row's shared pages are
+    #                            all written by strictly earlier waves)
 
 
 def _plan_pages(pcfg: kv_pool.PagedConfig, prompt_lens, beam: int,
@@ -98,7 +107,60 @@ def _plan_pages(pcfg: kv_pool.PagedConfig, prompt_lens, beam: int,
         B * beam, n_priv, 2)
     assert private.max(initial=0) < pcfg.n_pages, "pool too small"
     return _BeamPlan(prompt_pages=prompt_pages, private=private, g0=g0,
-                     lens=np.asarray(prompt_lens, np.int64))
+                     lens=np.asarray(prompt_lens, np.int64),
+                     start=np.zeros((B,), np.int64),
+                     wave=np.zeros((B,), np.int64))
+
+
+def _shared_prompt_plan(prompt_lens, page_size: int, digests):
+    """Dedup full prompt blocks across batch rows (shared-prefix prompt
+    pages for the bulk-caption workload, the beam-path analogue of
+    kv_pool.PrefixCache: every caption batch reuses ONE instruction
+    template, so rows share their leading blocks until the first
+    protein-specific token).
+
+    digests[r] = kv_pool.PrefixCache.block_digests of row r's unpadded
+    prompt content (full blocks only; the block holding the last prompt
+    token is always row-private, so shared pages are write-once and the
+    partial-page beam copy-on-write never touches them). Blocks are
+    chained by a rolling hash — a block is only shared under an
+    identical full prefix, exactly the PrefixCache.match semantics.
+
+    Returns (prompt_pages [B, max_prompt_pages], start [B] shared tokens,
+    wave [B], n_prompt_pages): the first row to present a novel chain
+    node OWNS (and prefills) its page; later rows reference it and
+    prefill only their tail as a continuation forward, one wave after
+    their deepest dependency."""
+    P = page_size
+    B = len(prompt_lens)
+    max_prompt = max(-(-int(L) // P) for L in prompt_lens)
+    prompt_pages = np.zeros((B, max_prompt), np.int64)
+    start = np.zeros((B,), np.int64)
+    wave = np.zeros((B,), np.int64)
+    chain = {}                  # rolling node key -> (page id, writer wave)
+    nxt = 1                     # page 0 = null
+    for r, L in enumerate(prompt_lens):
+        L = int(L)
+        n = -(-L // P)
+        keys = kv_pool.PrefixCache(P)._node_keys(list(digests[r]))
+        hits = []
+        dep = -1
+        for k in keys:
+            ent = chain.get(k)
+            if ent is None:
+                break
+            hits.append(ent[0])
+            dep = max(dep, ent[1])
+        s = len(hits)
+        wave[r] = dep + 1
+        own = np.arange(nxt, nxt + (n - s))
+        nxt += n - s
+        for j in range(s, len(keys)):     # promote novel FULL blocks
+            chain[keys[j]] = (int(own[j - s]), int(wave[r]))
+        prompt_pages[r, :s] = hits
+        prompt_pages[r, s:n] = own
+        start[r] = s * P
+    return prompt_pages, start, wave, nxt - 1
 
 
 def _beam_tables(plan: _BeamPlan, pcfg: kv_pool.PagedConfig, beam: int):
@@ -199,12 +261,23 @@ def _copy_pages_kernel(pool, n_pages, src_pages, dst_pages, *,
 def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
                     gen: GenerationConfig, *, page_size: int = 64,
                     prefill_bucket: Optional[int] = None,
-                    quantize_kv: bool = False):
+                    quantize_kv: bool = False,
+                    shared_prefix: bool = False):
     """Prefill prompts ONCE (not once per beam) and lay out the beam pool.
 
     batch: canonical (soft-token) model-input batch, LEFT-padded like the
     dense beam path; rows are unpacked to their true lengths for paged
     prefill. Returns (state, ctx) for `paged_beam_step`.
+
+    shared_prefix=True dedups full prompt blocks ACROSS batch rows
+    (content-addressed, _shared_prompt_plan): bulk-caption batches reuse
+    one instruction template, so the shared leading blocks are written
+    once — later rows point their tables at them and prefill only their
+    private tail as a continuation forward (prefill compute AND pool
+    pages both drop by the shared amount). CPU-f32 tokens are unchanged;
+    on-chip bf16 the continuation is a different compiled program than
+    the full-batch prefill, so the usual cross-program argmax caveat
+    applies on random weights (CLAUDE.md).
     """
     input_ids = np.asarray(batch["input_ids"])
     seg = np.asarray(batch["seg_ids"])
@@ -212,28 +285,53 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
     beam = gen.beam_size
     lens = seg.sum(1).astype(np.int64)
 
-    pcfg = plan_pool_config(cfg.llama, lens, beam, gen.max_new_tokens,
-                            page_size=page_size, quantize_kv=quantize_kv)
-    plan = _plan_pages(pcfg, lens, beam, gen.max_new_tokens)
-    pool = kv_pool.init_pool(pcfg)
-
     # fused-prompt embeddings for the full (padded) batch, then per-row
     # unpadding: paged prefill is position-0-based (no left padding).
     # params go through jit ARGUMENTS everywhere (captured arrays embed as
     # HLO constants -> oversized compile requests on the remote runtime).
+    # Assembled BEFORE pool planning: the shared-prefix planner content-
+    # addresses the embedding blocks.
     assemble = jax.jit(lambda p, b: unified.assemble_input_embeds(p, cfg, b))
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
                  if k != "reference_indices" and v is not None
                  and not np.isscalar(v)}
     embeds = np.asarray(assemble(params, dev_batch), np.float32)
-    T = prefill_bucket or int(lens.max())
-    dense = np.zeros((B, T, embeds.shape[-1]), np.float32)
-    pseg = np.zeros((B, T), np.int32)
+    Lu = int(lens.max())
+    dense = np.zeros((B, Lu, embeds.shape[-1]), np.float32)
     for r in range(B):
-        valid = seg[r] > 0
-        n = int(lens[r])
-        dense[r, :n] = embeds[r, valid]
-        pseg[r, :n] = 1
+        dense[r, :int(lens[r])] = embeds[r, seg[r] > 0]
+
+    if shared_prefix:
+        digests = [kv_pool.PrefixCache.block_digests(
+            embeds=dense[r, :int(lens[r])], page_size=page_size)
+            for r in range(B)]
+        prompt_pages, start, wave, n_prompt = _shared_prompt_plan(
+            lens, page_size, digests)
+        pcfg = plan_pool_config(cfg.llama, lens, beam, gen.max_new_tokens,
+                                page_size=page_size,
+                                quantize_kv=quantize_kv,
+                                n_prompt_pages=n_prompt)
+        # private generation pages start right after the deduped prompt
+        # pages (same ping-pong pairing as _plan_pages)
+        P = page_size
+        n_priv = max((-(-(int(L) + gen.max_new_tokens) // P)) - int(L) // P
+                     for L in lens)
+        priv0 = 1 + n_prompt
+        private = np.arange(priv0, priv0 + B * beam * n_priv * 2).reshape(
+            B * beam, n_priv, 2)
+        assert private.max(initial=0) < pcfg.n_pages, "pool too small"
+        pp = np.zeros((B, pcfg.max_pages_per_seq), np.int64)
+        pp[:, :prompt_pages.shape[1]] = prompt_pages
+        plan = _BeamPlan(prompt_pages=pp, private=private,
+                         g0=(lens // P).astype(np.int64),
+                         lens=np.asarray(lens, np.int64),
+                         start=start, wave=wave)
+    else:
+        pcfg = plan_pool_config(cfg.llama, lens, beam, gen.max_new_tokens,
+                                page_size=page_size,
+                                quantize_kv=quantize_kv)
+        plan = _plan_pages(pcfg, lens, beam, gen.max_new_tokens)
+    pool = kv_pool.init_pool(pcfg)
 
     # prefill rows r=0..B-1 through slots 0..B-1 whose tables point at the
     # prompt pages (partial last page included - beams copy it right after)
@@ -244,16 +342,41 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
     pool = {**pool, "page_table": jnp.asarray(pt, jnp.int32)}
 
     @jax.jit
-    def prefill(p, pool, emb, pseg):
-        return llama.paged_forward(
-            p["llama"], cfg.llama, pool, pcfg,
-            jnp.arange(B, dtype=jnp.int32), input_embeds=emb,
+    def prefill(p, pool, emb, pseg, rows, starts):
+        # continuation semantics: positions derive from seq_len, so a
+        # row with a shared prefix resumes at its boundary and attends
+        # to the shared pages through its table
+        pool = {**pool,
+                "seq_len": pool["seq_len"].at[rows].set(starts)}
+        logits, pool = llama.paged_forward(
+            p["llama"], cfg.llama, pool, pcfg, rows, input_embeds=emb,
             seg_ids=pseg)
+        return logits, pool
 
-    logits, pool = prefill(params, pool,
-                           jnp.asarray(dense, cfg.llama.dtype),
-                           jnp.asarray(pseg))
-    last_logits = logits[np.arange(B), lens - 1]          # [B, V]
+    # prefill in dependency waves (ONE wave of all rows without sharing —
+    # the historical [B, T] program): a row runs only after the rows that
+    # wrote its shared pages
+    last_rows = [None] * B
+    for w in range(int(plan.wave.max()) + 1):
+        rows = np.nonzero(plan.wave == w)[0]
+        tails = (lens[rows] - plan.start[rows]).astype(np.int64)
+        T = int(tails.max())
+        if prefill_bucket and prefill_bucket >= T:
+            T = prefill_bucket
+        emb_w = np.zeros((len(rows), T, dense.shape[-1]), np.float32)
+        seg_w = np.zeros((len(rows), T), np.int32)
+        for i, r in enumerate(rows):
+            s, L = int(plan.start[r]), int(lens[r])
+            emb_w[i, :L - s] = dense[r, s:L]
+            seg_w[i, :L - s] = 1
+        logits, pool = prefill(
+            params, pool, jnp.asarray(emb_w, cfg.llama.dtype),
+            jnp.asarray(seg_w), jnp.asarray(rows, jnp.int32),
+            jnp.asarray(plan.start[rows], jnp.int32))
+        wl = logits[jnp.arange(len(rows)), jnp.asarray(tails) - 1]
+        for i, r in enumerate(rows):
+            last_rows[r] = wl[i]
+    last_logits = jnp.stack(last_rows)                    # [B, V]
 
     # beam tables + copy each prompt's partial page into every beam's
     # private page 0 (only when the prompt ends mid-page)
@@ -361,7 +484,8 @@ def paged_beam_step(params, cfg: unified.UnifiedConfig,
 def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
                         gen: GenerationConfig, *, page_size: int = 64,
                         host_loop: bool = False,
-                        quantize_kv: bool = False):
+                        quantize_kv: bool = False,
+                        shared_prefix: bool = False):
     """Full paged diverse-beam generation. Returns (tokens [B, beam, T],
     scores [B, beam]) ranked by score — same contract (and same tokens,
     tested) as generation.generate_beam.
@@ -369,10 +493,14 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
     host_loop=True steps from the host with one jitted step function (the
     serving/bench drive mode: one compile regardless of max_new_tokens);
     False runs a lax.fori_loop on device.
+
+    shared_prefix=True dedups identical leading prompt blocks across the
+    batch (see paged_beam_init) — the bulk-caption capacity/prefill win.
     """
     state, ctx = paged_beam_init(params, cfg, batch, gen,
                                  page_size=page_size,
-                                 quantize_kv=quantize_kv)
+                                 quantize_kv=quantize_kv,
+                                 shared_prefix=shared_prefix)
     pcfg, beam = ctx["pcfg"], ctx["beam"]
 
     # static config rides the closure; every ARRAY (params, page plan,

@@ -46,6 +46,12 @@ def main():
     p.add_argument("--kv8", action="store_true",
                    help="int8 KV pool (halves beam-pool memory and "
                         "gather traffic; paged only)")
+    p.add_argument("--shared_prefix", type=int, default=0,
+                   help="give every prompt an identical leading S tokens "
+                        "(the bulk-caption instruction template) and A/B "
+                        "paged_beam_init with/without shared-prefix page "
+                        "dedup: reports init seconds + pool pages both "
+                        "ways (paged only)")
     p.add_argument("--quality", action="store_true", default=True,
                    help="run the quantization quality probe (logit cosine "
                         "+ CE delta vs bf16) and gate the result")
@@ -107,9 +113,11 @@ def main():
 
     B, L = args.batch, args.prompt_len
     rng = np.random.default_rng(0)
+    ids = rng.integers(4, cfg.llama.vocab_size, (B, L))
+    if args.shared_prefix:
+        ids[:, :args.shared_prefix] = ids[0, :args.shared_prefix]
     batch = {
-        "input_ids": jnp.asarray(
-            rng.integers(4, cfg.llama.vocab_size, (B, L)), jnp.int32),
+        "input_ids": jnp.asarray(ids, jnp.int32),
         "seg_ids": jnp.ones((B, L), jnp.int32),
         "positions": jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32),
                                       (B, L)),
@@ -125,6 +133,29 @@ def main():
         from procyon_tpu.inference import paged_beam
 
         np_batch = {k: np.asarray(v) for k, v in batch.items()}
+        shared_ab = {}
+        if args.shared_prefix:
+            # A/B the init (prefill + page plan) with and without the
+            # shared-prefix dedup: the win is prefill compute (the shared
+            # region runs once, not B times) + pool pages. In-session
+            # back-to-back per the serving-bench methodology.
+            def timed_init(sp):
+                t0 = time.perf_counter()
+                st, cx = paged_beam.paged_beam_init(
+                    params, cfg, np_batch, gen, page_size=args.page_size,
+                    quantize_kv=args.kv8, shared_prefix=sp)
+                float(jnp.sum(st[2]))     # logp0 depends on the prefill
+                return time.perf_counter() - t0, cx["pcfg"].n_pages
+            for sp in (False, True):      # warm the jits, then measure
+                timed_init(sp)
+            t_priv, pg_priv = timed_init(False)
+            t_sh, pg_sh = timed_init(True)
+            shared_ab = {
+                "init_private_s": round(t_priv, 3),
+                "init_shared_s": round(t_sh, 3),
+                "pool_pages_private": pg_priv,
+                "pool_pages_shared": pg_sh,
+            }
         # size the pool ONCE so the step jit is shared across runs
         state0, ctx = paged_beam.paged_beam_init(
             params, cfg, np_batch, gen, page_size=args.page_size,
@@ -190,6 +221,9 @@ def main():
         "backend": "paged" if args.paged else "dense",
         "kv_int8": bool(args.kv8 and args.paged),
     }
+    if args.paged and args.shared_prefix:
+        result["shared_prefix_tokens"] = args.shared_prefix
+        result.update(shared_ab)
     gate_failed = False
     if args.quality and args.quant:
         # measured quality gate (VERDICT r2 weak #1): probe at a shape

@@ -36,6 +36,11 @@ def main():
     p.add_argument("--paged", action="store_true",
                    help="beam decode on the paged KV pool (shared prompt "
                         "pages; same tokens as the dense path)")
+    p.add_argument("--shared_prefix", action="store_true",
+                   help="dedup the batch's identical leading prompt "
+                        "blocks (one instruction template per batch): "
+                        "prefilled once, shared read-only across rows — "
+                        "needs --paged")
     args = p.parse_args()
 
     import jax
@@ -82,9 +87,12 @@ def main():
         eos_token_id=tokenizer.spec.eos_id,
         pad_token_id=tokenizer.spec.pad_id)
     lib = instruct.TaskLibrary()
+    if args.shared_prefix and not args.paged:
+        p.error("--shared_prefix needs --paged")
     model = ProcyonCaptionEval(
         params, cfg, tokenizer, store, lib.get(args.task),
         batch_size=args.batch_size, gen=gen, use_paged=args.paged,
+        shared_prefix=args.shared_prefix,
         collator_cfg=C.CollatorConfig(
             protein_embed_dim=cfg.encoder_out_dim))
     captions = model.get_predictions(ids)

@@ -180,6 +180,157 @@ class TestPagedCaptionEval:
         assert dense.get_predictions(ids) == paged.get_predictions(ids)
 
 
+def make_shared_batch(cfg, rng, tails, S=9, n_prot=3):
+    """Fused prompts sharing a common S-token instruction prefix, then a
+    per-row protein soft token + a random tail (the bulk-caption shape:
+    one instruction template across the batch)."""
+    B = len(tails)
+    lens = [S + 1 + t for t in tails]
+    L = max(lens)
+    ids = np.zeros((B, L), np.int32)
+    seg = np.zeros((B, L), np.int32)
+    pos = np.zeros((B, L), np.int32)
+    soft = np.full((B, L), -1, np.int32)
+    shared = np.asarray(rng.integers(4, cfg.llama.vocab_size, S), np.int32)
+    for b in range(B):
+        pad = L - lens[b]                       # left padding
+        ids[b, pad:pad + S] = shared
+        ids[b, pad + S + 1:] = rng.integers(4, cfg.llama.vocab_size,
+                                            tails[b])
+        seg[b, pad:] = 1
+        pos[b, pad:] = np.arange(lens[b])
+        soft[b, pad + S] = b % n_prot
+    return {
+        "input_ids": jnp.asarray(ids),
+        "seg_ids": jnp.asarray(seg),
+        "positions": jnp.asarray(pos),
+        "soft_map": jnp.asarray(soft),
+        "protein_embeds": jnp.asarray(
+            rng.standard_normal((n_prot, cfg.encoder_out_dim)),
+            jnp.float32),
+    }
+
+
+class TestSharedPrefix:
+    """Shared-prefix prompt pages across batch rows (bulk-caption win)."""
+
+    def test_plan_dedups_and_waves(self):
+        """Unit: identical leading digests alias to one set of pages; the
+        hitting row prefills one wave after the writer; divergence ends
+        the share; a fully-duplicated prompt still keeps a private tail
+        (block_digests excludes the final block by contract)."""
+        P = 4
+        d = [bytes([i]) * 16 for i in range(6)]
+        digests = [
+            [d[0], d[1], d[2]],          # row 0: writer, 16-token prompt
+            [d[0], d[1], d[2]],          # row 1: full hit (same prompt)
+            [d[0], d[1], d[5]],          # row 2: diverges at block 2
+            [d[3]],                      # row 3: nothing shared
+        ]
+        lens = [16, 16, 16, 8]
+        pages, start, wave, n_prompt = paged_beam._shared_prompt_plan(
+            lens, P, digests)
+        np.testing.assert_array_equal(start, [0, 12, 8, 0])
+        np.testing.assert_array_equal(wave, [0, 1, 1, 0])
+        # row 1 aliases row 0's first three pages, row 2 the first two
+        np.testing.assert_array_equal(pages[1][:3], pages[0][:3])
+        np.testing.assert_array_equal(pages[2][:2], pages[0][:2])
+        assert pages[2][2] != pages[0][2]
+        # every row keeps a private final page (write target for the
+        # partial-page COW); dedup saved exactly the aliased pages
+        assert pages[1][3] not in set(pages[0][:4])
+        unshared = sum(-(-L // P) for L in lens)
+        assert n_prompt == unshared - 5
+        assert len({p for row in pages for p in row if p}) == n_prompt
+
+    def test_tokens_match_dense_beam(self, rng):
+        """Sharing must not change a single token: shared_prefix paged
+        beam == dense diverse beam on a batch with a 9-token shared
+        instruction prefix and ragged tails."""
+        cfg, params = setup_model()
+        batch = make_shared_batch(cfg, rng, tails=[3, 6, 2], S=9)
+        gen = generation.GenerationConfig(
+            max_new_tokens=7, method="beam", beam_size=4,
+            beam_group_size=2, diversity_penalty=0.8, eos_token_id=2,
+            pad_token_id=0)
+        dense_toks, dense_scores = generation.generate_beam(
+            params, cfg, batch, gen)
+        toks, scores = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, shared_prefix=True)
+        np.testing.assert_array_equal(np.asarray(toks),
+                                      np.asarray(dense_toks))
+        np.testing.assert_allclose(np.asarray(scores),
+                                   np.asarray(dense_scores), atol=1e-4)
+
+    def test_pool_shrinks_and_tables_alias(self, rng):
+        cfg, params = setup_model()
+        batch = make_shared_batch(cfg, rng, tails=[3, 5, 4, 2], S=13)
+        gen = generation.GenerationConfig(
+            max_new_tokens=5, method="beam", beam_size=2,
+            beam_group_size=1, diversity_penalty=0.5, eos_token_id=2,
+            pad_token_id=0)
+        _, ctx_p = paged_beam.paged_beam_init(params, cfg, batch, gen,
+                                              page_size=4)
+        _, ctx_s = paged_beam.paged_beam_init(params, cfg, batch, gen,
+                                              page_size=4,
+                                              shared_prefix=True)
+        # 4 rows x 3 shared full blocks -> 9 pages saved
+        assert (ctx_p["pcfg"].n_pages - ctx_s["pcfg"].n_pages) == 9
+
+    def test_no_sharing_degenerates_to_private(self, rng):
+        """Distinct prompts: same pool size as the unshared planner and
+        one prefill wave."""
+        cfg, params = setup_model()
+        batch = make_soft_batch(cfg, rng, B=3, L=12)
+        gen = generation.GenerationConfig(
+            max_new_tokens=5, method="beam", beam_size=2,
+            beam_group_size=2, diversity_penalty=0.8, eos_token_id=2,
+            pad_token_id=0)
+        toks_p, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4)
+        toks_s, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, shared_prefix=True)
+        np.testing.assert_array_equal(np.asarray(toks_s),
+                                      np.asarray(toks_p))
+
+    def test_shared_prefix_quantized_pool(self, rng):
+        """Shared pages on an int8-KV pool: the continuation rows gather
+        + dequantize the writer's int8 blocks; tokens match the private
+        quantized run exactly (same quantization of the same bytes)."""
+        cfg, params = setup_model()
+        batch = make_shared_batch(cfg, rng, tails=[4, 3], S=9)
+        gen = generation.GenerationConfig(
+            max_new_tokens=6, method="beam", beam_size=2,
+            beam_group_size=1, diversity_penalty=0.5, eos_token_id=2,
+            pad_token_id=0)
+        toks_q, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, quantize_kv=True)
+        toks_qs, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, quantize_kv=True,
+            shared_prefix=True)
+        np.testing.assert_array_equal(np.asarray(toks_qs),
+                                      np.asarray(toks_q))
+
+    def test_duplicate_prompts_share_everything_but_tail(self, rng):
+        """Two IDENTICAL prompts (same protein): the second row shares
+        every full block and both rows produce identical captions."""
+        cfg, params = setup_model()
+        b1 = make_shared_batch(cfg, rng, tails=[4], S=9, n_prot=1)
+        batch = {k: (v if k == "protein_embeds"
+                     else jnp.concatenate([v, v]))
+                 for k, v in b1.items()}
+        gen = generation.GenerationConfig(
+            max_new_tokens=6, method="beam", beam_size=2,
+            beam_group_size=1, diversity_penalty=0.5, eos_token_id=2,
+            pad_token_id=0)
+        toks, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, shared_prefix=True)
+        toks = np.asarray(toks)
+        np.testing.assert_array_equal(toks[0], toks[1])
+        dense_toks, _ = generation.generate_beam(params, cfg, batch, gen)
+        np.testing.assert_array_equal(toks, np.asarray(dense_toks))
+
+
 def make_int8_pool(rng, n_pages=9, L=3, page=8, kd=128, kh=2):
     """A quantize_kv-shaped pool: int8 k/v codes + f32 per-(token, kv-head)
     scale slabs, flat layer-major page rows."""
