@@ -199,7 +199,7 @@ class PrefixCache:
         return [hashlib.blake2b(tag + block(j), digest_size=16).digest()
                 for j in range(n_full)]
 
-    def _node_keys(self, digests: List[bytes]) -> List[bytes]:
+    def node_keys(self, digests: List[bytes]) -> List[bytes]:
         keys, parent = [], self._ROOT
         for d in digests:
             parent = hashlib.blake2b(parent + d, digest_size=16).digest()
@@ -211,7 +211,7 @@ class PrefixCache:
         """Longest cached chain for these block digests. Returns
         (shared page ids, node keys for ALL blocks — hits then misses;
         the caller promotes the miss blocks after prefilling them)."""
-        keys = self._node_keys(digests)
+        keys = self.node_keys(digests)
         pages = []
         for k in keys:
             p = self.chain.get(k)

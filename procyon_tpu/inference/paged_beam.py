@@ -142,7 +142,7 @@ def _shared_prompt_plan(prompt_lens, page_size: int, digests):
     for r, L in enumerate(prompt_lens):
         L = int(L)
         n = -(-L // P)
-        keys = kv_pool.PrefixCache(P)._node_keys(list(digests[r]))
+        keys = kv_pool.PrefixCache(P).node_keys(list(digests[r]))
         hits = []
         dep = -1
         for k in keys:

@@ -405,6 +405,28 @@ class TestAsyncRounds:
 
         assert run(True) == run(False)
 
+    def test_async_equals_sync_kv8(self, model):
+        """Composition gap check: the pipelined-readback round over an
+        int8-quantized pool (quantize_kv dequant algebra inside the
+        decode program) must emit exactly the synchronous kv8 tokens —
+        same-program comparison, so exact even on quantized numerics."""
+        cfg, params = model
+        pcfg = _pcfg(cfg, slots=2, n_pages=32, quantize_kv=True)
+        rng = np.random.default_rng(104)
+        prompts = [list(rng.integers(4, cfg.vocab_size, n))
+                   for n in (6, 4, 9)]
+        lens = [5, 8, 4]
+
+        def run(async_rounds):
+            b = ContinuousBatcher(params, cfg, pcfg, step_quantum=2,
+                                  async_rounds=async_rounds)
+            rids = [b.submit(p, max_new=m)
+                    for p, m in zip(prompts, lens)]
+            out = b.run()
+            return [out[r] for r in rids]
+
+        assert run(True) == run(False)
+
     def test_async_churn_and_slot_reuse(self, model):
         """Staggered arrivals through 1 slot: every reuse crosses an
         in-flight garbage round; the rid snapshot must drop it."""
