@@ -161,12 +161,15 @@ class ProcyonCaptionEval(AbstractCaptionModel):
         # paged beam decode (inference/paged_beam.py): beams share the
         # prompt's KV pages; identical tokens to the dense path — the
         # memory/throughput pick for the flagship 8B captioner.
-        # shared_prefix additionally dedups the batch's identical leading
-        # prompt blocks (one instruction template per caption batch):
-        # they are prefilled once and shared read-only across rows
+        # shared_prefix additionally dedups identical leading prompt
+        # blocks (one instruction template per caption batch) — WITHIN a
+        # batch and, via a persistent BeamPoolSession, ACROSS batches:
+        # chunks 2..n hit the cached instruction KV (prefill skipped) and
+        # reuse chunk 1's compiled programs (one pool config per run)
         self.use_paged = use_paged
         self.page_size = page_size
         self.shared_prefix = shared_prefix
+        self._session = None
         ccfg = collator_cfg or C.CollatorConfig(
             protein_embed_dim=cfg.encoder_out_dim)
         self.prompt = instruct.get_prompt(task, num_examples=1)
@@ -178,16 +181,26 @@ class ProcyonCaptionEval(AbstractCaptionModel):
         for i in range(0, len(dataset), self.batch_size):
             chunk = list(dataset[i:i + self.batch_size])
             samples = [(a, 0) for a in chunk]
+            if self.gen.method == "beam" and self.use_paged \
+                    and self.shared_prefix:
+                # pad the ragged last chunk so every batch matches the
+                # session's fixed pool shape (pad captions are discarded;
+                # the repeated row is a full cache hit — near-free)
+                while len(samples) < self.batch_size:
+                    samples.append(samples[-1])
             batch = self.collator(samples, self.prompt, for_generation=True)
             if self.gen.method == "beam" and self.use_paged:
-                from procyon_tpu.inference.paged_beam import \
-                    paged_beam_generate
+                from procyon_tpu.inference import paged_beam
 
-                tokens, _ = paged_beam_generate(
+                if self.shared_prefix and self._session is None:
+                    self._session = paged_beam.BeamPoolSession(
+                        page_size=self.page_size)
+                tokens, _ = paged_beam.paged_beam_generate(
                     self.params, self.cfg, batch, self.gen,
                     page_size=self.page_size,
-                    shared_prefix=self.shared_prefix)
-                tokens = np.asarray(tokens)[:, 0]
+                    shared_prefix=self.shared_prefix,
+                    session=self._session)
+                tokens = np.asarray(tokens)[:len(chunk), 0]
             elif self.gen.method == "beam":
                 tokens, _ = generation.generate_beam(
                     self.params, self.cfg, _to_device(batch), self.gen)

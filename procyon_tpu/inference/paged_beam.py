@@ -112,7 +112,22 @@ def _plan_pages(pcfg: kv_pool.PagedConfig, prompt_lens, beam: int,
                      wave=np.zeros((B,), np.int64))
 
 
-def _shared_prompt_plan(prompt_lens, page_size: int, digests):
+@dataclasses.dataclass
+class _SharedPlan:
+    """Result of the shared-prefix dedup pass."""
+    pages: np.ndarray     # [B, max_prompt_pages] page id per prompt page
+    start: np.ndarray     # [B] shared tokens (prefill resumes here)
+    wave: np.ndarray      # [B] prefill dependency wave
+    n_prompt: int         # novel prompt pages allocated by THIS plan
+    novel: list           # [(chain node key, page id)] freshly-owned FULL
+    #                       blocks — a BeamPoolSession promotes them into
+    #                       its cross-batch cache once their prefill ran
+    hit_pages: list       # page ids hit in chain0 (cross-batch cache hits;
+    #                       the session refs them for the batch's lifetime)
+
+
+def _shared_prompt_plan(prompt_lens, page_size: int, digests, *,
+                        chain0=None, page_iter=None) -> _SharedPlan:
     """Dedup full prompt blocks across batch rows (shared-prefix prompt
     pages for the bulk-caption workload, the beam-path analogue of
     kv_pool.PrefixCache: every caption batch reuses ONE instruction
@@ -126,23 +141,39 @@ def _shared_prompt_plan(prompt_lens, page_size: int, digests):
     chained by a rolling hash — a block is only shared under an
     identical full prefix, exactly the PrefixCache.match semantics.
 
-    Returns (prompt_pages [B, max_prompt_pages], start [B] shared tokens,
-    wave [B], n_prompt_pages): the first row to present a novel chain
-    node OWNS (and prefills) its page; later rows reference it and
-    prefill only their tail as a continuation forward, one wave after
-    their deepest dependency."""
+    chain0: node key -> page id of blocks whose KV was ALREADY WRITTEN
+    in an earlier batch (a BeamPoolSession's PrefixCache.chain) — hits
+    there carry NO wave dependency (wave -1: nothing to wait for).
+    page_iter: callable n -> n fresh page ids for novel pages (a
+    session's free list); defaults to the 1-based arange of the
+    single-run exact pool layout.
+
+    The first row to present a novel chain node OWNS (and prefills) its
+    page; later rows reference it and prefill only their tail as a
+    continuation forward, one wave after their deepest dependency."""
     P = page_size
     B = len(prompt_lens)
     max_prompt = max(-(-int(L) // P) for L in prompt_lens)
     prompt_pages = np.zeros((B, max_prompt), np.int64)
     start = np.zeros((B,), np.int64)
     wave = np.zeros((B,), np.int64)
-    chain = {}                  # rolling node key -> (page id, writer wave)
-    nxt = 1                     # page 0 = null
+    # rolling node key -> (page id, writer wave); cross-batch pages were
+    # written before this batch dispatched anything: wave -1
+    chain = {k: (int(p), -1) for k, p in (chain0 or {}).items()}
+    nxt = [1]                   # page 0 = null
+    if page_iter is None:
+        def page_iter(n):
+            out = np.arange(nxt[0], nxt[0] + n)
+            nxt[0] += n
+            return out
+    n_novel = 0
+    novel = []
+    hit_pages = {}              # ordered de-dup of cross-batch hits
+    hasher = kv_pool.PrefixCache(P)
     for r, L in enumerate(prompt_lens):
         L = int(L)
         n = -(-L // P)
-        keys = kv_pool.PrefixCache(P).node_keys(list(digests[r]))
+        keys = hasher.node_keys(list(digests[r]))
         hits = []
         dep = -1
         for k in keys:
@@ -151,16 +182,183 @@ def _shared_prompt_plan(prompt_lens, page_size: int, digests):
                 break
             hits.append(ent[0])
             dep = max(dep, ent[1])
+            if ent[1] < 0:
+                hit_pages[ent[0]] = None
         s = len(hits)
         wave[r] = dep + 1
-        own = np.arange(nxt, nxt + (n - s))
-        nxt += n - s
+        own = np.asarray(page_iter(n - s), np.int64)
+        n_novel += n - s
         for j in range(s, len(keys)):     # promote novel FULL blocks
             chain[keys[j]] = (int(own[j - s]), int(wave[r]))
+            novel.append((keys[j], int(own[j - s])))
         prompt_pages[r, :s] = hits
         prompt_pages[r, s:n] = own
         start[r] = s * P
-    return prompt_pages, start, wave, nxt - 1
+    return _SharedPlan(pages=prompt_pages, start=start, wave=wave,
+                       n_prompt=n_novel, novel=novel,
+                       hit_pages=list(hit_pages))
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 0).bit_length() if n > 1 else 1
+
+
+class BeamPoolSession:
+    """Persistent cross-batch pool for bulk captioning.
+
+    paged_beam_init sizes an exact pool per batch, so (a) every batch
+    whose prompt lengths differ compiles a NEW program set (pool shapes
+    are static under jit — 20 s-10 min per variant over the remote
+    runtime), and (b) the instruction template's KV is re-prefilled every
+    batch even though `shared_prefix` dedups it within one. A session
+    fixes both: ONE PagedConfig (one compiled prefill/step set for the
+    whole run) and a kv_pool.PrefixCache whose entries OUTLIVE batches —
+    the template blocks written by batch k are cache hits for batches
+    k+1..n, which prefill only their protein-specific tails (wave 0,
+    no dependency: the bytes were written by an earlier batch's
+    dispatches). This is the caption-path analogue of the
+    ContinuousBatcher's automatic prefix caching (serving.py), with the
+    batch — not the slot — as the page-lifetime unit.
+
+    Page lifetime: novel pages are batch-owned (freed by end_batch);
+    full prompt blocks are PROMOTED into the cache at end_batch (their
+    lifetime becomes the cache's LRU/refcount); cache hits are ref'd for
+    the batch and released after. Zero-ref cached pages are evicted back
+    to the free list only when an allocation needs them. Generation and
+    partial-page COW writes land exclusively on batch-private pages, so
+    cached pages are write-once (same safety argument as the per-batch
+    shared-prefix plan).
+
+    Usage: pass `session=` to paged_beam_generate (ProcyonCaptionEval
+    does this when shared_prefix=True); every batch must present the
+    same batch_size x beam_size (pad the last chunk — the eval wrapper
+    does). Exactness: a hit reuses the BYTES an earlier batch's prefill
+    wrote at the same absolute positions; CPU-f32 tokens are unchanged
+    (tested), on-chip bf16 the usual cross-program caveat applies on
+    random weights (CLAUDE.md)."""
+
+    def __init__(self, *, page_size: int = 64, quantize_kv: bool = False,
+                 cache_pages: Optional[int] = None):
+        self.page_size = page_size
+        self.quantize_kv = quantize_kv
+        self.cache_pages = cache_pages
+        self.pcfg: Optional[kv_pool.PagedConfig] = None
+        self.pool = None
+        self.cache = kv_pool.PrefixCache(page_size)
+        self.free: Optional[list] = None
+        self.n_priv = 0
+        self._beam = 0
+        self._max_new = 0
+        self._max_prompt = 0
+        self._prefill = None       # jitted once: one program set per run
+        self._step = None
+        self._step_gen = None      # the GenerationConfig _step closed over
+
+    # -- sizing -----------------------------------------------------------
+    def _build(self, lcfg: llama.LlamaConfig, B: int, beam: int,
+               max_prompt: int, max_new: int):
+        P = self.page_size
+        prompt_rows = -(-max_prompt // P)
+        # worst-case private pages per beam slot over any prompt length
+        n_priv = -(-max_new // P) + 1
+        cache_budget = (self.cache_pages if self.cache_pages is not None
+                        else 2 * prompt_rows)
+        n_pages = (1 + cache_budget + B * prompt_rows
+                   + B * beam * n_priv * 2)
+        self.pcfg = kv_pool.PagedConfig(
+            n_layers=lcfg.n_layers, n_kv_heads=lcfg.n_kv_heads,
+            head_dim=lcfg.head_dim, page_size=P, n_pages=n_pages,
+            max_pages_per_seq=-(-(max_prompt + max_new) // P),
+            slots=B * beam, dtype=lcfg.dtype,
+            quantize_kv=self.quantize_kv)
+        self.pool = kv_pool.init_pool(self.pcfg)
+        self.free = list(range(n_pages - 1, 0, -1))
+        self.n_priv = n_priv
+        self._beam, self._max_new, self._max_prompt = beam, max_new, \
+            max_prompt
+
+    def _take(self, n: int) -> np.ndarray:
+        if n > len(self.free):
+            self.free.extend(self.cache.evict(n - len(self.free)))
+        if n > len(self.free):
+            raise MemoryError(
+                f"beam session pool exhausted: need {n} pages, "
+                f"{len(self.free)} free and no evictable cache entries")
+        return np.asarray([self.free.pop() for _ in range(n)], np.int64)
+
+    # -- per-batch plan -----------------------------------------------------
+    def begin_batch(self, lcfg: llama.LlamaConfig, lens, digests,
+                    beam: int, max_new: int, max_prompt_bound: int):
+        if self.pcfg is None:
+            self._build(lcfg, len(lens), beam, max_prompt_bound, max_new)
+        B = len(lens)
+        if B * beam != self.pcfg.slots or beam != self._beam:
+            raise ValueError(
+                f"beam session is shaped for {self.pcfg.slots // self._beam}"
+                f" x beam {self._beam}; got {B} x {beam} (pad the last "
+                "chunk to the session batch size)")
+        if max_new > self._max_new or int(max(lens)) > self._max_prompt:
+            raise ValueError("prompt/generation length exceeds the "
+                             "session's first-batch bound")
+        taken: list = []
+
+        def page_iter(n):
+            pages = self._take(n)
+            taken.extend(int(p) for p in pages)
+            return pages
+
+        # Pin EVERY cached page while the plan reads the chain: _take's
+        # LRU eviction must not reclaim a zero-ref page an earlier row of
+        # this very plan already hit (refs for the batch are acquired
+        # only once the plan is complete). Private pages are taken after
+        # unpinning, when evicting non-hit cold entries is safe again.
+        pinned = list(self.cache.meta)
+        self.cache.acquire(pinned)
+        try:
+            plan = _shared_prompt_plan(lens, self.page_size, digests,
+                                       chain0=self.cache.chain,
+                                       page_iter=page_iter)
+            self.cache.acquire(plan.hit_pages)
+        except MemoryError:
+            self.free.extend(sorted(set(taken), reverse=True))
+            raise
+        finally:
+            self.cache.release(pinned)
+        try:
+            priv = self._take(B * beam * self.n_priv * 2)
+        except MemoryError:
+            self.cache.release(plan.hit_pages)
+            self.free.extend(sorted(set(taken), reverse=True))
+            raise
+        taken.extend(int(p) for p in priv)
+        private = priv.reshape(B * beam, self.n_priv, 2)
+        pp = np.zeros((B, self.pcfg.max_pages_per_seq), np.int64)
+        pp[:, :plan.pages.shape[1]] = plan.pages
+        lens64 = np.asarray(lens, np.int64)
+        beam_plan = _BeamPlan(
+            prompt_pages=pp, private=private,
+            g0=lens64 // self.page_size, lens=lens64,
+            start=plan.start, wave=plan.wave)
+        rec = {"taken": set(taken), "novel": plan.novel,
+               "hits": plan.hit_pages}
+        return beam_plan, rec
+
+    def end_batch(self, rec, pool) -> None:
+        """Carry the batch's KV writes forward, promote its novel full
+        prompt blocks into the cross-batch cache, release its refs, and
+        free its remaining pages."""
+        self.pool = {**self.pool,
+                     **{k: pool[k] for k in _kv_arrays(pool)}}
+        promoted = []
+        for key, page in rec["novel"]:
+            if self.cache.promote(key, page):
+                rec["taken"].discard(page)   # lifetime -> cache
+                promoted.append(page)
+        # promote() refs the page for the prefilling batch; that batch
+        # is done now — pages stay cached at ref 0 (evictable, reusable)
+        self.cache.release(promoted)
+        self.cache.release(rec["hits"])
+        self.free.extend(sorted(rec["taken"], reverse=True))
 
 
 def _beam_tables(plan: _BeamPlan, pcfg: kv_pool.PagedConfig, beam: int):
@@ -199,6 +397,10 @@ def _copy_pages(pool, n_pages, src_pages, dst_pages):
         return a4.at[:, dst_pages].set(a4[:, src_pages]).reshape(arr.shape)
 
     return {**pool, **{k: move(pool[k]) for k in _kv_arrays(pool)}}
+
+
+# module-level wrapper: callers across batches share one jit cache
+_copy_pages_jit = jax.jit(_copy_pages, static_argnums=1)
 
 
 def _copy_pages_matmul(pool, n_pages, src_pages, dst_pages):
@@ -262,7 +464,8 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
                     gen: GenerationConfig, *, page_size: int = 64,
                     prefill_bucket: Optional[int] = None,
                     quantize_kv: bool = False,
-                    shared_prefix: bool = False):
+                    shared_prefix: bool = False,
+                    session: Optional[BeamPoolSession] = None):
     """Prefill prompts ONCE (not once per beam) and lay out the beam pool.
 
     batch: canonical (soft-token) model-input batch, LEFT-padded like the
@@ -278,12 +481,21 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
     on-chip bf16 the continuation is a different compiled program than
     the full-batch prefill, so the usual cross-program argmax caveat
     applies on random weights (CLAUDE.md).
+
+    session= extends the dedup ACROSS batches on a persistent fixed-size
+    pool (see BeamPoolSession): cache-hit blocks skip prefill entirely,
+    and every batch reuses one compiled program set. Implies
+    shared_prefix semantics; page_size/quantize_kv come from the session.
     """
     input_ids = np.asarray(batch["input_ids"])
     seg = np.asarray(batch["seg_ids"])
     B, Lmax = input_ids.shape
     beam = gen.beam_size
     lens = seg.sum(1).astype(np.int64)
+    if session is not None:
+        page_size = session.page_size
+        quantize_kv = session.quantize_kv
+        shared_prefix = True
 
     # fused-prompt embeddings for the full (padded) batch, then per-row
     # unpadding: paged prefill is position-0-based (no left padding).
@@ -301,37 +513,48 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
     for r in range(B):
         dense[r, :int(lens[r])] = embeds[r, seg[r] > 0]
 
+    rec = None
     if shared_prefix:
         digests = [kv_pool.PrefixCache.block_digests(
             embeds=dense[r, :int(lens[r])], page_size=page_size)
             for r in range(B)]
-        prompt_pages, start, wave, n_prompt = _shared_prompt_plan(
-            lens, page_size, digests)
-        pcfg = plan_pool_config(cfg.llama, lens, beam, gen.max_new_tokens,
-                                page_size=page_size,
-                                quantize_kv=quantize_kv,
-                                n_prompt_pages=n_prompt)
-        # private generation pages start right after the deduped prompt
-        # pages (same ping-pong pairing as _plan_pages)
-        P = page_size
-        n_priv = max((-(-(int(L) + gen.max_new_tokens) // P)) - int(L) // P
-                     for L in lens)
-        priv0 = 1 + n_prompt
-        private = np.arange(priv0, priv0 + B * beam * n_priv * 2).reshape(
-            B * beam, n_priv, 2)
-        assert private.max(initial=0) < pcfg.n_pages, "pool too small"
-        pp = np.zeros((B, pcfg.max_pages_per_seq), np.int64)
-        pp[:, :prompt_pages.shape[1]] = prompt_pages
-        plan = _BeamPlan(prompt_pages=pp, private=private,
-                         g0=(lens // P).astype(np.int64),
-                         lens=np.asarray(lens, np.int64),
-                         start=start, wave=wave)
+        if session is not None:
+            plan, rec = session.begin_batch(
+                cfg.llama, lens, digests, beam, gen.max_new_tokens,
+                max_prompt_bound=Lmax)
+            pcfg = session.pcfg
+        else:
+            splan = _shared_prompt_plan(lens, page_size, digests)
+            pcfg = plan_pool_config(cfg.llama, lens, beam,
+                                    gen.max_new_tokens,
+                                    page_size=page_size,
+                                    quantize_kv=quantize_kv,
+                                    n_prompt_pages=splan.n_prompt)
+            # private generation pages start right after the deduped
+            # prompt pages (same ping-pong pairing as _plan_pages)
+            P = page_size
+            n_priv = max((-(-(int(L) + gen.max_new_tokens) // P))
+                         - int(L) // P for L in lens)
+            priv0 = 1 + splan.n_prompt
+            private = np.arange(
+                priv0, priv0 + B * beam * n_priv * 2).reshape(
+                B * beam, n_priv, 2)
+            assert private.max(initial=0) < pcfg.n_pages, "pool too small"
+            pp = np.zeros((B, pcfg.max_pages_per_seq), np.int64)
+            pp[:, :splan.pages.shape[1]] = splan.pages
+            plan = _BeamPlan(prompt_pages=pp, private=private,
+                             g0=(lens // P).astype(np.int64),
+                             lens=np.asarray(lens, np.int64),
+                             start=splan.start, wave=splan.wave)
     else:
         pcfg = plan_pool_config(cfg.llama, lens, beam, gen.max_new_tokens,
                                 page_size=page_size,
                                 quantize_kv=quantize_kv)
         plan = _plan_pages(pcfg, lens, beam, gen.max_new_tokens)
-    pool = kv_pool.init_pool(pcfg)
+    # a session's pool CARRIES the cached pages' bytes across batches;
+    # single-run pools start zeroed
+    pool = (dict(session.pool) if session is not None
+            else kv_pool.init_pool(pcfg))
 
     # prefill rows r=0..B-1 through slots 0..B-1 whose tables point at the
     # prompt pages (partial last page included - beams copy it right after)
@@ -341,8 +564,7 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
     # copied into each beam's private page below
     pool = {**pool, "page_table": jnp.asarray(pt, jnp.int32)}
 
-    @jax.jit
-    def prefill(p, pool, emb, pseg, rows, starts):
+    def _prefill_fn(p, pool, emb, pseg, rows, starts):
         # continuation semantics: positions derive from seq_len, so a
         # row with a shared prefix resumes at its boundary and attends
         # to the shared pages through its table
@@ -352,6 +574,16 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
             p["llama"], cfg.llama, pool, pcfg, rows, input_embeds=emb,
             seg_ids=pseg)
         return logits, pool
+
+    if session is not None:
+        # one jit wrapper per SESSION (not per batch): with the fixed
+        # pcfg and pow2-bucketed tails below, every batch after the
+        # first hits already-compiled programs
+        if session._prefill is None:
+            session._prefill = jax.jit(_prefill_fn)
+        prefill = session._prefill
+    else:
+        prefill = jax.jit(_prefill_fn)
 
     # prefill in dependency waves (ONE wave of all rows without sharing —
     # the historical [B, T] program): a row runs only after the rows that
@@ -363,6 +595,8 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
         T = int(tails.max())
         if prefill_bucket and prefill_bucket >= T:
             T = prefill_bucket
+        elif session is not None:
+            T = _next_pow2(T)  # bounded program set across batches
         emb_w = np.zeros((len(rows), T, dense.shape[-1]), np.float32)
         seg_w = np.zeros((len(rows), T), np.int32)
         for i, r in enumerate(rows):
@@ -389,7 +623,7 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
                 src.append(plan.prompt_pages[r, plan.g0[r]])
                 dst.append(plan.private[s, 0, 1])  # phase 1 = "step -1"
     if src:
-        pool = jax.jit(_copy_pages, static_argnums=1)(
+        pool = _copy_pages_jit(
             pool, pcfg.n_pages, jnp.asarray(src, jnp.int32),
             jnp.asarray(dst, jnp.int32))
     seq_len = np.repeat(lens, beam)
@@ -408,7 +642,8 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
     state = (tokens0, pool, logp0, scores0, done0)
     ctx = {"pcfg": pcfg, "beam": beam, "B": B,
            "private": jnp.asarray(plan.private, jnp.int32),
-           "g0": jnp.asarray(plan.g0, jnp.int32)}
+           "g0": jnp.asarray(plan.g0, jnp.int32),
+           "start": plan.start, "wave": plan.wave, "session_rec": rec}
     return state, ctx
 
 
@@ -485,7 +720,8 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
                         gen: GenerationConfig, *, page_size: int = 64,
                         host_loop: bool = False,
                         quantize_kv: bool = False,
-                        shared_prefix: bool = False):
+                        shared_prefix: bool = False,
+                        session: Optional[BeamPoolSession] = None):
     """Full paged diverse-beam generation. Returns (tokens [B, beam, T],
     scores [B, beam]) ranked by score — same contract (and same tokens,
     tested) as generation.generate_beam.
@@ -496,11 +732,15 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
 
     shared_prefix=True dedups identical leading prompt blocks across the
     batch (see paged_beam_init) — the bulk-caption capacity/prefill win.
+    session= (a BeamPoolSession) extends the dedup across batches on a
+    persistent pool: later batches skip the cached instruction prefill
+    and reuse the first batch's compiled programs.
     """
     state, ctx = paged_beam_init(params, cfg, batch, gen,
                                  page_size=page_size,
                                  quantize_kv=quantize_kv,
-                                 shared_prefix=shared_prefix)
+                                 shared_prefix=shared_prefix,
+                                 session=session)
     pcfg, beam = ctx["pcfg"], ctx["beam"]
 
     # static config rides the closure; every ARRAY (params, page plan,
@@ -509,7 +749,16 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
         return paged_beam_step(p, cfg, gen, pcfg, beam, private, g0,
                                state, t)
 
-    if host_loop:
+    if session is not None:
+        # one step program for the whole session (fixed pcfg/slots);
+        # re-wrapped if the GenerationConfig changes (it is closed over)
+        if session._step is None or session._step_gen != gen:
+            session._step = jax.jit(_step)
+            session._step_gen = gen
+        jstep = session._step
+        for t in range(gen.max_new_tokens):
+            state = jstep(params, ctx["private"], ctx["g0"], state, t)
+    elif host_loop:
         jstep = jax.jit(_step)
         for t in range(gen.max_new_tokens):
             state = jstep(params, ctx["private"], ctx["g0"], state, t)
@@ -521,7 +770,9 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
                 lambda t, s: _step(p, private, g0, s, t), state)
 
         state = _run(params, ctx["private"], ctx["g0"], state)
-    tokens, _, _, scores, _ = state
+    tokens, pool_f, _, scores, _ = state
+    if session is not None:
+        session.end_batch(ctx["session_rec"], pool_f)
     order = jnp.argsort(-scores, axis=1)
     tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
     return tokens, jnp.take_along_axis(scores, order, axis=1)

@@ -150,9 +150,39 @@ def main():
                 timed_init(sp)
             t_priv, pg_priv = timed_init(False)
             t_sh, pg_sh = timed_init(True)
+
+            # cross-batch session (BeamPoolSession): each "bulk batch"
+            # draws NEW protein tails over the SAME instruction prefix;
+            # by batch 3 the template blocks are cache hits and every
+            # program is compiled — the steady-state init of a bulk run
+            def session_batch(seed):
+                ids_k = ids.copy()
+                r_k = np.random.default_rng(1000 + seed)
+                ids_k[:, args.shared_prefix:] = r_k.integers(
+                    4, cfg.llama.vocab_size,
+                    (B, L - args.shared_prefix))
+                return {**np_batch, "input_ids": ids_k.astype(np.int32)}
+
+            sess = paged_beam.BeamPoolSession(
+                page_size=args.page_size, quantize_kv=args.kv8)
+
+            def timed_session_init(seed):
+                nb = session_batch(seed)
+                t0 = time.perf_counter()
+                st, cx = paged_beam.paged_beam_init(
+                    params, cfg, nb, gen, session=sess)
+                float(jnp.sum(st[2]))
+                dt = time.perf_counter() - t0
+                sess.end_batch(cx["session_rec"], st[1])
+                return dt
+            for k in range(2):            # compiles + cache population
+                timed_session_init(k)
+            t_sess = timed_session_init(2)
+            del sess
             shared_ab = {
                 "init_private_s": round(t_priv, 3),
                 "init_shared_s": round(t_sh, 3),
+                "init_session_steady_s": round(t_sess, 3),
                 "pool_pages_private": pg_priv,
                 "pool_pages_shared": pg_sh,
             }

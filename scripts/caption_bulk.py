@@ -37,9 +37,11 @@ def main():
                    help="beam decode on the paged KV pool (shared prompt "
                         "pages; same tokens as the dense path)")
     p.add_argument("--shared_prefix", action="store_true",
-                   help="dedup the batch's identical leading prompt "
-                        "blocks (one instruction template per batch): "
-                        "prefilled once, shared read-only across rows — "
+                   help="dedup identical leading prompt blocks — within "
+                        "a batch AND across batches (a persistent "
+                        "BeamPoolSession caches the instruction "
+                        "template's KV: batches 2..n skip its prefill "
+                        "and reuse batch 1's compiled programs) — "
                         "needs --paged")
     args = p.parse_args()
 

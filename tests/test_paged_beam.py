@@ -180,18 +180,24 @@ class TestPagedCaptionEval:
         assert dense.get_predictions(ids) == paged.get_predictions(ids)
 
 
-def make_shared_batch(cfg, rng, tails, S=9, n_prot=3):
+def make_shared_batch(cfg, rng, tails, S=9, n_prot=3, shared=None,
+                      L_pad=None):
     """Fused prompts sharing a common S-token instruction prefix, then a
     per-row protein soft token + a random tail (the bulk-caption shape:
-    one instruction template across the batch)."""
+    one instruction template across the batch). Pass the same `shared`
+    ids to build MULTIPLE batches over one instruction template
+    (cross-batch session tests); L_pad forces the padded width (a
+    session requires every batch at the first batch's width bound)."""
     B = len(tails)
     lens = [S + 1 + t for t in tails]
-    L = max(lens)
+    L = L_pad or max(lens)
     ids = np.zeros((B, L), np.int32)
     seg = np.zeros((B, L), np.int32)
     pos = np.zeros((B, L), np.int32)
     soft = np.full((B, L), -1, np.int32)
-    shared = np.asarray(rng.integers(4, cfg.llama.vocab_size, S), np.int32)
+    if shared is None:
+        shared = np.asarray(rng.integers(4, cfg.llama.vocab_size, S),
+                            np.int32)
     for b in range(B):
         pad = L - lens[b]                       # left padding
         ids[b, pad:pad + S] = shared
@@ -228,8 +234,9 @@ class TestSharedPrefix:
             [d[3]],                      # row 3: nothing shared
         ]
         lens = [16, 16, 16, 8]
-        pages, start, wave, n_prompt = paged_beam._shared_prompt_plan(
-            lens, P, digests)
+        plan = paged_beam._shared_prompt_plan(lens, P, digests)
+        pages, start, wave, n_prompt = (plan.pages, plan.start,
+                                        plan.wave, plan.n_prompt)
         np.testing.assert_array_equal(start, [0, 12, 8, 0])
         np.testing.assert_array_equal(wave, [0, 1, 1, 0])
         # row 1 aliases row 0's first three pages, row 2 the first two
@@ -329,6 +336,136 @@ class TestSharedPrefix:
         np.testing.assert_array_equal(toks[0], toks[1])
         dense_toks, _ = generation.generate_beam(params, cfg, batch, gen)
         np.testing.assert_array_equal(toks, np.asarray(dense_toks))
+
+
+class TestBeamSession:
+    """BeamPoolSession: the cross-batch persistent pool — batches after
+    the first hit the cached instruction KV (prefill skipped) on one
+    fixed PagedConfig (one compiled program set per run)."""
+
+    def _gen(self, max_new=6, beam=2):
+        return generation.GenerationConfig(
+            max_new_tokens=max_new, method="beam", beam_size=beam,
+            beam_group_size=1, diversity_penalty=0.5, eos_token_id=2,
+            pad_token_id=0)
+
+    def test_cross_batch_tokens_match_dense(self, rng):
+        """Reusing batch 1's instruction KV must not change one token of
+        batch 2 (or batch 1): session == dense on both."""
+        cfg, params = setup_model()
+        gen = self._gen()
+        shared = np.asarray(rng.integers(4, cfg.llama.vocab_size, 9),
+                            np.int32)
+        b1 = make_shared_batch(cfg, rng, tails=[3, 6], S=9, shared=shared,
+                               L_pad=16)
+        b2 = make_shared_batch(cfg, rng, tails=[5, 2], S=9, shared=shared,
+                               L_pad=16)
+        sess = paged_beam.BeamPoolSession(page_size=4)
+        t1, s1 = paged_beam.paged_beam_generate(params, cfg, b1, gen,
+                                                session=sess)
+        t2, s2 = paged_beam.paged_beam_generate(params, cfg, b2, gen,
+                                                session=sess)
+        d1, _ = generation.generate_beam(params, cfg, b1, gen)
+        d2, _ = generation.generate_beam(params, cfg, b2, gen)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(t2), np.asarray(d2))
+
+    def test_second_batch_skips_cached_prefill(self, rng):
+        """Batch 2 over the same template: every row resumes past the
+        cached full blocks (start = 8 of the 9-token instruction at page
+        4) in wave 0 — no within-batch writer to wait for."""
+        cfg, params = setup_model()
+        gen = self._gen()
+        shared = np.asarray(rng.integers(4, cfg.llama.vocab_size, 9),
+                            np.int32)
+        b1 = make_shared_batch(cfg, rng, tails=[3, 6], S=9, shared=shared,
+                               L_pad=16)
+        b2 = make_shared_batch(cfg, rng, tails=[4, 2], S=9, shared=shared,
+                               L_pad=16)
+        sess = paged_beam.BeamPoolSession(page_size=4)
+        st1, ctx1 = paged_beam.paged_beam_init(params, cfg, b1, gen,
+                                               session=sess)
+        # batch 1: row 0 writes the template blocks, row 1 waits a wave
+        np.testing.assert_array_equal(ctx1["start"], [0, 8])
+        np.testing.assert_array_equal(ctx1["wave"], [0, 1])
+        sess.end_batch(ctx1["session_rec"], st1[1])
+        st2, ctx2 = paged_beam.paged_beam_init(params, cfg, b2, gen,
+                                               session=sess)
+        np.testing.assert_array_equal(ctx2["start"], [8, 8])
+        np.testing.assert_array_equal(ctx2["wave"], [0, 0])
+        sess.end_batch(ctx2["session_rec"], st2[1])
+
+    def test_page_accounting_across_batches(self, rng):
+        """After each end_batch every non-cached page is back on the
+        free list and every cached page sits at ref 0 (evictable)."""
+        cfg, params = setup_model()
+        gen = self._gen()
+        shared = np.asarray(rng.integers(4, cfg.llama.vocab_size, 9),
+                            np.int32)
+        sess = paged_beam.BeamPoolSession(page_size=4)
+        for k in range(3):
+            b = make_shared_batch(cfg, rng, tails=[3 + k, 6 - k], S=9,
+                                  shared=shared, L_pad=16)
+            paged_beam.paged_beam_generate(params, cfg, b, gen,
+                                           session=sess)
+            cached = len(sess.cache.meta)
+            assert len(sess.free) == sess.pcfg.n_pages - 1 - cached
+            assert all(m["ref"] == 0 for m in sess.cache.meta.values())
+        # the template's two full blocks cached ONCE, plus each batch's
+        # two row-specific full blocks (cached so a recurring protein
+        # would hit; evictable at ref 0): 2 + 2 x 3 batches
+        assert cached == 8
+
+    def test_new_template_evicts_old(self, rng):
+        """A template change mid-run: the old cached blocks are LRU-
+        evicted when the pool needs their pages, and tokens stay equal
+        to the dense path."""
+        cfg, params = setup_model()
+        gen = self._gen()
+        sess = paged_beam.BeamPoolSession(page_size=4, cache_pages=0)
+        outs = []
+        batches = []
+        for k in range(3):  # three DIFFERENT templates, zero cache slack
+            b = make_shared_batch(cfg, rng, tails=[3, 6], S=9, L_pad=16)
+            batches.append(b)
+            t, _ = paged_beam.paged_beam_generate(params, cfg, b, gen,
+                                                  session=sess)
+            outs.append(np.asarray(t))
+        assert sess.cache.stats["evicted"] >= 2
+        for b, t in zip(batches, outs):
+            d, _ = generation.generate_beam(params, cfg, b, gen)
+            np.testing.assert_array_equal(t, np.asarray(d))
+
+    def test_eval_wrapper_session_matches_dense(self, rng):
+        """ProcyonCaptionEval(shared_prefix=True) runs every chunk
+        through one persistent session (ragged last chunk padded):
+        captions must equal the dense wrapper's."""
+        from procyon_tpu.data import collators as C
+        from procyon_tpu.data.datasets import SyntheticStore
+        from procyon_tpu.data.instruct import TaskLibrary
+        from procyon_tpu.data.text_tokenizer import WordTokenizer
+        from procyon_tpu.evaluate.procyon_models import ProcyonCaptionEval
+
+        cfg = unified.tiny_config(esm=None, protein_embed_dim=32)
+        params = unified.init_params(jax.random.PRNGKey(0), cfg)
+        store = SyntheticStore(n_proteins=8, n_texts=8, embed_dim=32)
+        tok = WordTokenizer(cfg.llama.vocab_size)
+        task = TaskLibrary().get("uniprot_all_caption")
+        gcfg = generation.GenerationConfig(
+            max_new_tokens=6, method="beam", beam_size=2,
+            beam_group_size=1, diversity_penalty=0.5,
+            eos_token_id=tok.spec.eos_id, pad_token_id=tok.spec.pad_id)
+        kw = dict(batch_size=2, gen=gcfg,
+                  collator_cfg=C.CollatorConfig(max_text_len=96,
+                                                protein_embed_dim=32))
+        dense = ProcyonCaptionEval(params, cfg, tok, store, task, **kw)
+        sessioned = ProcyonCaptionEval(params, cfg, tok, store, task,
+                                       use_paged=True, page_size=8,
+                                       shared_prefix=True, **kw)
+        ids = [0, 1, 2, 3, 4]   # 3 chunks; the last is ragged (padded)
+        assert dense.get_predictions(ids) == sessioned.get_predictions(ids)
+        # chunks 2+ hit the instruction blocks cached by chunk 1
+        assert len(sessioned._session.cache.meta) > 0
 
 
 def make_int8_pool(rng, n_pages=9, L=3, page=8, kd=128, kh=2):
