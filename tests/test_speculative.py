@@ -184,11 +184,96 @@ class TestSpeculativeBatcher:
         assert out == G
         assert stats["emitted"] == stats["rounds"] == 12, stats
 
-    def test_temperature_rejected(self, model):
+    def test_sampled_trip_rejected(self, model):
+        """The in-graph drafting trip (spec_quantum > 1) is greedy-only;
+        host-drafted sampled rounds (spec_quantum=1) carry the
+        rejection-sampling correction and are allowed."""
         cfg, params = model
         with pytest.raises(ValueError):
             ContinuousBatcher(params, cfg, _pcfg(cfg), spec_k=3,
-                              temperature=0.7)
+                              spec_quantum=2, temperature=0.7)
+
+
+class TestSampledSpeculative:
+    """Rejection-sampling speculative decoding (VERDICT r4 #8): with
+    temperature > 0 the verify round accepts draft d at position i with
+    probability p_i(d) and resamples the stop token from the residual
+    (p_i renormalized over x != d; bonus from p_K unmasked after a full
+    accept) — the Leviathan correction specialized to deterministic
+    proposers. The guarantee is exactness IN DISTRIBUTION: the emitted
+    marginal at every position is exactly the plain-sampling p, for ANY
+    draft. Verified statistically against the model's exact
+    probabilities, with an adversarial constant draft (a wrong correction
+    — e.g. always-accept — would pull the distribution toward the drafted
+    token by ~its acceptance mass and blow the TV tolerance)."""
+
+    TEMP = 0.9
+
+    @pytest.fixture(scope="class")
+    def small_vocab(self):
+        cfg = L.tiny_config(attn_backend="ref", remat=False, vocab_size=8)
+        params = L.init_params(jax.random.PRNGKey(2), cfg)
+        return cfg, params
+
+    def test_distribution_matches_model_exactly(self, small_vocab):
+        cfg, params = small_vocab
+        V, T = cfg.vocab_size, self.TEMP
+        prompt = [5, 1, 6, 2, 7]
+
+        # exact 2-token joint from the model: p0 over the prompt's last
+        # position, p1 over each (prompt + [a]) continuation
+        def probs(tok_rows):
+            logits = L.forward(params, cfg,
+                               tokens=np.asarray(tok_rows, np.int32))
+            last = np.asarray(logits["logits"])[:, -1] / T
+            e = np.exp(last - last.max(-1, keepdims=True))
+            return e / e.sum(-1, keepdims=True)
+
+        p0 = probs([prompt])[0]                                  # [V]
+        p1 = probs([prompt + [a] for a in range(V)])             # [V, V]
+        exact = p0[:, None] * p1                                 # joint
+
+        draft_const = lambda history, k, **kw: [5] * k   # adversarial
+        b = ContinuousBatcher(params, cfg, _pcfg(cfg, slots=1),
+                              spec_k=2, temperature=T)
+        counts = np.zeros((V, V), np.int64)
+        N = 1500
+        accepted_any = False
+        for i in range(N):
+            b.reset(seed=i)
+            rid = b.submit(prompt, max_new=3, draft_fn=draft_const)
+            out = b.run()[rid]
+            counts[out[0], out[1]] += 1
+            accepted_any |= b.spec_stats["emitted"] > b.spec_stats[
+                "rounds"]
+        tv = 0.5 * np.abs(counts / N - exact).sum()
+        # E[TV] ~ 3.2/sqrt(N) ~ 0.083 at N=1500 over 64 cells; a missing
+        # correction lands ~p(draft-accept mass) ~ 0.3+
+        assert tv < 0.17, (tv, counts)
+        # the accept path itself was exercised, not only rejections
+        assert accepted_any
+
+    def test_acceptance_tracks_draft_probability(self, small_vocab):
+        """Acceptance must equal the model's probability of the drafted
+        token (not 0, not 1): drafting each vocab token a constant and
+        averaging acceptance over seeds reproduces E_a[p(a)] ~ 1/V."""
+        cfg, params = small_vocab
+        b = ContinuousBatcher(params, cfg, _pcfg(cfg, slots=1),
+                              spec_k=4, temperature=self.TEMP)
+        rounds = emitted = 0
+        for i in range(300):
+            b.reset(seed=10_000 + i)
+            d = i % cfg.vocab_size
+            b.submit([5, 1, 6, 2, 7], max_new=12,
+                     draft_fn=lambda h, k, d=d, **kw: [d] * k)
+            b.run()
+            rounds += b.spec_stats["rounds"]
+            emitted += b.spec_stats["emitted"]
+        acc = emitted / rounds          # 1 + accepted drafts per round
+        # uniform-ish drafts over 8 tokens: each accepted w.p. ~1/8 ->
+        # acc in (1.05, 2.0); always-accept would sit near K+1 = 5,
+        # never-accept at exactly 1.0
+        assert 1.02 < acc < 2.5, acc
 
 
 class TestTensorParallelServing:
