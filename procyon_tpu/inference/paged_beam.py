@@ -439,6 +439,31 @@ def _copy_pages_matmul(pool, n_pages, src_pages, dst_pages):
     return {**pool, **{k: move(pool[k]) for k in _kv_arrays(pool)}}
 
 
+def _move_scales_onehot(arr, n_pages, src_pages, dst_pages):
+    """Exact one-hot matmul page move for the f32 int8-KV scale slabs.
+
+    Running the Pallas page-move custom call on the [L*P, page, KH]
+    scale arrays forced XLA to relayout the WHOLE slab before and after
+    the aliased call (profiled ~1.6 ms/step of the 25.6 ms flagship
+    caption step: four+ f32[5568,64,8] copies around custom-call.60/61)
+    — more than the move itself. The slabs are tiny (~11 MB at 174
+    pages), so streaming them once through a [P, P] one-hot contraction
+    costs ~0.03 ms and keeps XLA's native layout. Exactness: f32 bytes
+    are BITCAST to int8 lanes first — a one-hot product copies a single
+    int8-valued term, exactly representable in the TPU's bf16 multiply
+    passes (a direct f32 one-hot matmul is NOT a bit-exact copy here)."""
+    s8 = jax.lax.bitcast_convert_type(arr, jnp.int8)   # [N, page, KH, 4]
+    flat = s8.reshape(-1, n_pages, int(np.prod(s8.shape[1:])))
+    m = jnp.eye(n_pages, dtype=jnp.float32)
+    m = m.at[:, dst_pages].set(0.0)
+    m = m.at[src_pages, dst_pages].set(1.0)
+    out = jax.lax.dot_general(
+        m, flat.astype(jnp.float32),
+        dimension_numbers=(((0,), (1,)), ((), ())))    # [P, L, X]
+    out = out.transpose(1, 0, 2).astype(jnp.int8).reshape(s8.shape)
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
+
+
 def _copy_pages_kernel(pool, n_pages, src_pages, dst_pages, *,
                        interpret=False):
     """_copy_pages via the Pallas page-move kernel (ops/page_move.py):
@@ -447,17 +472,25 @@ def _copy_pages_kernel(pool, n_pages, src_pages, dst_pages, *,
     instead of the matmul form's 2x the whole pool (one-hot contraction
     reads and rewrites every page to move ~40) or the scatter form's
     sequential per-page loops. Moves are broadcast over the flattened
-    layer-major page axis."""
+    layer-major page axis. int8-KV scale slabs take the exact one-hot
+    matmul instead (_move_scales_onehot: the custom call's forced slab
+    relayouts cost more than streaming the small slab outright)."""
     L = pool["k"].shape[0] // n_pages
     offs = jnp.arange(L, dtype=jnp.int32)[:, None] * n_pages
     src_flat = (offs + src_pages[None, :].astype(jnp.int32)).reshape(-1)
     dst_flat = (offs + dst_pages[None, :].astype(jnp.int32)).reshape(-1)
     # the ping-pong page plan guarantees src/dst disjointness, so the
     # direct (stage-free) kernel is safe
-    return {**pool,
-            **{k: page_move.move_pages_direct(pool[k], src_flat, dst_flat,
-                                              interpret=interpret)
-               for k in _kv_arrays(pool)}}
+    out = {}
+    for k in _kv_arrays(pool):
+        if pool[k].dtype == jnp.float32:       # k_scale / v_scale slabs
+            out[k] = _move_scales_onehot(pool[k], n_pages, src_pages,
+                                         dst_pages)
+        else:
+            out[k] = page_move.move_pages_direct(pool[k], src_flat,
+                                                 dst_flat,
+                                                 interpret=interpret)
+    return {**pool, **out}
 
 
 def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,

@@ -152,30 +152,32 @@ def main():
             and "args" in e}
     tpu_pids = {p_ for p_, n in pids.items() if "TPU" in n}
 
+    # envelope events (the jit program, the layer-scan while, named
+    # computations) NEST the leaf HLO ops: summing every ph=X event
+    # double-counts. Leaves are what we attribute; the top envelope's
+    # duration is the true step time.
+    ENVELOPE = re.compile(r"^(jit_|while|pstep|body|cond|region)")
+
     def bucket(name, long_name):
         s = (name + " " + long_name).lower()
-        if "page_move" in s or "pages_kernel" in s:
-            return "pool-write (COW page moves)"
+        if "page_move" in s or "custom-call" in s:
+            return "pallas (COW page moves)"
         if "dynamic-update-slice" in s or "scatter" in s:
             return "pool-write (decode rows)"
         if "gather" in s:
             return "kv-gather"
-        if ("sort" in s or "top-k" in s or "topk" in s
-                or "reduce-window" in s):
+        if "sort" in s or "top-k" in s or "topk" in s:
             return "beam (top-k/diversity)"
-        if ("fusion" in s and ("dot" in s or "convolution" in s)
-                or name.startswith(("dot", "convolution", "cublas"))):
-            return "matmul (weights)"
-        if name.startswith("fusion"):
-            return "fusion (elementwise/mixed)"
-        if "copy" in s or "transpose" in s or "bitcast" in s:
+        if " dot(" in s or s.startswith("dot") or "convolution" in s:
+            return "matmul"
+        if name.startswith("copy") or "transpose" in s:
             return "copy/relayout"
-        return "other"
+        return "elementwise/other"
 
     agg = defaultdict(float)
-    agg_name = defaultdict(float)
+    agg_name = defaultdict(lambda: [0.0, 0.0, ""])
     bytes_by_bucket = defaultdict(float)
-    total = 0.0
+    total = env_ms = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
             continue
@@ -183,18 +185,31 @@ def main():
         ea = e.get("args", {}) or {}
         long_name = str(ea.get("long_name", ""))
         dur = e.get("dur", 0) / 1e3
+        if ENVELOPE.match(name):
+            if name.startswith("jit_"):
+                env_ms += dur
+            continue
         b = bucket(name, long_name)
         agg[b] += dur
-        agg_name[re.sub(r"[.\d]+$", "", name)] += dur
+        # generic names ("fusion") hide the op: group by the shape
+        # signature of the long_name (digits kept — shapes ARE the
+        # signature; the trailing op id is stripped from name only)
+        key = (re.sub(r"\s+", " ", long_name)[:120] if long_name
+               else re.sub(r"[.\d]+$", "", name))
+        rec = agg_name[key]
+        rec[0] += dur
         try:
-            bytes_by_bucket[b] += float(ea.get("raw_bytes_accessed", 0))
+            by = float(ea.get("raw_bytes_accessed", 0))
         except (TypeError, ValueError):
-            pass
+            by = 0.0
+        rec[1] += by
+        bytes_by_bucket[b] += by
         total += dur
 
     n = args.steps
-    print(f"\ntotal device time: {total:.2f} ms over {n} steps "
-          f"= {total / n:.3f} ms/step")
+    print(f"\njit envelope: {env_ms / n:.3f} ms/step; "
+          f"leaf-op device time: {total / n:.3f} ms/step "
+          f"(difference = inter-op gaps/sync)")
     print(f"weight-streaming floor: {weight_bytes / V5E_BW * 1e3:.2f} ms "
           f"({weight_bytes / 1e9:.2f} GB @ 819 GB/s)")
     print("\nper-bucket attribution (ms/step, byte-derived floor):")
@@ -203,9 +218,10 @@ def main():
         floor = by / V5E_BW * 1e3
         print(f"  {ms / n:8.3f} ms  floor {floor:7.3f} ms "
               f"({by / 1e6:9.1f} MB/step)  {b}")
-    print("\ntop ops (ms/step):")
-    for name, ms in sorted(agg_name.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"  {ms / n:8.3f} ms  {name[:100]}")
+    print("\ntop leaf ops (ms/step, MB/step):")
+    for key, (ms, by, _) in sorted(agg_name.items(),
+                                   key=lambda kv: -kv[1][0])[:20]:
+        print(f"  {ms / n:8.3f} ms {by / n / 1e6:9.1f} MB  {key}")
 
 
 if __name__ == "__main__":
