@@ -253,6 +253,7 @@ class BeamPoolSession:
         self._prefill = None       # jitted once: one program set per run
         self._step = None
         self._step_gen = None      # the GenerationConfig _step closed over
+        self._step_cascade = None  # the cascade widths _step closed over
 
     # -- sizing -----------------------------------------------------------
     def _build(self, lcfg: llama.LlamaConfig, B: int, beam: int,
@@ -498,7 +499,8 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
                     prefill_bucket: Optional[int] = None,
                     quantize_kv: bool = False,
                     shared_prefix: bool = False,
-                    session: Optional[BeamPoolSession] = None):
+                    session: Optional[BeamPoolSession] = None,
+                    cascade: Optional[bool] = None):
     """Prefill prompts ONCE (not once per beam) and lay out the beam pool.
 
     batch: canonical (soft-token) model-input batch, LEFT-padded like the
@@ -673,18 +675,39 @@ def paged_beam_init(params, cfg: unified.UnifiedConfig, batch,
     done0 = jnp.zeros((B, beam), bool)
 
     state = (tokens0, pool, logp0, scores0, done0)
+    # grouped-prefix cascade decode (llama._cascade_decode_attention):
+    # default ON for real beam decode off the "ref" CPU test backend —
+    # the prompt's full pages are gathered once per beam group instead
+    # of once per beam. STATIC widths: prefix = full prompt pages (the
+    # session bound keeps one compiled program set across batches),
+    # tail = private generation pages + the partial prompt page.
+    if cascade is None:
+        cascade = cfg.llama.attn_backend != "ref" and beam > 1
+    pp_static = (session._max_prompt // page_size if session is not None
+                 else int(plan.g0.max()))
+    cpages = ((pp_static, plan.private.shape[1] + 1)
+              if cascade and beam > 1 and pp_static > 0 else None)
     ctx = {"pcfg": pcfg, "beam": beam, "B": B,
            "private": jnp.asarray(plan.private, jnp.int32),
            "g0": jnp.asarray(plan.g0, jnp.int32),
-           "start": plan.start, "wave": plan.wave, "session_rec": rec}
+           "start": plan.start, "wave": plan.wave, "session_rec": rec,
+           "cascade_pages": cpages}
     return state, ctx
 
 
 def paged_beam_step(params, cfg: unified.UnifiedConfig,
                     gen: GenerationConfig, pcfg: kv_pool.PagedConfig,
-                    beam: int, private, g0, state, t):
+                    beam: int, private, g0, state, t,
+                    cascade_pages=None):
     """One paged diverse-beam step: shared selection -> page-table row
-    gather + partial-page copy-on-write -> one paged decode token."""
+    gather + partial-page copy-on-write -> one paged decode token.
+
+    cascade_pages=(prefix_pages, tail_pages) (STATIC ints) routes the
+    decode forward through the grouped-prefix cascade attention
+    (llama._cascade_decode_attention): each prompt's immutable full
+    pages are gathered once per beam GROUP instead of once per beam —
+    at the flagship caption shape (B8 x beam 10, 7 pages/seq) the
+    per-layer KV gather drops from 560 to ~128 page reads."""
     tokens, pool, logp, scores, done = state
     B = scores.shape[0]
     V = logp.shape[-1]
@@ -742,9 +765,15 @@ def paged_beam_step(params, cfg: unified.UnifiedConfig,
     # one paged decode token for every slot
     step_tok = jnp.where(done.reshape(-1), gen.pad_token_id,
                          new_tokens.reshape(-1))
+    share = {}
+    if cascade_pages is not None:
+        share = dict(share_gsz=beam,
+                     share_prefix_pages=int(cascade_pages[0]),
+                     share_tail_pages=int(cascade_pages[1]),
+                     share_g0=g0_slot)
     logits, pool = llama.paged_forward(
         params["llama"], cfg.llama, pool, pcfg, slots.astype(jnp.int32),
-        tokens=step_tok[:, None])
+        tokens=step_tok[:, None], **share)
     logp_next = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32))
     return (tokens, pool, logp_next, new_scores, done)
 
@@ -754,7 +783,8 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
                         host_loop: bool = False,
                         quantize_kv: bool = False,
                         shared_prefix: bool = False,
-                        session: Optional[BeamPoolSession] = None):
+                        session: Optional[BeamPoolSession] = None,
+                        cascade: Optional[bool] = None):
     """Full paged diverse-beam generation. Returns (tokens [B, beam, T],
     scores [B, beam]) ranked by score — same contract (and same tokens,
     tested) as generation.generate_beam.
@@ -768,26 +798,32 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
     session= (a BeamPoolSession) extends the dedup across batches on a
     persistent pool: later batches skip the cached instruction prefill
     and reuse the first batch's compiled programs.
+    cascade= (default: on off-"ref") — grouped-prefix cascade decode
+    attention; see paged_beam_init/paged_beam_step.
     """
     state, ctx = paged_beam_init(params, cfg, batch, gen,
                                  page_size=page_size,
                                  quantize_kv=quantize_kv,
                                  shared_prefix=shared_prefix,
-                                 session=session)
+                                 session=session, cascade=cascade)
     pcfg, beam = ctx["pcfg"], ctx["beam"]
+    cpages = ctx["cascade_pages"]
 
     # static config rides the closure; every ARRAY (params, page plan,
     # state) is a jit argument
     def _step(p, private, g0, state, t):
         return paged_beam_step(p, cfg, gen, pcfg, beam, private, g0,
-                               state, t)
+                               state, t, cascade_pages=cpages)
 
     if session is not None:
         # one step program for the whole session (fixed pcfg/slots);
-        # re-wrapped if the GenerationConfig changes (it is closed over)
-        if session._step is None or session._step_gen != gen:
+        # re-wrapped if the GenerationConfig or cascade widths change
+        # (both are closed over)
+        if (session._step is None or session._step_gen != gen
+                or getattr(session, "_step_cascade", None) != cpages):
             session._step = jax.jit(_step)
             session._step_gen = gen
+            session._step_cascade = cpages
         jstep = session._step
         for t in range(gen.max_new_tokens):
             state = jstep(params, ctx["private"], ctx["g0"], state, t)

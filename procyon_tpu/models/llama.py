@@ -222,6 +222,97 @@ def _decode_attention_step(q, cache_k, cache_v, seg_ids, cache_seg,
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
+def _cascade_decode_attention(q, gsz, kp, vp, pfx_valid, kt, vt,
+                              tail_valid, k_scale_p=None, v_scale_p=None,
+                              k_scale_t=None, v_scale_t=None):
+    """Grouped-prefix (cascade) decode attention for beam pools.
+
+    All `gsz` consecutive slots of a group (a prompt's beams) share the
+    prompt's immutable full pages, but the flat per-slot gather reads
+    them gsz times: at the flagship caption shape (80 slots x 7 pages)
+    that is 560 page reads/layer where only ~128 are distinct — profiled
+    3.7 ms/step of gather traffic on a 24 ms step. This splits decode
+    attention into two segments and merges their softmax statistics:
+
+      * PREFIX: the group's shared prompt pages, gathered ONCE per group
+        (kp/vp [G, Sp, Hkv*D]); the group's gsz queries ride one
+        block-diagonal [G, gsz*Hq, Hkv*D] score block — exactly the
+        T=gsz lowering of _decode_attention_step, so the gathered pages
+        stay in natural flat-lane layout.
+      * TAIL: each slot's private pages from its first generation index
+        on, plus the in-flight token (kt/vt [B, St, Hkv*D]) — the only
+        per-slot traffic, O(generated) instead of O(context).
+
+    Merge is the standard flash-decoding log-sum-exp combine: per
+    segment we keep (m, l, acc) = (row max, sum of exp(s - m), their
+    V-weighted sum) and combine in f32. A fully-masked prefix (g0 == 0)
+    lands m_p = -1e30 so its merge weight underflows to exact 0.
+
+    Same numerics convention as _decode_attention_step: scores and
+    accumulation f32, unnormalized probabilities cast to the cache
+    dtype for the PV dot; the int8-KV scale algebra (K scale on score
+    rows, V scale folded into probabilities pre-normalization, both
+    exact under the final head-slice selection) carries over unchanged
+    because the merge divides by the UNSCALED exp-sum l.
+
+    Mathematically identical to single-pass attention over the
+    concatenated context (CPU-f32 token parity tested); summation order
+    differs, so on-chip bf16 the usual same-program-comparison caveat
+    applies (CLAUDE.md)."""
+    import math
+
+    B, T, Hq, D = q.shape
+    assert T == 1
+    G = B // gsz
+    Hkv = kp.shape[-1] // D
+    group = Hq // Hkv
+    dt = q.dtype
+
+    # block-diagonal queries for the whole group as one T=gsz block
+    qh = q.reshape(G, gsz, Hkv, group, D)
+    eye = jnp.eye(Hkv, dtype=dt)
+    q_bd = jnp.einsum("btkgd,kj->btkgjd", qh, eye).reshape(
+        G, gsz * Hq, Hkv * D)
+    sel = jnp.repeat(jnp.eye(Hkv, dtype=jnp.float32), group, axis=0)
+    sel_p = jnp.tile(sel, (gsz, 1))                      # [gsz*Hq, Hkv]
+
+    def stats(q_bd_, kf, vf, valid, ks, vs, sel_):
+        s = jax.lax.dot_general(
+            q_bd_, kf.astype(dt), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) / math.sqrt(D)
+        if ks is not None:
+            s = s * jnp.einsum("bsk,hk->bhs", ks, sel_)
+        s = jnp.where(valid[:, None, :], s, -1e30)
+        m = jnp.max(s, axis=-1)                          # [b, h]
+        e = jnp.exp(s - m[..., None])
+        e = jnp.where(valid[:, None, :], e, 0.0)
+        l = e.sum(-1)
+        if vs is not None:
+            e = e * jnp.einsum("bsk,hk->bhs", vs, sel_)
+        acc = jax.lax.dot_general(
+            e.astype(dt), vf.astype(dt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [b, h, Hkv*D]
+        return m, l, acc
+
+    m_p, l_p, acc_p = stats(q_bd, kp, vp, pfx_valid,
+                            k_scale_p, v_scale_p, sel_p)
+    m_p = m_p.reshape(B, Hq)
+    l_p = l_p.reshape(B, Hq)
+    acc_p = acc_p.reshape(B, Hq, Hkv * D)
+
+    q_bd_t = q_bd.reshape(B, Hq, Hkv * D)
+    m_t, l_t, acc_t = stats(q_bd_t, kt, vt, tail_valid,
+                            k_scale_t, v_scale_t, sel)
+
+    m = jnp.maximum(m_p, m_t)
+    a = jnp.exp(m_p - m)
+    b = jnp.exp(m_t - m)
+    l = a * l_p + b * l_t
+    out = (a[..., None] * acc_p + b[..., None] * acc_t) / l[..., None]
+    out = jnp.einsum("bhkd,hk->bhd", out.reshape(B, Hq, Hkv, D), sel)
+    return out.reshape(B, 1, Hq, D).astype(dt)
+
+
 def _paged_attention_with_self(q, k_new, v_new, k_pool_l, v_pool_l, table,
                                lens, cfg: LlamaConfig):
     """Decode attention = paged kernel over the cached context, merged
@@ -454,14 +545,24 @@ _SHORT_BLOCK_T = int(os.environ.get("PROCYON_SHORT_BLOCK_T", "16"))
 
 def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
                   tokens=None, input_embeds=None, seg_ids=None,
-                  lora_expert=0):
+                  lora_expert=0, share_gsz: int = 0,
+                  share_prefix_pages: int = 0, share_tail_pages: int = 0,
+                  share_g0=None):
     """Forward T tokens per slot against the paged pool, then append their
     K/V. T=1 is the decode step; T>1 is (chunked) prefill. Returns
     (logits [B,T,vocab], new_pool).
 
     `lora_expert` is a scalar (one adapter for the whole batch) OR a [B]
     int array (per-SLOT adapter: multi-tenant task-LoRA serving via
-    lora.apply_routed's exact one-hot mixing)."""
+    lora.apply_routed's exact one-hot mixing).
+
+    share_gsz > 1 (with share_prefix_pages/share_tail_pages static and
+    share_g0 a [B] per-slot first-generation-page index) enables the
+    grouped-prefix CASCADE decode path for beam pools: groups of
+    share_gsz consecutive slots share their leading share_g0 page-table
+    entries (immutable prompt pages), so those pages are gathered once
+    per GROUP and only the tail (share_tail_pages from each slot's g0)
+    is gathered per slot — see _cascade_decode_attention. T == 1 only."""
     from procyon_tpu.inference import kv_pool
 
     if input_embeds is None:
@@ -498,8 +599,10 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     # it in a live process changes nothing until a fresh trace —
     # production selection stays on the measured max_ctx heuristic)
     _kern_env = os.environ.get("PROCYON_PAGED_KERNEL", "auto")
+    cascade = (T == 1 and share_gsz > 1 and share_prefix_pages > 0
+               and share_g0 is not None)
     use_paged_kernel = (T == 1 and cfg.attn_backend != "ref"
-                        and not pcfg.quantize_kv
+                        and not pcfg.quantize_kv and not cascade
                         and (cfg.n_kv_heads * hd) % 128 == 0
                         and (pcfg.max_ctx >= 512
                              or cfg.attn_backend == "interpret"
@@ -521,7 +624,29 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     pool_vs = pool.get("v_scale")
     layer_ctx = (params["layers"],
                  jnp.arange(cfg.n_layers, dtype=jnp.int32) * pcfg.n_pages)
-    if not use_paged_kernel:
+    if cascade:
+        # layer-independent cascade indices/masks (see the share_gsz
+        # docstring note): the prefix gather width and tail width are
+        # STATIC (share_prefix_pages/share_tail_pages); validity masks
+        # carry the per-row raggedness. A group = share_gsz consecutive
+        # slots; its prefix pages are read from slot 0's table (all
+        # group slots hold identical entries below g0 — immutable
+        # prompt pages, never touched by the beam COW).
+        P_ = pcfg.page_size
+        n_groups = B // share_gsz
+        Sp = share_prefix_pages * P_
+        g0_row = share_g0.reshape(n_groups, share_gsz)[:, 0]
+        pfx_valid = (jnp.arange(Sp, dtype=jnp.int32)[None, :]
+                     < (g0_row * P_)[:, None])              # [G, Sp]
+        tail_idx = jnp.clip(
+            share_g0[:, None]
+            + jnp.arange(share_tail_pages, dtype=share_g0.dtype)[None, :],
+            0, pcfg.max_pages_per_seq - 1)                  # [B, Pt]
+        St = share_tail_pages * P_
+        tail_pos = (share_g0[:, None] * P_
+                    + jnp.arange(St, dtype=jnp.int32)[None, :])
+        tail_valid = tail_pos < lens[:, None]               # [B, St]
+    elif not use_paged_kernel:
         ctx_valid = (jnp.arange(pcfg.max_ctx, dtype=jnp.int32)[None, :]
                      < lens[:, None])
         ctx_seg = ctx_valid.astype(jnp.int32)               # [B, ctx]
@@ -580,6 +705,38 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
             attn = _paged_attention_with_self(
                 q[:, 0], k_new[:, 0], v_new[:, 0], pool_k, pool_v,
                 table_l, lens, cfg)[:, None]
+        elif cascade:
+            # grouped-prefix cascade: shared prompt pages gathered once
+            # per GROUP, private tail (+ the in-flight token) per slot
+            KH = cfg.n_kv_heads
+            pfx_tab = table_l.reshape(
+                n_groups, share_gsz, -1)[:, 0, :share_prefix_pages]
+            kp = pool_k[pfx_tab].reshape(n_groups, Sp, KH * hd)
+            vp = pool_v[pfx_tab].reshape(n_groups, Sp, KH * hd)
+            tail_tab = jnp.take_along_axis(table_l, tail_idx, axis=1)
+            kc_t = pool_k[tail_tab].reshape(B, St, KH * hd)
+            vc_t = pool_v[tail_tab].reshape(B, St, KH * hd)
+            ksp = vsp = kst = vst = None
+            if quant_decode:
+                ksp = pool_ks[pfx_tab].reshape(n_groups, Sp, KH)
+                vsp = pool_vs[pfx_tab].reshape(n_groups, Sp, KH)
+                kst = jnp.concatenate(
+                    [pool_ks[tail_tab].reshape(B, St, KH), kns], axis=1)
+                vst = jnp.concatenate(
+                    [pool_vs[tail_tab].reshape(B, St, KH), vns], axis=1)
+                k_tok = knq.reshape(B, T, KH * hd)
+                v_tok = vnq.reshape(B, T, KH * hd)
+            else:
+                k_tok = k_new.reshape(B, T, KH * hd).astype(kc_t.dtype)
+                v_tok = v_new.reshape(B, T, KH * hd).astype(vc_t.dtype)
+            kt = jnp.concatenate([kc_t, k_tok], axis=1)
+            vt = jnp.concatenate([vc_t, v_tok], axis=1)
+            tvalid = jnp.concatenate(
+                [tail_valid, jnp.ones((B, 1), bool)], axis=1)
+            attn = _cascade_decode_attention(
+                q, share_gsz, kp, vp, pfx_valid, kt, vt, tvalid,
+                k_scale_p=ksp, v_scale_p=vsp,
+                k_scale_t=kst, v_scale_t=vst)
         else:
             # gather THIS layer's pages dense, kept in the natural flat
             # lane layout [B, ctx, KD] (invalid tail masked via ctx_seg;

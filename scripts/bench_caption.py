@@ -56,6 +56,12 @@ def main():
                    help="run the quantization quality probe (logit cosine "
                         "+ CE delta vs bf16) and gate the result")
     p.add_argument("--no-quality", dest="quality", action="store_false")
+    p.add_argument("--cascade", choices=("on", "off", "ab"), default="on",
+                   help="grouped-prefix cascade decode attention (prompt "
+                        "pages gathered once per beam group; paged only). "
+                        "'ab' measures per-step time both ways in one "
+                        "session and reports the non-cascade number as "
+                        "per_step_ms_flat")
     args = p.parse_args()
     if args.kv8 and not args.paged:
         p.error("--kv8 requires --paged (the dense cache has no "
@@ -210,12 +216,18 @@ def main():
         # keeping a spare state resident forces allocator spilling
         # (measured: ~44 ms/step free vs ~1 s/step spilled)
 
-        @functools.partial(jax.jit, donate_argnums=(3,))
-        def pstep(params, private, g0, state, t):
-            return paged_beam.paged_beam_step(
-                params, cfg, gen, pcfg, ctx["beam"], private, g0, state, t)
+        def make_pstep(cpages):
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def pstep(params, private, g0, state, t):
+                return paged_beam.paged_beam_step(
+                    params, cfg, gen, pcfg, ctx["beam"], private, g0,
+                    state, t, cascade_pages=cpages)
+            return pstep
 
-        def run(n):
+        cpages = ctx["cascade_pages"] if args.cascade != "off" else None
+        pstep = make_pstep(cpages)
+
+        def run(n, pstep=pstep):
             # fresh prefill per run (two-point timing cancels it); the
             # step donates its state buffers so exactly one state lives
             state, _ = paged_beam.paged_beam_init(
@@ -252,6 +264,21 @@ def main():
     t_small = min(run(args.gen_small) for _ in range(2))
     t_big = min(run(args.gen_big) for _ in range(2))
     per_step = (t_big - t_small) / (args.gen_big - args.gen_small)
+    cascade_ab = {}
+    if args.paged and args.cascade == "ab" and ctx["cascade_pages"]:
+        # in-session A/B: same pool, same prefill programs, only the
+        # decode-step attention differs (grouped-prefix cascade vs the
+        # flat per-slot gather)
+        pstep_flat = make_pstep(None)
+        run(2, pstep_flat)
+        tf_small = min(run(args.gen_small, pstep_flat) for _ in range(2))
+        tf_big = min(run(args.gen_big, pstep_flat) for _ in range(2))
+        per_step_flat = (tf_big - tf_small) / (args.gen_big
+                                               - args.gen_small)
+        cascade_ab = {
+            "per_step_ms_flat": round(per_step_flat * 1e3, 2),
+            "cascade_speedup": round(per_step_flat / per_step, 3),
+        }
     # caption tokens/sec = finished caption tokens (one beam survives per
     # prompt) per second; beam_tokens/sec counts all beams' decode work
     result = {
@@ -265,6 +292,9 @@ def main():
         "per_step_ms": round(per_step * 1e3, 2),
         "backend": "paged" if args.paged else "dense",
         "kv_int8": bool(args.kv8 and args.paged),
+        **({"cascade": args.cascade != "off"
+            and bool(ctx["cascade_pages"]), **cascade_ab}
+           if args.paged else {}),
     }
     if args.paged and args.shared_prefix:
         result["shared_prefix_tokens"] = args.shared_prefix

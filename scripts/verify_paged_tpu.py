@@ -162,6 +162,19 @@ def main():
           f"invariant): {kernel_ok}", flush=True)
     print(f"dense == paged tokens: {dense_same} (informational; "
           f"beam-score rel diff {score_rel:.4f})", flush=True)
+    # arm 3 (informational): cascade vs flat gather decode attention.
+    # Different compiled programs -> the bf16 random-weight argmax caveat
+    # applies to tokens; the CPU f32 suite (tests/test_paged_beam.py
+    # TestCascadeDecode) pins exact parity. Scores should agree closely.
+    ftoks, fsc = paged_beam.paged_beam_generate(bparams, bcfg, batch, gen,
+                                                page_size=64,
+                                                cascade=False)
+    fs = np.sort(np.asarray(fsc), -1)
+    casc_rel = float(np.max(np.abs(fs - ps)
+                            / np.maximum(np.abs(fs), 1e-6)))
+    print(f"cascade == flat-gather tokens: "
+          f"{np.array_equal(np.asarray(ftoks), np.asarray(ptoks))} "
+          f"(informational; score rel diff {casc_rel:.4f})", flush=True)
     if not kernel_ok:
         sys.exit(1)
 

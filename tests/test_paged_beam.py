@@ -611,3 +611,111 @@ class TestCopyPagesMatmul:
                                      phase]
             tables = np.where(idx >= cur[:, None], own_pages, parent_table)
             seq_len = seq_len + 1
+
+
+class TestCascadeDecode:
+    """Grouped-prefix cascade decode attention
+    (llama._cascade_decode_attention, wired by paged_beam_step's
+    cascade_pages): the prompt's immutable full pages are gathered once
+    per beam GROUP (all beams of a prompt share them) and merged with
+    each slot's private tail by softmax statistics — at the flagship
+    caption shape this removes ~77% of the per-layer KV gather reads.
+    Mathematically identical to the single-pass gather path; these
+    tests pin CPU-f32 token equality across every pool flavor."""
+
+    def _gen(self, n=9):
+        return generation.GenerationConfig(
+            max_new_tokens=n, method="beam", beam_size=4,
+            beam_group_size=2, diversity_penalty=0.8, eos_token_id=2,
+            pad_token_id=0)
+
+    def test_matches_plain_and_dense(self, rng):
+        """Ragged prompt lengths (distinct g0 per group) — cascade ==
+        plain paged == dense tokens."""
+        cfg, params = setup_model()
+        batch = make_soft_batch(cfg, rng, B=3, L=21)
+        gen = self._gen()
+        dense_toks, dense_scores = generation.generate_beam(
+            params, cfg, batch, gen)
+        casc_toks, casc_scores = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, cascade=True)
+        np.testing.assert_array_equal(np.asarray(casc_toks),
+                                      np.asarray(dense_toks))
+        np.testing.assert_allclose(np.asarray(casc_scores),
+                                   np.asarray(dense_scores), atol=1e-4)
+
+    def test_fully_masked_prefix_row(self, rng):
+        """A row shorter than one page has g0 == 0: its group's prefix
+        segment is fully masked and the merge weight must underflow to
+        exact zero (no NaN, no contribution)."""
+        cfg, params = setup_model()
+        batch = make_soft_batch(cfg, rng, B=2, L=9)   # lens 9 and 6
+        gen = self._gen(n=6)
+        plain, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=8, cascade=False)
+        casc, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=8, cascade=True)
+        np.testing.assert_array_equal(np.asarray(casc),
+                                      np.asarray(plain))
+
+    def test_kv8_pool(self, rng):
+        """int8-KV pool: the factored scale algebra (K scale on score
+        rows, V scale folded pre-normalization) must survive the
+        two-segment merge bit-for-bit vs the single-pass kv8 path."""
+        cfg, params = setup_model()
+        batch = make_soft_batch(cfg, rng, B=2, L=16)
+        gen = self._gen(n=7)
+        plain, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, quantize_kv=True,
+            cascade=False)
+        casc, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, quantize_kv=True,
+            cascade=True)
+        np.testing.assert_array_equal(np.asarray(casc),
+                                      np.asarray(plain))
+
+    def test_shared_prefix_composes(self, rng):
+        """shared_prefix dedup + cascade: groups whose prefix pages
+        alias OTHER rows' pages gather them once per group all the
+        same."""
+        cfg, params = setup_model()
+        shared = np.asarray(rng.integers(4, cfg.llama.vocab_size, 9),
+                            np.int32)
+        batch = make_shared_batch(cfg, rng, tails=[3, 6, 5], S=9,
+                                  shared=shared)
+        gen = self._gen(n=6)
+        plain, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, shared_prefix=True,
+            cascade=False)
+        casc, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, shared_prefix=True,
+            cascade=True)
+        np.testing.assert_array_equal(np.asarray(casc),
+                                      np.asarray(plain))
+
+    def test_session_composes(self, rng):
+        """BeamPoolSession + cascade: the session's fixed prefix width
+        (max_prompt bound, not the batch's g0 max) keeps ONE compiled
+        step program across batches; tokens == dense on every batch."""
+        cfg, params = setup_model()
+        gen = generation.GenerationConfig(
+            max_new_tokens=6, method="beam", beam_size=2,
+            beam_group_size=1, diversity_penalty=0.5, eos_token_id=2,
+            pad_token_id=0)
+        shared = np.asarray(rng.integers(4, cfg.llama.vocab_size, 9),
+                            np.int32)
+        b1 = make_shared_batch(cfg, rng, tails=[3, 6], S=9, shared=shared,
+                               L_pad=16)
+        b2 = make_shared_batch(cfg, rng, tails=[5, 2], S=9, shared=shared,
+                               L_pad=16)
+        sess = paged_beam.BeamPoolSession(page_size=4)
+        t1, _ = paged_beam.paged_beam_generate(params, cfg, b1, gen,
+                                               session=sess, cascade=True)
+        step1 = sess._step
+        t2, _ = paged_beam.paged_beam_generate(params, cfg, b2, gen,
+                                               session=sess, cascade=True)
+        assert sess._step is step1, "cascade widths must be session-stable"
+        d1, _ = generation.generate_beam(params, cfg, b1, gen)
+        d2, _ = generation.generate_beam(params, cfg, b2, gen)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(t2), np.asarray(d2))
