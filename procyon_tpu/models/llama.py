@@ -314,12 +314,17 @@ def _cascade_decode_attention(q, gsz, kp, vp, pfx_valid, kt, vt,
 
 
 def _paged_attention_with_self(q, k_new, v_new, k_pool_l, v_pool_l, table,
-                               lens, cfg: LlamaConfig):
+                               lens, cfg: LlamaConfig,
+                               k_scale_pool=None, v_scale_pool=None):
     """Decode attention = paged kernel over the cached context, merged
     with the in-flight token's own k/v by log-sum-exp (the kernel returns
     per-head lse; the self term is a rank-1 softmax correction).
 
-    q [B, Hq, D]; k_new/v_new [B, Hkv, D]; pools [n_pages, page, Hkv*D].
+    q [B, Hq, D]; k_new/v_new [B, Hkv, D] (ALREADY dequantized on int8
+    pools — the caller quantize-roundtrips the in-flight token so its
+    self-attention sees the same values future steps read from the
+    pool); pools [n_pages, page, Hkv*D]. k_scale_pool/v_scale_pool
+    [n_pages, page, Hkv] f32 select the int8 page-walk kernel.
     Returns [B, Hq, D]."""
     import math
 
@@ -339,6 +344,7 @@ def _paged_attention_with_self(q, k_new, v_new, k_pool_l, v_pool_l, table,
     out_bd, lse = paged_decode_attention_fullpage(
         q_bd, k_pool_l, v_pool_l, table, lens,
         n_kv_heads=Hkv, head_dim=D,
+        k_scale_pool=k_scale_pool, v_scale_pool=v_scale_pool,
         interpret=cfg.attn_backend == "interpret")
     sel = jnp.repeat(jnp.eye(Hkv, dtype=jnp.float32), group, axis=0)
     out_ctx = jnp.einsum("bhkd,hk->bhd",
@@ -601,8 +607,21 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
     _kern_env = os.environ.get("PROCYON_PAGED_KERNEL", "auto")
     cascade = (T == 1 and share_gsz > 1 and share_prefix_pages > 0
                and share_g0 is not None)
+    # int8 (quantize_kv) pools have a q8 kernel variant (ops/
+    # paged_attention._kernel_fullpage_q8: half the page bytes per walk
+    # + the exact in-walk scale algebra) but it measured a LOSS against
+    # the s8 gather at BOTH probe shapes (verify_paged_tpu arm 1b,
+    # 0.9B B8 in-session A/Bs: 512-ctx 3.01 vs 2.88 ms/step, 2048-ctx
+    # 5.85 vs 4.90) — the s8 gather already halves its traffic and the
+    # kernel's per-page 2 KB scale-slab DMAs + s8->bf16 conversion break
+    # even at best — so quantized pools default to the gather path;
+    # PROCYON_PAGED_KERNEL=1 (or the interpret test backend) engages the
+    # q8 kernel anyway.
+    q8_kernel_ok = (not pcfg.quantize_kv
+                    or cfg.attn_backend == "interpret"
+                    or _kern_env == "1")
     use_paged_kernel = (T == 1 and cfg.attn_backend != "ref"
-                        and not pcfg.quantize_kv and not cascade
+                        and not cascade and q8_kernel_ok
                         and (cfg.n_kv_heads * hd) % 128 == 0
                         and (pcfg.max_ctx >= 512
                              or cfg.attn_backend == "interpret"
@@ -701,10 +720,25 @@ def paged_forward(params, cfg: LlamaConfig, pool, pcfg, slot_ids, *,
                                              cfg.n_kv_heads)
 
         if use_paged_kernel:
-            # the kernel walks the flat pool via the offset table
-            attn = _paged_attention_with_self(
-                q[:, 0], k_new[:, 0], v_new[:, 0], pool_k, pool_v,
-                table_l, lens, cfg)[:, None]
+            # the kernel walks the flat pool via the offset table; on
+            # int8 pools the in-flight token's self term uses its
+            # quantize-ROUNDTRIPPED k/v (knq*kns), the same values every
+            # later step reads back from the pool (write_tokens
+            # re-quantizes the bf16 ys with the same quantize_rows)
+            if quant_decode:
+                KH = cfg.n_kv_heads
+                k_self = (knq.reshape(B, KH, hd).astype(cfg.dtype)
+                          * kns.reshape(B, KH, 1).astype(cfg.dtype))
+                v_self = (vnq.reshape(B, KH, hd).astype(cfg.dtype)
+                          * vns.reshape(B, KH, 1).astype(cfg.dtype))
+                attn = _paged_attention_with_self(
+                    q[:, 0], k_self, v_self, pool_k, pool_v,
+                    table_l, lens, cfg,
+                    k_scale_pool=pool_ks, v_scale_pool=pool_vs)[:, None]
+            else:
+                attn = _paged_attention_with_self(
+                    q[:, 0], k_new[:, 0], v_new[:, 0], pool_k, pool_v,
+                    table_l, lens, cfg)[:, None]
         elif cascade:
             # grouped-prefix cascade: shared prompt pages gathered once
             # per GROUP, private tail (+ the in-flight token) per slot

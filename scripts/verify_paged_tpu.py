@@ -103,6 +103,67 @@ def main():
     print(f"logit max diff gather vs kernel: {err:.5f} "
           f"(|ref| max {np.abs(g).max():.2f}, cosine {cos:.6f})", flush=True)
 
+    # --- arm 1b: int8-KV pool — the q8 page-walk kernel (in-walk scale
+    # algebra, half the page bytes) vs the s8 gather +
+    # _decode_attention_step path, same A/B protocol.
+    pcfg_q8 = dataclasses.replace(pcfg, quantize_kv=True)
+
+    @jax.jit
+    def prefill_q8(params, pool, toks):
+        return LM.paged_forward(params, dataclasses.replace(
+            cfg, attn_backend="rowblock"), pool, pcfg_q8, slots,
+            tokens=toks)
+
+    def fresh_pool_q8():
+        pool = KP.init_pool(pcfg_q8)
+        alloc = KP.PageAllocator(pcfg_q8)
+        pt = np.array(pool["page_table"])
+        for s in range(B):
+            pages = alloc.allocate(s, pcfg_q8.max_pages_per_seq * 64)
+            pt[s, :len(pages)] = pages
+        return {**pool, "page_table": jnp.asarray(pt)}
+
+    def make_step_q8(use_kernel):
+        c = cfg if use_kernel else dataclasses.replace(cfg,
+                                                       attn_backend="ref")
+
+        @jax.jit
+        def step(params, pool, tok):
+            return LM.paged_forward(params, c, pool, pcfg_q8, slots,
+                                    tokens=tok)
+        return step
+
+    logits_q8, pool0_q8 = prefill_q8(params, fresh_pool_q8(), tokens)
+    print("q8 prefill ok", flush=True)
+    results_q8 = {}
+    for name, use_kernel in (("q8_gather", False), ("q8_kernel", True)):
+        step = make_step_q8(use_kernel)
+        pool = jax.tree_util.tree_map(lambda x: x, pool0_q8)
+        tok = jnp.argmax(logits_q8[:, -1:], -1).astype(jnp.int32)
+        lg, _ = step(params, pool, tok)
+        float(jnp.sum(lg))
+
+        def run(n, pool, step=step, tok=tok):
+            t0 = time.perf_counter()
+            lg, pp = step(params, pool, tok)
+            for _ in range(n - 1):
+                lg, pp = step(params, pp, tok)
+            float(jnp.sum(lg))
+            return time.perf_counter() - t0, lg
+
+        t8, lg8 = run(8, pool)
+        t40, lg40 = run(40, pool)
+        per_step = (t40 - t8) / 32
+        results_q8[name] = (per_step, np.asarray(lg40))
+        print(f"{name}: {per_step*1e3:.3f} ms/step", flush=True)
+    gq, pq = results_q8["q8_gather"][1], results_q8["q8_kernel"][1]
+    err_q = np.abs(gq - pq).max()
+    cos_q = float((gq * pq).sum()
+                  / (np.linalg.norm(gq) * np.linalg.norm(pq)))
+    print(f"q8 logit max diff gather vs kernel: {err_q:.5f} "
+          f"(|ref| max {np.abs(gq).max():.2f}, cosine {cos_q:.6f})",
+          flush=True)
+
     # --- beam parity ON THE CHIP: paged diverse beam (ping-pong COW via
     # the in-place page-move kernel) must reproduce the dense beam's
     # tokens on real hardware. Interpret mode simulates the kernel's

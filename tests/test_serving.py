@@ -240,6 +240,43 @@ class TestPagedKernelDecode:
         kern = run(dataclasses.replace(cfg, attn_backend="interpret"))
         np.testing.assert_allclose(kern, ref, atol=2e-4, rtol=2e-4)
 
+    def test_q8_kernel_matches_gather_path(self):
+        """int8-KV pools: the q8 page-walk kernel (in-walk scale algebra)
+        must equal the s8 gather + _decode_attention_step path."""
+        import dataclasses
+
+        cfg = L.tiny_config(attn_backend="ref", remat=False, dim=256,
+                            n_heads=4, n_kv_heads=2, intermediate=512,
+                            vocab_size=512)
+        params = L.init_params(jax.random.PRNGKey(3), cfg)
+        pcfg = _pcfg(cfg, quantize_kv=True)
+        B, T = 2, 7
+        tokens = (jnp.arange(B * T).reshape(B, T) * 13) % cfg.vocab_size
+
+        def run(decode_cfg):
+            pool = KP.init_pool(pcfg)
+            alloc = KP.PageAllocator(pcfg)
+            slots = np.array([0, 2])
+            pt = np.array(pool["page_table"])
+            for s in slots:
+                pages = alloc.allocate(int(s), T + 4)
+                pt[s, :len(pages)] = pages
+            pool = {**pool, "page_table": jnp.asarray(pt)}
+            logits, pool = L.paged_forward(params, cfg, pool, pcfg,
+                                           jnp.asarray(slots),
+                                           tokens=tokens[:, :4])
+            outs = [logits[:, -1]]
+            for t in range(4, T):
+                logits, pool = L.paged_forward(
+                    params, decode_cfg, pool, pcfg, jnp.asarray(slots),
+                    tokens=tokens[:, t:t + 1])
+                outs.append(logits[:, 0])
+            return np.stack([np.asarray(o) for o in outs])
+
+        ref = run(cfg)                               # s8 gather + dense
+        kern = run(dataclasses.replace(cfg, attn_backend="interpret"))
+        np.testing.assert_allclose(kern, ref, atol=5e-4, rtol=5e-4)
+
     def test_kernel_lane_gate(self):
         # group*head_dim not 128-divisible -> gather fallback (no crash)
         import dataclasses
