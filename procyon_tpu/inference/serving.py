@@ -83,6 +83,15 @@ class ContinuousBatcher:
         self.params = params
         self.cfg = cfg
         self.pcfg = pcfg
+        # spec_k defaults OFF: measured on the induced-bigram checkpoint
+        # (models/synthetic.py; STATUS R5.13), speculative decoding wins
+        # only when the text repeats itself — period-16 chains reach
+        # true n-gram acceptance 2.93/8 (> the 2.1/8 breakeven) and
+        # spec_k=7 + spec_quantum=4 measured +32% req/s over plain
+        # quantum-8, while unrepetitive text (period >> max_new) floors
+        # at acceptance 1.0 = 0.60x plain. Enable it for boilerplate-
+        # heavy workloads (GO/UniProt-style captions); leave it off for
+        # free-form text. Exactness is draft-independent either way.
         self.spec_k = int(spec_k)
         # spec_quantum R > 1: R speculative verify rounds run as ONE
         # jitted lax.scan per host trip, drafting IN-GRAPH from a device
