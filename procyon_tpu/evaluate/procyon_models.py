@@ -148,7 +148,8 @@ class ProcyonCaptionEval(AbstractCaptionModel):
                  batch_size: int = 8,
                  gen: Optional[generation.GenerationConfig] = None,
                  collator_cfg=None, use_paged: bool = False,
-                 page_size: int = 64, shared_prefix: bool = False):
+                 page_size: int = 64, shared_prefix: bool = False,
+                 step_trip: int = 1):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -169,6 +170,10 @@ class ProcyonCaptionEval(AbstractCaptionModel):
         self.use_paged = use_paged
         self.page_size = page_size
         self.shared_prefix = shared_prefix
+        # step_trip=K > 1: K beam-decode steps per dispatch (one
+        # lax.scan program — paged_beam.paged_beam_step_trip); amortizes
+        # the per-step program-boundary idle on host-stepped drive loops
+        self.step_trip = step_trip
         self._session = None
         ccfg = collator_cfg or C.CollatorConfig(
             protein_embed_dim=cfg.encoder_out_dim)
@@ -199,7 +204,7 @@ class ProcyonCaptionEval(AbstractCaptionModel):
                     self.params, self.cfg, batch, self.gen,
                     page_size=self.page_size,
                     shared_prefix=self.shared_prefix,
-                    session=self._session)
+                    session=self._session, step_trip=self.step_trip)
                 tokens = np.asarray(tokens)[:len(chunk), 0]
             elif self.gen.method == "beam":
                 tokens, _ = generation.generate_beam(

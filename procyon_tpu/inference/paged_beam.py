@@ -252,6 +252,8 @@ class BeamPoolSession:
         self._max_prompt = 0
         self._prefill = None       # jitted once: one program set per run
         self._step = None
+        self._step_trip = None     # K-step scan variant (step_trip > 1)
+        self._step_key = None      # (gen, cascade widths, trip) closed over
         self._step_gen = None      # the GenerationConfig _step closed over
         self._step_cascade = None  # the cascade widths _step closed over
 
@@ -778,13 +780,55 @@ def paged_beam_step(params, cfg: unified.UnifiedConfig,
     return (tokens, pool, logp_next, new_scores, done)
 
 
+def paged_beam_step_trip(params, cfg: unified.UnifiedConfig,
+                         gen: GenerationConfig, pcfg: kv_pool.PagedConfig,
+                         beam: int, private, g0, state, t0, n_steps: int,
+                         cascade_pages=None):
+    """`n_steps` (STATIC) consecutive paged diverse-beam steps as ONE
+    lax.scan program — the beam counterpart of serving's step_quantum
+    rounds. The host-stepped drive loop (bench_caption / BeamPoolSession)
+    dispatches one program per decode step; scanning K steps into one
+    program removes K-1 program boundaries per trip at no readback cost
+    (the drive loop needs no per-step host decision: beam selection,
+    COW, and EOS masking are all in-graph already; `done` rows keep
+    stepping on pad tokens by design, exactly as the single-step host
+    loop does).
+
+    MEASURED NEUTRAL on the flagship chip config (bench_caption
+    --step_trip 4: 21.29 ms/step plain vs 21.31 tripped, speedup 0.999,
+    canary 0.688 / rtt 46.3): JAX's async dispatch already queues
+    consecutive step programs back-to-back, so program boundaries cost
+    no device idle here — the ~3.2 ms/step 'gaps' bucket in the r5
+    caption attribution (profile_paged_beam.py) is INTRA-program
+    scheduling/DMA bubbles, which a scan cannot remove. Kept (tested,
+    token-exact) for hosts where per-program dispatch is expensive;
+    default stays single-step everywhere.
+
+    The scan body is compiled ONCE regardless of n_steps (unlike the
+    whole-generation fori_loop program this module avoids — its unrolled
+    remote compile takes many minutes); t rides the scan xs so the
+    ping-pong COW phase (t % 2) and the token-history write stay exact.
+    Token parity with n_steps repeated single steps is pinned by the CPU
+    f32 suite; on-chip the usual cross-program bf16 argmax caveat
+    applies (CLAUDE.md)."""
+    ts = t0 + jnp.arange(n_steps, dtype=jnp.int32)
+
+    def body(st, t):
+        return paged_beam_step(params, cfg, gen, pcfg, beam, private,
+                               g0, st, t, cascade_pages=cascade_pages), None
+
+    state, _ = jax.lax.scan(body, state, ts)
+    return state
+
+
 def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
                         gen: GenerationConfig, *, page_size: int = 64,
                         host_loop: bool = False,
                         quantize_kv: bool = False,
                         shared_prefix: bool = False,
                         session: Optional[BeamPoolSession] = None,
-                        cascade: Optional[bool] = None):
+                        cascade: Optional[bool] = None,
+                        step_trip: int = 1):
     """Full paged diverse-beam generation. Returns (tokens [B, beam, T],
     scores [B, beam]) ranked by score — same contract (and same tokens,
     tested) as generation.generate_beam.
@@ -800,6 +844,9 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
     and reuse the first batch's compiled programs.
     cascade= (default: on off-"ref") — grouped-prefix cascade decode
     attention; see paged_beam_init/paged_beam_step.
+    step_trip=K > 1 runs the host-stepped paths (host_loop / session) in
+    K-step lax.scan trips (paged_beam_step_trip) — one dispatch per K
+    decode steps; the ragged tail falls back to single steps.
     """
     state, ctx = paged_beam_init(params, cfg, batch, gen,
                                  page_size=page_size,
@@ -815,22 +862,39 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
         return paged_beam_step(p, cfg, gen, pcfg, beam, private, g0,
                                state, t, cascade_pages=cpages)
 
+    def _trip(p, private, g0, state, t0, n=step_trip):
+        return paged_beam_step_trip(p, cfg, gen, pcfg, beam, private, g0,
+                                    state, t0, n, cascade_pages=cpages)
+
+    def _drive(jstep, jtrip):
+        nonlocal state
+        t = 0
+        while t < gen.max_new_tokens:
+            if jtrip is not None and t + step_trip <= gen.max_new_tokens:
+                state = jtrip(params, ctx["private"], ctx["g0"], state,
+                              jnp.int32(t))
+                t += step_trip
+            else:
+                state = jstep(params, ctx["private"], ctx["g0"], state, t)
+                t += 1
+
     if session is not None:
         # one step program for the whole session (fixed pcfg/slots);
-        # re-wrapped if the GenerationConfig or cascade widths change
-        # (both are closed over)
-        if (session._step is None or session._step_gen != gen
-                or getattr(session, "_step_cascade", None) != cpages):
+        # re-wrapped if the GenerationConfig, cascade widths, or trip
+        # size change (all are closed over)
+        key = (gen, cpages, step_trip)
+        if session._step is None or getattr(session, "_step_key",
+                                            None) != key:
             session._step = jax.jit(_step)
+            session._step_trip = (jax.jit(_trip) if step_trip > 1
+                                  else None)
+            session._step_key = key
             session._step_gen = gen
             session._step_cascade = cpages
-        jstep = session._step
-        for t in range(gen.max_new_tokens):
-            state = jstep(params, ctx["private"], ctx["g0"], state, t)
+        _drive(session._step, session._step_trip)
     elif host_loop:
-        jstep = jax.jit(_step)
-        for t in range(gen.max_new_tokens):
-            state = jstep(params, ctx["private"], ctx["g0"], state, t)
+        _drive(jax.jit(_step),
+               jax.jit(_trip) if step_trip > 1 else None)
     else:
         @jax.jit
         def _run(p, private, g0, state):

@@ -62,10 +62,18 @@ def main():
                         "'ab' measures per-step time both ways in one "
                         "session and reports the non-cascade number as "
                         "per_step_ms_flat")
+    p.add_argument("--step_trip", type=int, default=0,
+                   help="K > 1: additionally measure K-step lax.scan "
+                        "trips (paged_beam_step_trip — one dispatch per "
+                        "K beam steps) in-session against the per-step "
+                        "drive loop (paged only; gen_small/gen_big "
+                        "should be divisible by K)")
     args = p.parse_args()
     if args.kv8 and not args.paged:
         p.error("--kv8 requires --paged (the dense cache has no "
                 "quantized variant)")
+    if args.step_trip > 1 and not args.paged:
+        p.error("--step_trip requires --paged")
 
     import jax
     import jax.numpy as jnp
@@ -279,6 +287,52 @@ def main():
             "per_step_ms_flat": round(per_step_flat * 1e3, 2),
             "cascade_speedup": round(per_step_flat / per_step, 3),
         }
+    trip_ab = {}
+    if args.paged and args.step_trip > 1:
+        # in-session A/B: K beam steps per dispatch (ONE lax.scan
+        # program) vs the per-step drive loop — harvests the per-step
+        # program-boundary idle the r5 flagship attribution bucketed as
+        # 'inter-op gaps' (~3.2 ms/step of a 21.4 ms step)
+        K = args.step_trip
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def ptrip(params, private, g0, state, t0):
+            return paged_beam.paged_beam_step_trip(
+                params, cfg, gen, pcfg, ctx["beam"], private, g0, state,
+                t0, K, cascade_pages=cpages)
+
+        def run_trip(n):
+            state, _ = paged_beam.paged_beam_init(
+                params, cfg, np_batch, gen, page_size=args.page_size,
+                quantize_kv=args.kv8)
+            state = pstep(params, ctx["private"], ctx["g0"], state,
+                          jnp.int32(0))
+            float(jnp.sum(state[3]))
+            t0v = time.perf_counter()
+            t = 1
+            while t + K <= n + 1:
+                state = ptrip(params, ctx["private"], ctx["g0"], state,
+                              jnp.int32(t))
+                t += K
+            while t <= n:
+                state = pstep(params, ctx["private"], ctx["g0"], state,
+                              jnp.int32(t))
+                t += 1
+            float(jnp.sum(state[3]))  # scores sync
+            return time.perf_counter() - t0v
+
+        run_trip(2 * K)
+        tt_small = min(run_trip(args.gen_small) for _ in range(2))
+        tt_big = min(run_trip(args.gen_big) for _ in range(2))
+        per_step_trip = (tt_big - tt_small) / (args.gen_big
+                                               - args.gen_small)
+        trip_ab = {
+            "step_trip": K,
+            "per_step_ms_trip": round(per_step_trip * 1e3, 2),
+            "trip_speedup": round(per_step / per_step_trip, 3),
+            "caption_tok_per_sec_trip": round(
+                args.batch / per_step_trip, 2),
+        }
     # caption tokens/sec = finished caption tokens (one beam survives per
     # prompt) per second; beam_tokens/sec counts all beams' decode work
     result = {
@@ -293,7 +347,7 @@ def main():
         "backend": "paged" if args.paged else "dense",
         "kv_int8": bool(args.kv8 and args.paged),
         **({"cascade": args.cascade != "off"
-            and bool(ctx["cascade_pages"]), **cascade_ab}
+            and bool(ctx["cascade_pages"]), **cascade_ab, **trip_ab}
            if args.paged else {}),
     }
     if args.paged and args.shared_prefix:

@@ -43,6 +43,14 @@ def main():
                         "template's KV: batches 2..n skip its prefill "
                         "and reuse batch 1's compiled programs) — "
                         "needs --paged")
+    p.add_argument("--step_trip", type=int, default=1,
+                   help="K > 1: run K beam-decode steps per dispatch as "
+                        "one lax.scan program (host-stepped paths only; "
+                        "same tokens, tested). Measured NEUTRAL on the "
+                        "flagship chip config — async dispatch already "
+                        "pipelines per-step programs — so the default "
+                        "stays 1; useful only on high-dispatch-cost "
+                        "hosts")
     args = p.parse_args()
 
     import jax
@@ -94,7 +102,7 @@ def main():
     model = ProcyonCaptionEval(
         params, cfg, tokenizer, store, lib.get(args.task),
         batch_size=args.batch_size, gen=gen, use_paged=args.paged,
-        shared_prefix=args.shared_prefix,
+        shared_prefix=args.shared_prefix, step_trip=args.step_trip,
         collator_cfg=C.CollatorConfig(
             protein_embed_dim=cfg.encoder_out_dim))
     captions = model.get_predictions(ids)

@@ -89,6 +89,28 @@ class TestPagedBeamParity:
         np.testing.assert_array_equal(np.asarray(host_toks),
                                       np.asarray(dev_toks))
 
+    def test_step_trip_matches_single_steps(self, rng):
+        """K-step scan trips (paged_beam_step_trip) must emit the same
+        tokens as K repeated single-step dispatches, including a ragged
+        tail (max_new not divisible by the trip size) and with EOS
+        finishing rows mid-trip."""
+        cfg, params = setup_model()
+        batch = make_soft_batch(cfg, rng, B=2, L=12)
+        gen = generation.GenerationConfig(
+            max_new_tokens=7, method="beam", beam_size=4,
+            beam_group_size=2, diversity_penalty=0.8, eos_token_id=2,
+            pad_token_id=0)
+        single_toks, single_scores = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, host_loop=True)
+        trip_toks, trip_scores = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, host_loop=True,
+            step_trip=3)   # 3+3+1: exercises the single-step tail
+        np.testing.assert_array_equal(np.asarray(trip_toks),
+                                      np.asarray(single_toks))
+        np.testing.assert_allclose(np.asarray(trip_scores),
+                                   np.asarray(single_scores),
+                                   atol=1e-5, rtol=1e-5)
+
     def test_pool_is_smaller_than_dense_replication(self, rng):
         """The design point: beam slots share prompt pages, so pool KV is
         below beam * max_ctx per prompt even though every private
