@@ -430,16 +430,28 @@ def _copy_pages_matmul(pool, n_pages, src_pages, dst_pages):
         # of values |x| <= 127 is exact); bf16 0/1 weights copy bf16
         # values exactly
         mdt = arr.dtype if arr.dtype != jnp.int8 else jnp.float32
-        m = jnp.eye(n_pages, dtype=mdt)
-        m = m.at[:, dst_pages].set(0.0)
-        m = m.at[src_pages, dst_pages].set(1.0)
-        flat = arr.reshape(-1, n_pages, int(np.prod(arr.shape[1:])))
-        out = jax.lax.dot_general(
-            m, flat.astype(mdt), dimension_numbers=(((0,), (1,)), ((), ())))
-        # dot_general output is [P_out, L, X]; restore [L, P, X]
-        return out.transpose(1, 0, 2).reshape(arr.shape).astype(arr.dtype)
+        return _onehot_page_contraction(arr, n_pages, src_pages,
+                                        dst_pages, mdt)
 
     return {**pool, **{k: move(pool[k]) for k in _kv_arrays(pool)}}
+
+
+def _onehot_page_contraction(arr, n_pages, src_pages, dst_pages, mdt):
+    """The page move as ONE MXU contraction over the flattened
+    layer-major page axis: new[:, q] = sum_p M[p, q] * arr[:, p] with
+    M = identity except M[:, dst_j] = one_hot(src_j). dst pages must be
+    distinct (each beam slot's own private page — guaranteed by the
+    page plan); src may repeat. Shared by _copy_pages_matmul and
+    _move_scales_onehot so the move-plan semantics live in one place.
+    Returns arr's shape/dtype."""
+    m = jnp.eye(n_pages, dtype=mdt)
+    m = m.at[:, dst_pages].set(0.0)
+    m = m.at[src_pages, dst_pages].set(1.0)
+    flat = arr.reshape(-1, n_pages, int(np.prod(arr.shape[1:])))
+    out = jax.lax.dot_general(
+        m, flat.astype(mdt), dimension_numbers=(((0,), (1,)), ((), ())))
+    # dot_general output is [P_out, L, X]; restore [L, P, X]
+    return out.transpose(1, 0, 2).astype(arr.dtype).reshape(arr.shape)
 
 
 def _move_scales_onehot(arr, n_pages, src_pages, dst_pages):
@@ -456,14 +468,8 @@ def _move_scales_onehot(arr, n_pages, src_pages, dst_pages):
     int8-valued term, exactly representable in the TPU's bf16 multiply
     passes (a direct f32 one-hot matmul is NOT a bit-exact copy here)."""
     s8 = jax.lax.bitcast_convert_type(arr, jnp.int8)   # [N, page, KH, 4]
-    flat = s8.reshape(-1, n_pages, int(np.prod(s8.shape[1:])))
-    m = jnp.eye(n_pages, dtype=jnp.float32)
-    m = m.at[:, dst_pages].set(0.0)
-    m = m.at[src_pages, dst_pages].set(1.0)
-    out = jax.lax.dot_general(
-        m, flat.astype(jnp.float32),
-        dimension_numbers=(((0,), (1,)), ((), ())))    # [P, L, X]
-    out = out.transpose(1, 0, 2).astype(jnp.int8).reshape(s8.shape)
+    out = _onehot_page_contraction(s8, n_pages, src_pages, dst_pages,
+                                   jnp.float32)
     return jax.lax.bitcast_convert_type(out, jnp.float32)
 
 
@@ -844,9 +850,11 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
     and reuse the first batch's compiled programs.
     cascade= (default: on off-"ref") — grouped-prefix cascade decode
     attention; see paged_beam_init/paged_beam_step.
-    step_trip=K > 1 runs the host-stepped paths (host_loop / session) in
-    K-step lax.scan trips (paged_beam_step_trip) — one dispatch per K
-    decode steps; the ragged tail falls back to single steps.
+    step_trip=K > 1 runs K-step lax.scan trips (paged_beam_step_trip) —
+    one dispatch per K decode steps; the ragged tail falls back to
+    single steps. Trips are a host-stepped drive mode, so step_trip > 1
+    implies host_loop (the device fori_loop already runs every step in
+    one program and has no dispatch boundaries to amortize).
     """
     state, ctx = paged_beam_init(params, cfg, batch, gen,
                                  page_size=page_size,
@@ -892,7 +900,11 @@ def paged_beam_generate(params, cfg: unified.UnifiedConfig, batch,
             session._step_gen = gen
             session._step_cascade = cpages
         _drive(session._step, session._step_trip)
-    elif host_loop:
+    elif host_loop or step_trip > 1:
+        # step_trip without host_loop/session still means "use trips":
+        # the device fori_loop below never consults it, so honoring the
+        # caller here keeps caption_bulk --step_trip (no --shared_prefix)
+        # measuring the drive loop it asked for
         _drive(jax.jit(_step),
                jax.jit(_trip) if step_trip > 1 else None)
     else:

@@ -590,14 +590,7 @@ class ContinuousBatcher:
                 # finished a round ago: this whole round was garbage
                 self.waste["dropped"] += k
                 continue
-            for t in range(k):
-                tok = int(ys[t, slot])
-                st["generated"].append(tok)
-                st["pending"] = tok
-                self.waste["emitted"] += 1
-                if self._maybe_finish(slot):
-                    self.waste["dropped"] += k - 1 - t
-                    break
+            self._consume(slot, ys[:k, slot])
 
     # -- internals ----------------------------------------------------------
     def _free_slots(self):
@@ -922,15 +915,7 @@ class ContinuousBatcher:
             self.key, self.experts)
         ys = np.asarray(ys)                       # [k, slots] — ONE readback
         for slot in list(self.live):
-            st = self.live[slot]
-            for t in range(k):
-                tok = int(ys[t, slot])
-                st["generated"].append(tok)
-                st["pending"] = tok
-                self.waste["emitted"] += 1
-                if self._maybe_finish(slot):
-                    self.waste["dropped"] += k - 1 - t
-                    break
+            self._consume(slot, ys[:k, slot])
 
     def _spec_trip(self):
         """R device-drafted verify rounds per host trip (spec_quantum):
@@ -958,16 +943,8 @@ class ContinuousBatcher:
                     continue
                 m = int(ys[r, slot, K + 1])
                 self.spec_stats["rounds"] += 1
-                for t in range(m):
-                    tok = int(ys[r, slot, t])
-                    st["generated"].append(tok)
-                    st["history"].append(tok)
-                    st["pending"] = tok
-                    self.spec_stats["emitted"] += 1
-                    self.waste["emitted"] += 1
-                    if self._maybe_finish(slot):
-                        self.waste["dropped"] += m - 1 - t
-                        break
+                self._consume(slot, ys[r, slot, :m], history=True,
+                              spec=True)
 
     def _spec_round(self):
         """One speculative round: host-side n-gram drafts per live slot
@@ -995,19 +972,34 @@ class ContinuousBatcher:
                 jnp.asarray(live), self.experts)
         out = np.asarray(out)                     # [slots, K+2] — ONE readback
         for slot in list(self.live):
-            st = self.live[slot]
             m = int(out[slot, K + 1])
             self.spec_stats["rounds"] += 1
-            for t in range(m):
-                tok = int(out[slot, t])
-                st["generated"].append(tok)
+            self._consume(slot, out[slot, :m], history=True, spec=True)
+
+    def _consume(self, slot, toks, *, history: bool = False,
+                 spec: bool = False) -> bool:
+        """Emit device-computed decode positions `toks` into `slot`'s
+        stream in order, stopping at the first finish and counting the
+        round's remaining positions as waste (the device computed them;
+        the host drops them — the round-granularity invariant every
+        decode mode shares). history/spec additionally feed the n-gram
+        draft history and the speculative emit counter. Returns True if
+        the slot finished."""
+        st = self.live[slot]
+        n = len(toks)
+        for t in range(n):
+            tok = int(toks[t])
+            st["generated"].append(tok)
+            if history:
                 st["history"].append(tok)
-                st["pending"] = tok
+            st["pending"] = tok
+            self.waste["emitted"] += 1
+            if spec:
                 self.spec_stats["emitted"] += 1
-                self.waste["emitted"] += 1
-                if self._maybe_finish(slot):
-                    self.waste["dropped"] += m - 1 - t
-                    break
+            if self._maybe_finish(slot):
+                self.waste["dropped"] += n - 1 - t
+                return True
+        return False
 
     def _maybe_finish(self, slot) -> bool:
         st = self.live[slot]

@@ -51,6 +51,10 @@ def main():
     p.add_argument("--page_size", type=int, default=64)
     p.add_argument("--kv8", action="store_true")
     p.add_argument("--shared_prefix", type=int, default=0)
+    p.add_argument("--cascade", default="on", choices=("on", "off"),
+                   help="profile the production cascade step (on, the "
+                        "paged_beam_generate default) or the flat "
+                        "per-slot gather program (off)")
     p.add_argument("--steps", type=int, default=4,
                    help="traced steps (after 3 warmup steps)")
     args = p.parse_args()
@@ -117,14 +121,21 @@ def main():
 
     state, ctx = paged_beam.paged_beam_init(
         params, cfg, batch, gen, page_size=args.page_size,
-        quantize_kv=args.kv8, shared_prefix=bool(args.shared_prefix))
+        quantize_kv=args.kv8, shared_prefix=bool(args.shared_prefix),
+        cascade=args.cascade == "on")
     pcfg = ctx["pcfg"]
-    print("pcfg:", pcfg)
+    # profile the PRODUCTION step program: paged_beam_generate passes
+    # ctx["cascade_pages"] (grouped-prefix cascade decode, default on),
+    # so the attribution must too — profiling the flat per-slot gather
+    # while production runs the cascade mis-targets every bucket
+    cpages = ctx["cascade_pages"]
+    print("pcfg:", pcfg, "cascade_pages:", cpages)
 
     @functools.partial(jax.jit, donate_argnums=(3,))
     def pstep(p, private, g0, state, t):
         return paged_beam.paged_beam_step(
-            p, cfg, gen, pcfg, ctx["beam"], private, g0, state, t)
+            p, cfg, gen, pcfg, ctx["beam"], private, g0, state, t,
+            cascade_pages=cpages)
 
     for t in range(3):
         state = pstep(params, ctx["private"], ctx["g0"], state,

@@ -73,15 +73,33 @@ def main():
     logits, pool0 = prefill(params, fresh_pool(), tokens)
     print("prefill ok", flush=True)
 
+    def check_armed(step, use_kernel, name, *args):
+        """llama.paged_forward reads PROCYON_PAGED_KERNEL at TRACE time:
+        prove the arm traced the program it claims (the Pallas page walk
+        lowers to a tpu_custom_call; the gather arm must have none) —
+        otherwise the A/B silently compares identical programs."""
+        txt = step.lower(params, *args).as_text()
+        has_kernel = "tpu_custom_call" in txt
+        assert has_kernel == use_kernel, (
+            f"{name}: paged kernel present in traced program = "
+            f"{has_kernel}, expected {use_kernel}")
+
     results = {}
     for name, use_kernel in (("gather", False), ("paged_kernel", True)):
         step = make_step(use_kernel)
         pool = jax.tree_util.tree_map(lambda x: x, pool0)
         tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
         logit_trace = []
-        # warm
-        lg, pool_w = step(params, pool, tok)
-        float(jnp.sum(lg))
+        if use_kernel:
+            # force the kernel gate regardless of max_ctx (trace-time env)
+            os.environ["PROCYON_PAGED_KERNEL"] = "1"
+        try:
+            check_armed(step, use_kernel, name, pool, tok)
+            # warm
+            lg, pool_w = step(params, pool, tok)
+            float(jnp.sum(lg))
+        finally:
+            os.environ.pop("PROCYON_PAGED_KERNEL", None)
 
         def run(n, pool):
             t0 = time.perf_counter()
@@ -140,8 +158,18 @@ def main():
         step = make_step_q8(use_kernel)
         pool = jax.tree_util.tree_map(lambda x: x, pool0_q8)
         tok = jnp.argmax(logits_q8[:, -1:], -1).astype(jnp.int32)
-        lg, _ = step(params, pool, tok)
-        float(jnp.sum(lg))
+        if use_kernel:
+            # quantize_kv pools default to the s8 gather (measured
+            # faster, llama.py q8_kernel_ok note); the kernel arm must
+            # opt in via the trace-time env gate or BOTH arms silently
+            # trace the gather program
+            os.environ["PROCYON_PAGED_KERNEL"] = "1"
+        try:
+            check_armed(step, use_kernel, name, pool, tok)
+            lg, _ = step(params, pool, tok)
+            float(jnp.sum(lg))
+        finally:
+            os.environ.pop("PROCYON_PAGED_KERNEL", None)
 
         def run(n, pool, step=step, tok=tok):
             t0 = time.perf_counter()

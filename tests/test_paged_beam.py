@@ -110,6 +110,14 @@ class TestPagedBeamParity:
         np.testing.assert_allclose(np.asarray(trip_scores),
                                    np.asarray(single_scores),
                                    atol=1e-5, rtol=1e-5)
+        # step_trip WITHOUT host_loop must be honored too (it implies the
+        # host-stepped trip drive): caption_bulk --step_trip without
+        # --shared_prefix used to fall through to the device fori_loop,
+        # which never consults step_trip
+        implied_toks, _ = paged_beam.paged_beam_generate(
+            params, cfg, batch, gen, page_size=4, step_trip=3)
+        np.testing.assert_array_equal(np.asarray(implied_toks),
+                                      np.asarray(single_toks))
 
     def test_pool_is_smaller_than_dense_replication(self, rng):
         """The design point: beam slots share prompt pages, so pool KV is
